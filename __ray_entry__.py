@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
@@ -18,27 +15,286 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from data_linter_ray import checks
+from data_linter_ray.metadata import ColumnSpec, TableSchema
+from data_linter_ray.pipelines import validate_dataset
+from data_linter_ray.stages.uniqueness import duplicate_keys
+
+EVENT_ENUM = ["click", "view", "purchase"]
+LANG_PATTERN = "^(?:en|es|de|fr)$"
+TEXT_MIN_LEN, TEXT_MAX_LEN = 60, 400
+VALUE_MIN, VALUE_MAX = 0.0, 100.0
+
+
+def _events_schema() -> TableSchema:
+    return TableSchema(
+        name="events",
+        columns=[
+            ColumnSpec(name="event_id", type="int64", nullable=False, unique=True),
+            ColumnSpec(name="user_id", type="int64", nullable=False),
+            ColumnSpec(name="value", type="float64", minimum=VALUE_MIN, maximum=VALUE_MAX),
+            ColumnSpec(name="event_type", type="string", enum=EVENT_ENUM, nullable=False),
+        ],
+    )
+
+
+def _documents_schema() -> TableSchema:
+    return TableSchema(
+        name="documents",
+        columns=[
+            ColumnSpec(name="doc_id", type="int64", nullable=False, unique=True),
+            ColumnSpec(name="lang", type="string", pattern=LANG_PATTERN),
+            ColumnSpec(name="text", type="string", min_length=TEXT_MIN_LEN, max_length=TEXT_MAX_LEN),
+            ColumnSpec(name="n_chars", type="int64", minimum=1),
+        ],
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full validation of the sf0.001 events + documents tables
+    (reference checks + uniqueness extension); returns the per-table
+    per-column per-test verdict summary as a pandas DataFrame."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    rows = []
+    for name, schema, id_col in [
+        ("events", _events_schema(), "event_id"),
+        ("documents", _documents_schema(), "doc_id"),
+    ]:
+        ds = ray.data.read_parquet(f"{sf}/{name}.parquet")
+        res = validate_dataset(
+            ds, schema, id_column=id_col, allow_unexpected_data=True
+        )
+        r = res.response.get_result()
+        for col in schema.column_names:
+            if col not in r:
+                continue
+            for test, tres in r[col].items():
+                if test == "valid" or not isinstance(tres, dict):
+                    continue
+                rows.append(
+                    {
+                        "table": name,
+                        "column": col,
+                        "test": test,
+                        "valid": tres["valid"],
+                        "n_violations": res.counts.get((col, test), 0),
+                        "n_rows": res.row_count,
+                    }
+                )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# queries / oracle pairs (driver runs at sf0.01)
+# ---------------------------------------------------------------------------
+
+
+def _filter_by_mask(columns: list[str], mask_fn) -> Callable[[str], Any]:
+    """Build a query: read pruned columns, drop rows not violating."""
+
+    def q(sf_dir: str, _cols=columns, _mask=mask_fn):
+        table = _cols[0]
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=_cols[1:])
+
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(_mask(t))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return q
+
+
+def q_minmax_violations(sf_dir: str):
+    """events.value out of [0,100] — engine min/max kernel."""
+    return _filter_by_mask(
+        ["events", "event_id", "value"],
+        lambda t: checks.min_max_mask(t["value"], VALUE_MIN, VALUE_MAX),
+    )(sf_dir)
+
+
+def q_enum_violations(sf_dir: str):
+    return _filter_by_mask(
+        ["events", "event_id", "event_type"],
+        lambda t: checks.enum_mask(t["event_type"], EVENT_ENUM, False),
+    )(sf_dir)
+
+
+def q_pattern_violations(sf_dir: str):
+    return _filter_by_mask(
+        ["documents", "doc_id", "lang"],
+        lambda t: checks.pattern_mask(t["lang"], LANG_PATTERN),
+    )(sf_dir)
+
+
+def q_length_violations(sf_dir: str):
+    return _filter_by_mask(
+        ["documents", "doc_id", "text", "n_chars"],
+        lambda t: checks.min_max_length_mask(t["text"], TEXT_MIN_LEN, TEXT_MAX_LEN),
+    )(sf_dir).select_columns(["doc_id", "n_chars"])
+
+
+def q_date_format_violations(sf_dir: str):
+    """Derived date strings (mixed formats by event_id parity) failing the
+    ISO date-format check — engine date kernel vs DuckDB try_strptime."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def f(t: pa.Table) -> pa.Table:
+        even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+        date_str = pc.if_else(
+            even,
+            pc.strftime(t["ts"], format="%Y-%m-%d"),
+            pc.strftime(t["ts"], format="%d/%m/%Y"),
+        )
+        t = pa.Table.from_arrays(
+            [t["event_id"].combine_chunks(), date_str.combine_chunks()],
+            names=["event_id", "date_str"],
+        )
+        return t.filter(checks.date_format_mask(t["date_str"], "%Y-%m-%d"))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_unique_violations(sf_dir: str):
+    """Duplicate user_ids — the two-level salted-aggregation uniqueness
+    shuffle from stages/uniqueness.py."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return duplicate_keys(ds, "user_id")
+
+
+def q_ref_violations(sf_dir: str):
+    """Dangling orders.o_custkey → customer.c_custkey (broadcast anti-join);
+    key-level output (o_custkey, n)."""
+    from ray.data.aggregate import Count
+
+    from data_linter_ray.stages.referential import referential_violations_broadcast
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    viol = referential_violations_broadcast(
+        orders, "o_custkey", customer, "c_custkey", id_column="o_orderkey"
+    )
+
+    def native(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["value"].combine_chunks(), pa.int64())], names=["o_custkey"]
+        )
+
+    out = (
+        viol.map_batches(native, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+    # pin the schema: an empty Ray aggregate result loses its columns
+    target = pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())])
+    batches = [b for b in out.iter_batches(batch_format="pyarrow")]
+    if not batches:
+        return target.empty_table()
+    t = pa.concat_tables(batches)
+    return t.cast(target) if t.schema.names == target.names else t
+
+
+def q_verdict_summary(sf_dir: str):
+    """Full engine verdict over events: (column, test, n_violations,
+    n_rows, pct) — one row per compiled check task."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    schema = _events_schema()
+    res = validate_dataset(
+        ds, schema, id_column="event_id", allow_unexpected_data=True
+    )
+    r = res.response.get_result()
+    rows = []
+    for col in schema.column_names:
+        if col not in r or not isinstance(r[col], dict):
+            continue
+        for test, tres in r[col].items():
+            if test == "valid" or not isinstance(tres, dict):
+                continue
+            n = res.counts.get((col, test), 0)
+            rows.append(
+                {
+                    "column": col,
+                    "test": test,
+                    "n_violations": n,
+                    "n_rows": res.row_count,
+                    "pct": (n / res.row_count) * 100 if res.row_count else 0.0,
+                }
+            )
+    return pd.DataFrame(rows).sort_values(["column", "test"]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "minmax_violations": q_minmax_violations,
+        "enum_violations": q_enum_violations,
+        "pattern_violations": q_pattern_violations,
+        "length_violations": q_length_violations,
+        "date_format_violations": q_date_format_violations,
+        "unique_violations": q_unique_violations,
+        "ref_violations": q_ref_violations,
+        "verdict_summary": q_verdict_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
+    return {
+        "minmax_violations": (
+            "SELECT event_id, value FROM events "
+            f"WHERE value < {VALUE_MIN} OR value > {VALUE_MAX}"
+        ),
+        "enum_violations": (
+            "SELECT event_id, event_type FROM events "
+            f"WHERE event_type IS NULL OR event_type NOT IN ({enum_list})"
+        ),
+        "pattern_violations": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^(?:en|es|de|fr)$')"
+        ),
+        "length_violations": (
+            "SELECT doc_id, n_chars FROM documents "
+            f"WHERE length(text) < {TEXT_MIN_LEN} OR length(text) > {TEXT_MAX_LEN}"
+        ),
+        "date_format_violations": (
+            "WITH d AS (SELECT event_id, CASE WHEN event_id % 2 = 0 "
+            "THEN strftime(ts, '%Y-%m-%d') ELSE strftime(ts, '%d/%m/%Y') END AS date_str "
+            "FROM events) "
+            "SELECT event_id, date_str FROM d "
+            "WHERE try_strptime(date_str, '%Y-%m-%d') IS NULL"
+        ),
+        "unique_violations": (
+            "SELECT user_id, count(*) AS n FROM events "
+            "GROUP BY user_id HAVING count(*) > 1"
+        ),
+        "ref_violations": (
+            "SELECT o_custkey, count(*) AS n FROM orders "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer) "
+            "GROUP BY o_custkey"
+        ),
+        "verdict_summary": (
+            "WITH n AS (SELECT count(*) AS n_rows FROM events), "
+            "checks(col, test, n_violations) AS ("
+            "  SELECT 'event_id', 'nullable_test', (SELECT count(*) FROM events WHERE event_id IS NULL)"
+            "  UNION ALL SELECT 'event_id', 'unique_test', (SELECT count(*) FROM (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1))"
+            "  UNION ALL SELECT 'user_id', 'nullable_test', (SELECT count(*) FROM events WHERE user_id IS NULL)"
+            f"  UNION ALL SELECT 'value', 'min_max_test', (SELECT count(*) FROM events WHERE value < {VALUE_MIN} OR value > {VALUE_MAX})"
+            f"  UNION ALL SELECT 'event_type', 'enum_test', (SELECT count(*) FROM events WHERE event_type IS NULL OR event_type NOT IN ({enum_list}))"
+            "  UNION ALL SELECT 'event_type', 'nullable_test', (SELECT count(*) FROM events WHERE event_type IS NULL)"
+            ") "
+            "SELECT col AS \"column\", test, n_violations, n.n_rows AS n_rows, "
+            "(CAST(n_violations AS DOUBLE) / n.n_rows) * 100 AS pct "
+            "FROM checks, n ORDER BY \"column\", test"
+        ),
+    }

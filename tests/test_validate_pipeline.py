@@ -1,0 +1,189 @@
+"""Pipeline-level validation tests (Ray Data end-to-end, small synthetic
+Arrow tables + real testdata parquet).
+
+Mirrors the reference's end-to-end verdict expectations
+(``/root/reference/tests/test_end_to_end_run.py`` mitigation matrix at
+:331-481, header matrix ``tests/test_headers.py``) in Dataset form.
+"""
+
+import pyarrow as pa
+import pytest
+
+import ray
+from data_linter_ray.metadata import ColumnSpec, TableSchema
+from data_linter_ray.pipelines import validate_dataset
+
+
+def make_ds(table: pa.Table):
+    return ray.data.from_arrow(table)
+
+
+@pytest.fixture
+def simple_schema():
+    return TableSchema(
+        name="t",
+        columns=[
+            ColumnSpec(name="my_int", type="int64", minimum=10, maximum=20, nullable=False),
+            ColumnSpec(name="animal", type="string", enum=["cat", "dog", "fish", "chicken"], nullable=False),
+            ColumnSpec(name="my_email", type="string"),
+        ],
+    )
+
+
+def table(my_int, animal, my_email=None):
+    n = len(my_int)
+    return pa.table(
+        {
+            "my_int": pa.array(my_int, type=pa.int64()),
+            "animal": pa.array(animal, type=pa.string()),
+            "my_email": pa.array(my_email or ["x@y.z"] * n, type=pa.string()),
+        }
+    )
+
+
+def test_all_pass(ray_session, simple_schema):
+    res = validate_dataset(make_ds(table([10, 15, 20], ["cat", "dog", "fish"])), simple_schema)
+    assert res.valid
+    assert res.violations.count() == 0
+    r = res.response.get_result()
+    assert r["my_int"]["valid"] and r["animal"]["valid"]
+    assert r["my_int"]["min_max_test"]["valid"]
+
+
+def test_min_max_fail_with_counts(ray_session, simple_schema):
+    res = validate_dataset(
+        make_ds(table([5, 15, 25, 18], ["cat", "dog", "fish", "cat"])),
+        simple_schema,
+        log_verbosity=0,
+    )
+    assert not res.valid
+    r = res.response.get_result()
+    t = r["my_int"]["min_max_test"]
+    assert t["valid"] is False
+    assert t["percentage_of_column_is_error"] == pytest.approx(50.0)
+    assert sorted(t["unexpected_values_sample"]) == ["25", "5"]
+    assert r["animal"]["valid"]
+    assert res.response.get_names_of_column_failures() == ["my_int"]
+
+
+def test_null_fails_nullable_and_enum_not_minmax(ray_session, simple_schema):
+    # null my_int → nullable_test fails, min_max passes (nulls pass min/max)
+    res = validate_dataset(
+        make_ds(table([None, 15], ["cat", "dog"])), simple_schema
+    )
+    r = res.response.get_result()
+    assert r["my_int"]["min_max_test"]["valid"]
+    assert r["my_int"]["nullable_test"]["valid"] is False
+
+
+def test_column_alignment_strict_fails(ray_session, simple_schema):
+    t = table([10], ["cat"]).drop_columns(["my_email"])
+    res = validate_dataset(make_ds(t), simple_schema)
+    assert not res.valid
+    r = res.response.get_result()
+    assert r["overall_validation"]["valid"] is False
+    assert "my_email" in r["overall_validation"]["traceback"]
+
+
+def test_column_alignment_allow_missing(ray_session, simple_schema):
+    t = table([10], ["cat"]).drop_columns(["my_email"])
+    res = validate_dataset(make_ds(t), simple_schema, allow_missing_cols=True)
+    assert res.valid
+
+
+def test_column_alignment_allow_unexpected(ray_session, simple_schema):
+    t = table([10], ["cat"]).append_column("extra", pa.array([1]))
+    res = validate_dataset(make_ds(t), simple_schema)
+    assert not res.valid
+    res = validate_dataset(make_ds(t), simple_schema, allow_unexpected_data=True)
+    assert res.valid
+
+
+def test_zero_overlap_always_fails(ray_session, simple_schema):
+    t = pa.table({"a": [1], "b": [2], "c": [3]})
+    res = validate_dataset(
+        make_ds(t), simple_schema, allow_missing_cols=True, allow_unexpected_data=True
+    )
+    assert not res.valid
+
+
+def test_uniqueness(ray_session):
+    schema = TableSchema(
+        name="t", columns=[ColumnSpec(name="doc_id", type="string", unique=True)]
+    )
+    t = pa.table({"doc_id": ["a", "b", "a", "c", "a", "b"]})
+    res = validate_dataset(make_ds(t), schema, id_column="doc_id", log_verbosity=0)
+    assert not res.valid
+    r = res.response.get_result()
+    assert r["doc_id"]["unique_test"]["valid"] is False
+    viol = res.violations.to_pandas()
+    dup = dict(zip(viol["row_ref"], viol["value"]))
+    assert dup == {"a": "3", "b": "2"}
+
+
+def test_referential(ray_session):
+    schema = TableSchema(
+        name="orders",
+        columns=[ColumnSpec(name="cust", type="int64", references="customer.id")],
+    )
+    orders = pa.table({"cust": [1, 2, 3, 99, None]})
+    customers = pa.table({"id": [1, 2, 3, 4]})
+    res = validate_dataset(
+        make_ds(orders),
+        schema,
+        ref_tables={"customer.id": make_ds(customers)},
+    )
+    assert not res.valid
+    viol = res.violations.to_pandas()
+    assert viol["value"].tolist() == ["99"]  # null FK is not a referential violation
+    r = res.response.get_result()
+    assert r["cust"]["referential_test"]["valid"] is False
+
+
+def test_referential_missing_table_recorded(ray_session):
+    schema = TableSchema(
+        name="o", columns=[ColumnSpec(name="k", type="int64", references="dim.id")]
+    )
+    res = validate_dataset(make_ds(pa.table({"k": [1]})), schema)
+    assert not res.valid
+
+
+def test_row_limit(ray_session, simple_schema):
+    t = table(list(range(10, 20)), ["cat"] * 10)
+    res = validate_dataset(make_ds(t), simple_schema, row_limit=5)
+    assert res.row_count == 5
+
+
+def test_real_testdata_events(ray_session, sf_dir):
+    """Full pipeline on real parquet: events.value ∈ [0,100] and
+    event_type enum — counts must match a direct pyarrow computation."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    schema = TableSchema(
+        name="events",
+        columns=[
+            ColumnSpec(name="event_id", type="int64", nullable=False, unique=True),
+            ColumnSpec(name="value", type="float64", minimum=0.0, maximum=100.0),
+            ColumnSpec(
+                name="event_type",
+                type="string",
+                enum=["click", "view", "purchase"],
+            ),
+        ],
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    res = validate_dataset(
+        ds, schema, id_column="event_id", allow_unexpected_data=True
+    )
+    raw = pq.read_table(f"{sf_dir}/events.parquet")
+    exp_oob = pc.sum(
+        pc.or_(pc.less(raw["value"], 0.0), pc.greater(raw["value"], 100.0))
+    ).as_py()
+    exp_enum = pc.sum(
+        pc.invert(pc.is_in(raw["event_type"], value_set=pa.array(["click", "view", "purchase"])))
+    ).as_py()
+    assert res.counts[("value", "min_max_test")] == exp_oob
+    assert res.counts[("event_type", "enum_test")] == exp_enum
+    assert ("event_id", "unique_test") not in res.counts  # ids unique
+    assert res.row_count == raw.num_rows
