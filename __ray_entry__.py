@@ -55,14 +55,40 @@ def _documents_schema() -> TableSchema:
     )
 
 
+def _summarize(name: str, schema: TableSchema, res) -> list[dict]:
+    r = res.response.get_result()
+    rows = []
+    for col in schema.column_names:
+        if col not in r:
+            continue
+        for test, tres in r[col].items():
+            if test == "valid" or not isinstance(tres, dict):
+                continue
+            rows.append(
+                {
+                    "table": name,
+                    "column": col,
+                    "test": test,
+                    "valid": tres["valid"],
+                    "n_violations": res.counts.get((col, test), 0),
+                    "n_rows": res.row_count,
+                }
+            )
+    return rows
+
+
 def entry() -> Any:
-    """Flagship: full validation of the sf0.001 events + documents tables
-    (reference checks + uniqueness extension); returns the per-table
-    per-column per-test verdict summary as a pandas DataFrame."""
+    """Flagship: (a) full validation of the sf0.001 events + documents
+    parquet tables (reference checks + uniqueness); (b) the north-rule
+    interleaved-document pipeline — pattern/unique doc_id, span checks,
+    media referential integrity — over the deterministic synthetic table.
+    Returns the per-table per-column per-test verdict summary."""
     import pandas as pd
 
+    from data_linter_ray import synth
+
     sf = "/root/testdata/sf0.001"
-    rows = []
+    rows: list[dict] = []
     for name, schema, id_col in [
         ("events", _events_schema(), "event_id"),
         ("documents", _documents_schema(), "doc_id"),
@@ -71,23 +97,17 @@ def entry() -> Any:
         res = validate_dataset(
             ds, schema, id_column=id_col, allow_unexpected_data=True
         )
-        r = res.response.get_result()
-        for col in schema.column_names:
-            if col not in r:
-                continue
-            for test, tres in r[col].items():
-                if test == "valid" or not isinstance(tres, dict):
-                    continue
-                rows.append(
-                    {
-                        "table": name,
-                        "column": col,
-                        "test": test,
-                        "valid": tres["valid"],
-                        "n_violations": res.counts.get((col, test), 0),
-                        "n_rows": res.row_count,
-                    }
-                )
+        rows.extend(_summarize(name, schema, res))
+
+    docs = synth.documents_dataset(10_000)
+    ischema = synth.documents_schema()
+    ires = validate_dataset(
+        docs,
+        ischema,
+        id_column="doc_id",
+        ref_tables={"media_catalog.media_ref": synth.media_catalog_dataset()},
+    )
+    rows.extend(_summarize("interleaved_documents", ischema, ires))
     return pd.DataFrame(rows)
 
 
@@ -235,6 +255,65 @@ def q_verdict_summary(sf_dir: str):
     return pd.DataFrame(rows).sort_values(["column", "test"]).reset_index(drop=True)
 
 
+def q_span_verdicts(sf_dir: str):
+    """North-rule interleaved pipeline verdict summary (deterministic
+    synthetic input — no SQL oracle; driver records rows-only)."""
+    import pandas as pd
+
+    from data_linter_ray import synth
+
+    res = validate_dataset(
+        synth.documents_dataset(20_000),
+        synth.documents_schema(),
+        id_column="doc_id",
+        ref_tables={"media_catalog.media_ref": synth.media_catalog_dataset()},
+    )
+    rows = [
+        {"column": c, "test": t, "n_violations": n}
+        for (c, t), n in sorted(res.counts.items())
+    ]
+    return pd.DataFrame(rows)
+
+
+def q_span_equality(sf_dir: str):
+    """Span-sequence equality against a reference copy with seeded edits:
+    docs whose doc_id ends in "00" get one span's media_ref swapped —
+    exactly those rows must be flagged (content-keyed, so deterministic
+    under any partitioning; rows-only check)."""
+    from data_linter_ray import synth
+    from data_linter_ray.stages.spans import span_equality_violations
+
+    def add_edited_copy(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        spans = t["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        # rebuild with media_ref edited on first span of every 100th row
+        first_elem = np.empty(len(flat), dtype=bool)
+        if len(flat):
+            first_elem[0] = True
+            first_elem[1:] = parents[1:] != parents[:-1]
+        edit_row = pc.match_substring_regex(
+            t["doc_id"].combine_chunks(), "00$"
+        ).to_numpy(zero_copy_only=False)
+        edit_elem = first_elem & edit_row[parents]
+        media = flat.field("media_ref").to_pylist()
+        for i in np.flatnonzero(edit_elem):
+            media[i] = "media://edited/x"
+        struct = pa.StructArray.from_arrays(
+            [flat.field("kind"), flat.field("text"), pa.array(media, type=pa.string()), flat.field("offset")],
+            fields=list(synth.SPAN_STRUCT),
+        )
+        edited = pa.ListArray.from_arrays(spans.offsets, struct)
+        return t.append_column("spans_reference", edited)
+
+    docs = synth.documents_dataset(5_000).map_batches(
+        add_edited_copy, batch_format="pyarrow"
+    )
+    return span_equality_violations(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minmax_violations": q_minmax_violations,
@@ -245,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_violations": q_unique_violations,
         "ref_violations": q_ref_violations,
         "verdict_summary": q_verdict_summary,
+        "span_verdicts": q_span_verdicts,
+        "span_equality": q_span_equality,
     }
 
 

@@ -107,12 +107,54 @@ def validate_dataset(
             checked.map_batches(BatchChecker(plan), batch_format="pyarrow")
         )
 
+    # --- span checks (list<struct> interleaved payload) -----------------
+    span_cols = [
+        c
+        for c in schema.columns
+        if c.name in data_schema.names
+        and (c.span_constraints is not None or c.type in ("spans", "list<span>"))
+    ]
+    for spec in span_cols:
+        from data_linter_ray.stages.spans import (
+            media_ref_violations,
+            span_equality_violations,
+            span_violations,
+        )
+
+        sc = spec.span_constraints or {}
+        violation_parts.append(
+            span_violations(ds, spans_col=spec.name, id_column=id_column)
+        )
+        if spec.references and ref_tables and spec.references in ref_tables:
+            pk = spec.references.split(".", 1)[1]
+            violation_parts.append(
+                media_ref_violations(
+                    ds, ref_tables[spec.references], spans_col=spec.name, id_column=id_column
+                )
+            )
+        ref_col = sc.get("reference_column")
+        if ref_col and ref_col in data_schema.names:
+            violation_parts.append(
+                span_equality_violations(
+                    ds,
+                    left_col=spec.name,
+                    right_col=ref_col,
+                    id_column=id_column,
+                    compare_offsets=bool(sc.get("compare_offsets", False)),
+                )
+            )
+
     # --- extension shuffle checks --------------------------------------
     unique_cols = [c.name for c in schema.columns if c.unique and c.name in data_schema.names]
     for col in unique_cols:
         violation_parts.append(uniqueness_violations(ds, col))
+    span_col_names = {c.name for c in span_cols}
     ref_specs = [
-        c for c in schema.columns if c.references and c.name in data_schema.names
+        c
+        for c in schema.columns
+        if c.references
+        and c.name in data_schema.names
+        and c.name not in span_col_names  # span refs are media_ref_violations
     ]
     for spec in ref_specs:
         target = (ref_tables or {}).get(spec.references)
@@ -149,7 +191,7 @@ def validate_dataset(
 
     _build_response(
         response, plan, schema, counts, row_count, samples, log_verbosity,
-        unique_cols, ref_specs,
+        unique_cols, ref_specs, span_cols,
     )
     return TableValidationResult(
         response=response,
@@ -193,6 +235,7 @@ def _build_response(
     log_verbosity,
     unique_cols,
     ref_specs,
+    span_cols=(),
 ) -> None:
     """Assemble the reference-shaped nested verdict dict
     (base.py:9-103 / pandas_validator.py:352-382 parity)."""
@@ -220,3 +263,21 @@ def _build_response(
             checks.REFERENTIAL_TEST,
             {"column": spec.name, "references": spec.references},
         )
+    for spec in span_cols:
+        from data_linter_ray.stages.spans import SPAN_TESTS
+
+        for test in SPAN_TESTS:
+            fill(spec.name, test, {"column": spec.name})
+        if spec.references:
+            fill(
+                spec.name,
+                checks.REFERENTIAL_TEST,
+                {"column": spec.name, "references": spec.references},
+            )
+        sc = spec.span_constraints or {}
+        if sc.get("reference_column"):
+            fill(
+                spec.name,
+                "span_sequence_equality",
+                {"column": spec.name, "reference_column": sc["reference_column"]},
+            )

@@ -1,0 +1,177 @@
+"""Deterministic synthesizer for the north-rule interleaved-document table.
+
+Shape per BASELINE.json ``input_hint`` / FIXTURES.md F1:
+
+    doc_id : string            pattern ^doc-[0-9a-f]{12}$, unique, non-null
+    spans  : list<struct<kind:string, text:string, media_ref:string,
+                         offset:int32>>
+
+Seeded violations (all keyed off the absolute row index, so any scale /
+any partitioning regenerates identical data — no RNG state carried
+between blocks):
+
+  - ~1% duplicate doc_ids; half of the duplicates collide into one hot
+    key prefix (``doc-000000...``) to exercise shuffle skew/salting
+  - ~1% malformed doc_id
+  - ~2% of rows with one bad span (bad kind, negative offset, or
+    out-of-order offsets)
+  - ~0.5% dangling media_refs (absent from the media catalog)
+
+Generation itself is a Ray pipeline (``range(n) → map_batches``) so test
+fixtures and 10^12-scale bench inputs use the same code path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from data_linter_ray.metadata import SPAN_STRUCT, SPANS_TYPE
+
+KINDS = ["text", "image", "audio", "video"]
+MEDIA_CATALOG_SIZE = 10_000
+HOT_PREFIX = "doc-000000"
+
+DOC_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", SPANS_TYPE)])
+
+
+def _rng_for(indices: np.ndarray) -> np.ndarray:
+    """Stable per-row uint64 mix of the absolute row index (splitmix64)."""
+    z = indices.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def media_ref_for(i: int) -> str:
+    return f"media://cat/{i % MEDIA_CATALOG_SIZE:08d}"
+
+
+def make_documents_batch(batch: dict) -> pa.Table:
+    """map_batches fn over ``ray.data.range(n)`` blocks (numpy format)."""
+    idx = np.asarray(batch["id"], dtype=np.int64)
+    h = _rng_for(idx)
+    n = len(idx)
+
+    # --- doc ids ------------------------------------------------------
+    doc_ids = []
+    for i, hv in zip(idx.tolist(), h.tolist()):
+        r = hv % 10_000
+        if r < 50:  # 0.5%: hot-range duplicate (all share few suffixes)
+            doc_ids.append(f"{HOT_PREFIX}{hv % 4:02x}")
+        elif r < 100:  # 0.5%: scattered duplicate of a neighbour
+            src = max(i - 1, 0)
+            doc_ids.append("doc-" + hashlib.md5(str(src).encode()).hexdigest()[:12])
+        elif r < 200:  # 1%: malformed
+            doc_ids.append(f"DOC_{i}")
+        else:
+            doc_ids.append("doc-" + hashlib.md5(str(i).encode()).hexdigest()[:12])
+
+    # --- spans --------------------------------------------------------
+    kinds_flat: list = []
+    texts_flat: list = []
+    refs_flat: list = []
+    offsets_flat: list = []
+    lengths: list = []
+    for i, hv in zip(idx.tolist(), h.tolist()):
+        n_spans = 1 + (hv >> 8) % 8  # 1..8 spans typical
+        bad = (hv % 10_000) >= 9800  # 2%: one corrupted span
+        bad_mode = hv % 3
+        offset = 0
+        for s in range(int(n_spans)):
+            kv = (hv >> (4 * s)) % 4
+            kind = KINDS[kv]
+            is_last_and_bad = bad and s == n_spans - 1
+            if is_last_and_bad and bad_mode == 0:
+                kind = "hologram"  # bad kind
+            if kind == "text":
+                text = f"para-{i}-{s}"
+                ref = None
+            else:
+                text = None
+                ref_i = (hv >> 16) + s
+                # 0.5% dangling refs: point outside the catalog
+                if (hv % 10_000) < 9950:
+                    ref = media_ref_for(int(ref_i))
+                else:
+                    ref = f"media://missing/{int(ref_i):08d}"
+            this_offset = offset
+            if is_last_and_bad and bad_mode == 1:
+                this_offset = -1  # negative offset
+            if is_last_and_bad and bad_mode == 2 and s > 0:
+                this_offset = offset - 7  # out-of-order
+            kinds_flat.append(kind)
+            texts_flat.append(text)
+            refs_flat.append(ref)
+            offsets_flat.append(int(this_offset))
+            offset += 10 + int((hv >> (3 * s)) % 90)
+        lengths.append(int(n_spans))
+
+    struct_arr = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds_flat, type=pa.string()),
+            pa.array(texts_flat, type=pa.string()),
+            pa.array(refs_flat, type=pa.string()),
+            pa.array(offsets_flat, type=pa.int32()),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct_arr)
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, type=pa.string()), spans], schema=DOC_SCHEMA
+    )
+
+
+def documents_dataset(num_rows: int, *, override_num_blocks: int | None = None):
+    """Build the interleaved documents table as a Ray Dataset."""
+    import ray.data
+
+    ds = ray.data.range(num_rows, override_num_blocks=override_num_blocks)
+    return ds.map_batches(make_documents_batch, batch_format="numpy")
+
+
+def media_catalog_dataset():
+    """The companion referential table: every valid media_ref."""
+    import ray.data
+
+    def gen(batch: dict) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        return pa.table(
+            {"media_ref": pa.array([media_ref_for(int(i)) for i in ids])}
+        )
+
+    return ray.data.range(MEDIA_CATALOG_SIZE).map_batches(gen, batch_format="numpy")
+
+
+def documents_schema():
+    """Lint schema for the interleaved table (FIXTURES.md F1)."""
+    from data_linter_ray.metadata import ColumnSpec, TableSchema
+
+    return TableSchema(
+        name="interleaved_documents",
+        columns=[
+            ColumnSpec(
+                name="doc_id",
+                type="string",
+                pattern="^doc-[0-9a-f]{12}$",
+                nullable=False,
+                unique=True,
+            ),
+            ColumnSpec(
+                name="spans",
+                type="spans",
+                references="media_catalog.media_ref",
+                span_constraints={},
+            ),
+        ],
+    )
+
+
+def write_fixture(path: str, num_rows: int) -> str:
+    """Materialize a deterministic fixture to partitioned parquet."""
+    documents_dataset(num_rows).write_parquet(path)
+    return path
