@@ -1,0 +1,203 @@
+"""Distribution-drift checks via streaming sketches (north-rule stage).
+
+Pipeline shape (SURVEY.md §2.3, §7 step 7):
+
+    ds ──► map_batches(SketchPartials, concurrency=(min,max))   # actor pool
+              emits ONE partial-sketch row per (batch, column)
+       ──► groupby("column").map_groups(merge)                  # KB-sized shuffle
+       ──► per-column merged sketch → drift verdict vs baseline
+
+The actor pool holds the compiled column plan (built once per actor in
+``__init__``); per-batch partials are *emitted as data*, never
+accumulated in actor state, so Ray task retries cannot double-count
+(SURVEY.md §7.4). Partial sketches are a few KB — the merge shuffle is
+negligible next to the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from data_linter_ray.state.sketches import HyperLogLog, TDigest, hash_array
+
+SKETCH_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("kind", pa.string()),  # "tdigest" | "hll"
+        ("payload", pa.binary()),
+        ("n", pa.int64()),
+    ]
+)
+
+DEFAULT_QUANTILES = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+class SketchPartials:
+    """Actor-pool callable: per batch, one t-digest partial per numeric
+    column and one HLL partial per key column."""
+
+    def __init__(self, numeric_cols: list[str], key_cols: list[str], delta: int = 100, hll_p: int = 12):
+        self.numeric_cols = numeric_cols
+        self.key_cols = key_cols
+        self.delta = delta
+        self.hll_p = hll_p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols, kinds, payloads, ns = [], [], [], []
+        for c in self.numeric_cols:
+            arr = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            td = TDigest(self.delta)
+            td.add(arr)
+            cols.append(c)
+            kinds.append("tdigest")
+            payloads.append(td.to_bytes())
+            ns.append(len(arr))
+        for c in self.key_cols:
+            hll = HyperLogLog(self.hll_p)
+            hll.add_hashes(hash_array(batch[c]))
+            cols.append(c)
+            kinds.append("hll")
+            payloads.append(hll.to_bytes())
+            ns.append(batch.num_rows)
+        return pa.Table.from_arrays(
+            [
+                pa.array(cols, pa.string()),
+                pa.array(kinds, pa.string()),
+                pa.array(payloads, pa.binary()),
+                pa.array(ns, pa.int64()),
+            ],
+            schema=SKETCH_SCHEMA,
+        )
+
+
+def _merge_group(df):
+    """map_groups fn: fold all partials of one (column, kind) group."""
+    import pandas as pd
+
+    kind = df["kind"].iloc[0]
+    if kind == "tdigest":
+        acc = TDigest.from_bytes(df["payload"].iloc[0])
+        for b in df["payload"].iloc[1:]:
+            acc.merge(TDigest.from_bytes(b))
+    else:
+        acc = HyperLogLog.from_bytes(df["payload"].iloc[0])
+        for b in df["payload"].iloc[1:]:
+            acc.merge(HyperLogLog.from_bytes(b))
+    return pd.DataFrame(
+        {
+            "column": [df["column"].iloc[0]],
+            "kind": [kind],
+            "payload": [acc.to_bytes()],
+            "n": [int(df["n"].sum())],
+        }
+    )
+
+
+def compute_sketches(
+    ds: Dataset,
+    numeric_cols: list[str],
+    key_cols: list[str] | None = None,
+    *,
+    concurrency=None,
+    batch_size: int | None = None,
+) -> dict[str, dict]:
+    """Run the sketch stage; returns {column: {"tdigest": TDigest}} /
+    {"hll": HyperLogLog} merged results (KB-sized — safe on the driver)."""
+    key_cols = key_cols or []
+    needed = sorted(set(numeric_cols) | set(key_cols))
+    kwargs: dict = {"batch_format": "pyarrow"}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    partials = ds.select_columns(needed).map_batches(
+        SketchPartials(numeric_cols, key_cols), **kwargs
+    )
+    merged = partials.groupby(["column", "kind"]).map_groups(
+        _merge_group, batch_format="pandas"
+    )
+    out: dict[str, dict] = {}
+    for row in merged.take_all():
+        entry = out.setdefault(row["column"], {})
+        if row["kind"] == "tdigest":
+            entry["tdigest"] = TDigest.from_bytes(row["payload"])
+        else:
+            entry["hll"] = HyperLogLog.from_bytes(row["payload"])
+        entry[f"n_{row['kind']}"] = row["n"]
+    return out
+
+
+@dataclass
+class DriftResult:
+    column: str
+    metric: str
+    distance: float
+    threshold: float
+
+    @property
+    def valid(self) -> bool:
+        return self.distance <= self.threshold
+
+
+def quantile_drift(
+    current: TDigest,
+    baseline: TDigest,
+    quantiles=DEFAULT_QUANTILES,
+) -> float:
+    """Normalized max quantile shift: max_q |Q_cur(q) − Q_base(q)| / IQR_base."""
+    qc = current.quantiles(quantiles)
+    qb = baseline.quantiles(quantiles)
+    iqr = baseline.quantile(0.75) - baseline.quantile(0.25)
+    scale = iqr if iqr > 0 else (abs(baseline.quantile(0.5)) or 1.0)
+    return float(np.max(np.abs(qc - qb)) / scale)
+
+
+def cardinality_drift(current: HyperLogLog, baseline: HyperLogLog) -> float:
+    """Relative distinct-count change."""
+    b = baseline.estimate() or 1.0
+    return abs(current.estimate() - b) / b
+
+
+def drift_check(
+    ds: Dataset,
+    baselines: dict[str, dict],
+    *,
+    numeric_cols: list[str] | None = None,
+    key_cols: list[str] | None = None,
+    threshold: float = 0.1,
+    concurrency=None,
+) -> list[DriftResult]:
+    """Compare the dataset's sketches to stored baseline sketches."""
+    numeric_cols = numeric_cols or [
+        c for c, v in baselines.items() if "tdigest" in v
+    ]
+    key_cols = key_cols or [c for c, v in baselines.items() if "hll" in v]
+    current = compute_sketches(
+        ds, numeric_cols, key_cols, concurrency=concurrency
+    )
+    results: list[DriftResult] = []
+    for col, base in baselines.items():
+        cur = current.get(col, {})
+        if "tdigest" in base and "tdigest" in cur:
+            results.append(
+                DriftResult(
+                    col,
+                    "quantile_shift",
+                    quantile_drift(cur["tdigest"], base["tdigest"]),
+                    threshold,
+                )
+            )
+        if "hll" in base and "hll" in cur:
+            results.append(
+                DriftResult(
+                    col,
+                    "cardinality_shift",
+                    cardinality_drift(cur["hll"], base["hll"]),
+                    threshold,
+                )
+            )
+    return results

@@ -1,0 +1,185 @@
+"""Mergeable sketches: t-digest (quantiles) and HyperLogLog (distinct).
+
+Public-knowledge algorithms: Dunning & Ertl, "Computing extremely
+accurate quantiles using t-digests" (arXiv:1902.04023) and Flajolet et
+al., "HyperLogLog: the analysis of a near-optimal cardinality estimation
+algorithm" (AofA 2007), with the standard linear-counting small-range
+correction. Implemented from the papers on numpy — no external libs.
+
+Both are commutative, associative merges — safe under Ray task retries
+because the pipeline *emits partials as data* (one sketch row per batch)
+rather than mutating actor state (SURVEY.md §7.4 "prefer emit-as-rows").
+Serialization is a compact bytes payload so partial sketches travel as
+ordinary Arrow binary columns through a groupby merge.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class TDigest:
+    """Merging t-digest with the k1-style size bound
+    (max centroid weight ≈ 4·n·q(1−q)/δ)."""
+
+    def __init__(self, delta: int = 100):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf_means: list[np.ndarray] = []
+        self._buf_weights: list[np.ndarray] = []
+        self._buffered = 0
+
+    # -- building -------------------------------------------------------
+    def add(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if values.size == 0:
+            return
+        self._buf_means.append(values)
+        self._buf_weights.append(
+            np.ones_like(values) if weights is None else np.asarray(weights, np.float64)
+        )
+        self._buffered += values.size
+        if self._buffered > 32 * self.delta:
+            self._compress()
+
+    def _compress(self) -> None:
+        if not self._buf_means and self.means.size <= 2 * self.delta:
+            return
+        means = np.concatenate([self.means] + self._buf_means)
+        weights = np.concatenate([self.weights] + self._buf_weights)
+        self._buf_means, self._buf_weights, self._buffered = [], [], 0
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_means: list[float] = []
+        out_weights: list[float] = []
+        acc_mean, acc_w, seen = 0.0, 0.0, 0.0
+        for m, w in zip(means, weights):
+            q = (seen + acc_w + w / 2) / total
+            limit = max(1.0, 4.0 * total * q * (1.0 - q) / self.delta)
+            if acc_w + w <= limit or acc_w == 0.0:
+                acc_mean += m * w
+                acc_w += w
+            else:
+                out_means.append(acc_mean / acc_w)
+                out_weights.append(acc_w)
+                seen += acc_w
+                acc_mean, acc_w = m * w, w
+        if acc_w > 0:
+            out_means.append(acc_mean / acc_w)
+            out_weights.append(acc_w)
+        self.means = np.asarray(out_means)
+        self.weights = np.asarray(out_weights)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        other._compress()
+        if other.means.size:
+            self.add(other.means, other.weights)
+        self._compress()
+        return self
+
+    # -- querying -------------------------------------------------------
+    @property
+    def count(self) -> float:
+        return float(self.weights.sum()) + sum(w.sum() for w in self._buf_weights)
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.array([self.quantile(q) for q in qs])
+
+    # -- serialization --------------------------------------------------
+    def to_bytes(self) -> bytes:
+        self._compress()
+        head = struct.pack("<Iq", self.delta, self.means.size)
+        return head + self.means.tobytes() + self.weights.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        delta, n = struct.unpack_from("<Iq", b, 0)
+        td = cls(delta)
+        off = struct.calcsize("<Iq")
+        td.means = np.frombuffer(b, np.float64, n, off).copy()
+        td.weights = np.frombuffer(b, np.float64, n, off + 8 * n).copy()
+        return td
+
+
+def _leading_pattern_rank(w: np.ndarray, bits: int) -> np.ndarray:
+    """rho = position of the first 1-bit in the top `bits` bits of w, in
+    1..bits+1 (vectorized; exact integer bit-length, no float log)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        ge = v >= (np.uint64(1) << np.uint64(shift))
+        bl[ge] += shift
+        v[ge] >>= np.uint64(shift)
+    bl[w > 0] += 1  # bit_length
+    rho = bits - bl + 1
+    rho[w == 0] = bits + 1
+    return rho
+
+
+class HyperLogLog:
+    """Standard HLL with 2^p uint8 registers + linear counting."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        h = np.asarray(h, dtype=np.uint64)
+        if h.size == 0:
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - self.p)) - 1)
+        rho = _leading_pattern_rank(w, 64 - self.p).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                est = m * np.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<I", self.p) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        (p,) = struct.unpack_from("<I", b, 0)
+        hll = cls(p)
+        hll.registers = np.frombuffer(b, np.uint8, hll.m, 4).copy()
+        return hll
+
+
+def hash_array(values) -> np.ndarray:
+    """Stable vectorized 64-bit hash of an arrow/numpy/pandas array."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pandas()
+    return pd.util.hash_pandas_object(pd.Series(values), index=False).to_numpy(
+        dtype=np.uint64
+    )

@@ -1,0 +1,137 @@
+"""Sketch correctness: accuracy bounds + merge associativity (the property
+that makes the Ray partial→merge pipeline retry-safe), plus the drift
+stage end-to-end on real testdata."""
+
+import numpy as np
+import pytest
+
+from data_linter_ray.state.sketches import HyperLogLog, TDigest, hash_array
+
+
+def test_tdigest_quantile_accuracy():
+    rng = np.random.RandomState(42)
+    x = rng.normal(100, 15, 200_000)
+    td = TDigest()
+    for chunk in np.array_split(x, 37):
+        td.add(chunk)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        exact = np.quantile(x, q)
+        assert td.quantile(q) == pytest.approx(exact, abs=0.5), q
+    assert td.count == pytest.approx(len(x))
+
+
+def test_tdigest_merge_equals_bulk():
+    rng = np.random.RandomState(7)
+    x = rng.exponential(10, 100_000)
+    parts = np.array_split(x, 13)
+    digests = []
+    for p in parts:
+        td = TDigest()
+        td.add(p)
+        digests.append(TDigest.from_bytes(td.to_bytes()))  # round-trip too
+    acc = digests[0]
+    for d in digests[1:]:
+        acc.merge(d)
+    bulk = TDigest()
+    bulk.add(x)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert acc.quantile(q) == pytest.approx(bulk.quantile(q), rel=0.05), q
+        assert acc.quantile(q) == pytest.approx(np.quantile(x, q), rel=0.05), q
+
+
+def test_tdigest_merge_order_invariance():
+    rng = np.random.RandomState(3)
+    parts = [rng.uniform(0, 1, 5000) for _ in range(6)]
+
+    def fold(order):
+        acc = TDigest()
+        for i in order:
+            td = TDigest()
+            td.add(parts[i])
+            acc.merge(td)
+        return acc.quantile(0.5)
+
+    a = fold([0, 1, 2, 3, 4, 5])
+    b = fold([5, 3, 1, 0, 2, 4])
+    assert a == pytest.approx(b, rel=0.02)
+
+
+def test_tdigest_bounded_size():
+    td = TDigest(delta=100)
+    td.add(np.arange(1_000_000, dtype=np.float64))
+    td._compress()
+    assert td.means.size < 1000  # centroids bounded (≈6δ) regardless of n
+
+
+def test_hll_accuracy_and_merge():
+    true_n = 50_000
+    vals = np.array([f"key-{i}" for i in range(true_n)], dtype=object)
+    h = hash_array(vals)
+    parts = np.array_split(h, 9)
+    hlls = []
+    for p in parts:
+        s = HyperLogLog()
+        s.add_hashes(p)
+        hlls.append(HyperLogLog.from_bytes(s.to_bytes()))
+    acc = hlls[0]
+    for s in hlls[1:]:
+        acc.merge(s)
+    assert acc.estimate() == pytest.approx(true_n, rel=0.05)
+    # duplicates must not change the estimate (idempotent merge)
+    again = HyperLogLog()
+    again.add_hashes(h)
+    acc.merge(again)
+    assert acc.estimate() == pytest.approx(true_n, rel=0.05)
+
+
+def test_hll_small_range():
+    s = HyperLogLog()
+    s.add_hashes(hash_array(np.array([f"v{i}" for i in range(100)], dtype=object)))
+    assert s.estimate() == pytest.approx(100, rel=0.15)
+
+
+def test_hash_array_stability():
+    a = hash_array(np.array(["x", "y"], dtype=object))
+    b = hash_array(np.array(["x", "y"], dtype=object))
+    assert (a == b).all()
+
+
+def test_drift_stage_end_to_end(ray_session, sf_dir):
+    import ray
+    from data_linter_ray.stages.sketch_stage import (
+        cardinality_drift,
+        compute_sketches,
+        drift_check,
+        quantile_drift,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    base = compute_sketches(ds, ["value"], ["user_id", "event_type"])
+    assert "tdigest" in base["value"] and "hll" in base["user_id"]
+    # cardinality estimates close to truth
+    import duckdb
+
+    truth = duckdb.sql(
+        f"SELECT count(DISTINCT user_id), count(DISTINCT event_type) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert base["user_id"]["hll"].estimate() == pytest.approx(truth[0], rel=0.1)
+    assert base["event_type"]["hll"].estimate() == pytest.approx(truth[1], rel=0.1)
+
+    # same data vs itself → no drift
+    results = drift_check(ds, base, threshold=0.05)
+    assert all(r.valid for r in results), [(r.column, r.distance) for r in results]
+
+    # shifted data → quantile drift fires
+    import pyarrow.compute as pc
+
+    shifted = ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("value"),
+            "value",
+            pc.add(t["value"], 50.0),
+        ),
+        batch_format="pyarrow",
+    )
+    results = drift_check(shifted, {"value": base["value"]}, threshold=0.05)
+    assert any(not r.valid for r in results)
