@@ -314,8 +314,144 @@ def q_span_equality(sf_dir: str):
     return span_equality_violations(docs)
 
 
+def _docs(sf_dir: str, cols=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+
+def q_token_stats(sf_dir: str):
+    from data_linter_ray.functions import text as T
+
+    return T.with_token_counts(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_tokens_ws", "n_tokens_bpe"]
+    )
+
+
+def q_quality_stats(sf_dir: str):
+    from data_linter_ray.functions import text as T
+
+    return T.with_quality(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_chars_q", "n_punct", "n_digits", "n_stopwords"]
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    from data_linter_ray.functions import text as T
+
+    return T.with_fingerprint(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "fp_md5"]
+    )
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID (rows-only: not SQL-expressible)."""
+    from data_linter_ray.functions import text as T
+
+    return T.with_langid(_docs(sf_dir, ["doc_id", "lang", "text"])).select_columns(
+        ["doc_id", "lang", "lang_pred"]
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup survivors over documents ∪ shifted-id copy — survivor
+    per distinct text = min doc_id (hash-partitioned two-level reduce)."""
+    from data_linter_ray.functions import dedup as D
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id", pc.add(t["doc_id"], 1000000)
+        )
+
+    doubled = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+    return D.exact_dedup(doubled, "text", "doc_id")
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH candidates verified by exact n-gram Jaccard over the
+    near-dup corpus (docs ∪ one-token-appended copies). Rows-only."""
+    from data_linter_ray.functions import dedup as D
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 10_000),
+                "text": pc.binary_join_element_wise(
+                    t["text"], pa.array(["zzz"] * t.num_rows), " "
+                ),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
+    cand = D.minhash_lsh_candidates(corpus)
+    verified = D.verify_candidates_jaccard(corpus, cand, threshold=0.7)
+    return verified[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup pairs over the same corpus. Rows-only."""
+    from data_linter_ray.functions import dedup as D
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 10_000),
+                "text": pc.binary_join_element_wise(
+                    t["text"], pa.array(["zzz"] * t.num_rows), " "
+                ),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
+    return D.simhash_near_duplicates(corpus, max_hamming=3)
+
+
+def q_knn(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors 0..4."""
+    from data_linter_ray.functions import similarity as S
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return S.knn_brute_force(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    from data_linter_ray.functions import similarity as S
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return S.embedding_near_duplicates(ds, threshold=0.45)
+
+
+def q_events_summary(sf_dir: str):
+    """Grouped log-style aggregate (reference A5 analog): per event_type
+    count + min/max value (order-independent aggregates only)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "token_stats": q_token_stats,
+        "quality_stats": q_quality_stats,
+        "fingerprints": q_fingerprints,
+        "langid": q_langid,
+        "exact_dedup": q_exact_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "knn": q_knn,
+        "embedding_near_dups": q_embedding_near_dups,
+        "events_summary": q_events_summary,
         "minmax_violations": q_minmax_violations,
         "enum_violations": q_enum_violations,
         "pattern_violations": q_pattern_violations,
@@ -332,6 +468,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
     return {
+        "token_stats": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            r"len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws, "
+            r"len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe "
+            "FROM documents"
+        ),
+        "quality_stats": (
+            "SELECT doc_id, length(text) AS n_chars_q, "
+            r"len(regexp_extract_all(text, '[^\w\s]')) AS n_punct, "
+            r"len(regexp_extract_all(text, '[0-9]')) AS n_digits, "
+            r"len(regexp_extract_all(text, '\b(?:the|and|of|to|in|is|that|for|with|was)\b')) AS n_stopwords "
+            "FROM documents"
+        ),
+        "fingerprints": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "exact_dedup": (
+            "WITH doubled AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents) "
+            "SELECT min(doc_id) AS doc_id, text FROM doubled GROUP BY text"
+        ),
+        "knn": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "SELECT query_id, neighbor_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+            "WHERE rank <= 10"
+        ),
+        "embedding_near_dups": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a CROSS JOIN embeddings b "
+            "WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "events_summary": (
+            "SELECT event_type, count(*) AS n, min(value) AS min_value, "
+            "max(value) AS max_value FROM events GROUP BY event_type"
+        ),
         "minmax_violations": (
             "SELECT event_id, value FROM events "
             f"WHERE value < {VALUE_MIN} OR value > {VALUE_MAX}"

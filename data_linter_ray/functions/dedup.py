@@ -1,0 +1,373 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families (SURVEY-mandated additions for the 100 TB engine):
+
+  - **exact**: content-hash → two-level min-id survivor selection. The
+    per-batch combiner means only (hash, id, payload) of batch-local
+    survivors enter the shuffle.
+  - **MinHash + LSH**: token n-gram shingles → K-perm minhash signature →
+    banded bucketing → candidate pairs from same-bucket groups. Fully
+    vectorized per batch (flatten + segment-min, no per-row Python).
+  - **SimHash**: 64-bit sign-aggregated token hashes; near-dup candidates
+    by 16-bit chunk banding; hamming verification.
+  - **n-gram Jaccard**: exact verification of candidate pairs.
+  - **embedding cosine**: see functions/similarity.py.
+
+All shuffle stages are groupbys over *derived small keys* (hashes,
+bucket ids), never raw text, and every bucket is size-capped before the
+quadratic pair step — the explicit skew guard for degenerate buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from data_linter_ray.state.sketches import hash_array
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _local_survivors(text_col: str, id_col: str, extra_cols: list[str]):
+    def fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["_h"] = pd.util.hash_pandas_object(df[text_col], index=False).astype(
+            np.int64
+        )
+        df = df.sort_values(id_col, kind="stable").groupby("_h", as_index=False).first()
+        return pa.Table.from_pandas(
+            df[["_h", id_col] + [c for c in [text_col] + extra_cols]],
+            preserve_index=False,
+        )
+
+    return fn
+
+
+def exact_dedup(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", keep_cols: list[str] | None = None
+) -> Dataset:
+    """One survivor row (min id) per distinct content value."""
+    extra = [c for c in (keep_cols or []) if c not in (text_col, id_col)]
+    pruned = ds.select_columns(sorted({text_col, id_col, *extra}))
+    local = pruned.map_batches(
+        _local_survivors(text_col, id_col, extra), batch_format="pyarrow"
+    )
+
+    def pick_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="stable").head(1)
+
+    return (
+        local.groupby("_h")
+        .map_groups(pick_min, batch_format="pandas")
+        .drop_columns(["_h"])
+    )
+
+
+def exact_duplicate_groups(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """(content group) rows with n>1: the duplicate report."""
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t[text_col].to_pandas(), index=False
+        ).to_numpy(dtype=np.uint64)
+        return t.append_column("_h", pa.array(h.astype(np.int64)))
+
+    hashed = ds.select_columns([text_col, id_col]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+    agg = hashed.groupby("_h").aggregate(
+        Count(alias_name="n"), Min(id_col, alias_name="survivor_id")
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).drop_columns(["_h"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix(z: np.ndarray) -> np.ndarray:
+    z = (z + _MIX) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _token_hashes(text: pa.ChunkedArray | pa.Array):
+    """→ (flat token hashes uint64, parent row indices)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
+    )
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    h = hash_array(flat)
+    keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+    return h[keep], parents[keep]
+
+
+def _shingle_hashes(h: np.ndarray, parents: np.ndarray, n: int = 3):
+    """Combine n consecutive same-row token hashes into shingle hashes."""
+    if len(h) < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    valid = parents[: len(parents) - n + 1] == parents[n - 1 :]
+    g = np.zeros(len(h) - n + 1, dtype=np.uint64)
+    A = np.uint64(0x100000001B3)
+    for i in range(n):
+        g = (g * A + h[i : len(h) - n + 1 + i]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return _splitmix(g[valid]), parents[: len(parents) - n + 1][valid]
+
+
+_PERM_A = _splitmix(np.arange(1, 129, dtype=np.uint64) * np.uint64(0x9E3779B9)) | np.uint64(1)
+_PERM_B = _splitmix(np.arange(1001, 1129, dtype=np.uint64))
+
+
+def minhash_signatures(
+    text: pa.ChunkedArray | pa.Array, num_perm: int = 64, ngram: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (sig matrix [n_docs, num_perm] uint64, has_shingles bool[n_docs]).
+
+    Segment-min per permutation: num_perm vectorized passes, zero Python
+    per-row work.
+    """
+    n_docs = len(text)
+    th, tp = _token_hashes(text)
+    sh, sp = _shingle_hashes(th, tp, ngram)
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh):
+        for k in range(num_perm):
+            pk = (sh * _PERM_A[k] + _PERM_B[k]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            np.minimum.at(sig[:, k], sp, pk)
+    has = np.zeros(n_docs, dtype=bool)
+    if len(sp):
+        has[np.unique(sp)] = True
+    return sig, has
+
+
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """[n_docs, bands] int64 band bucket hashes."""
+    n, k = sig.shape
+    r = k // bands
+    out = np.zeros((n, bands), dtype=np.uint64)
+    A = np.uint64(0x100000001B3)
+    for b in range(bands):
+        g = np.zeros(n, dtype=np.uint64)
+        for i in range(b * r, (b + 1) * r):
+            g = (g * A + sig[:, i]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        out[:, b] = _splitmix(g)
+    return out.astype(np.int64)
+
+
+def minhash_lsh_candidates(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    max_bucket: int = 64,
+) -> Dataset:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded minhash.
+
+    Shuffle key = (band index, band hash); buckets larger than
+    ``max_bucket`` are truncated (size-capped skew guard) with the cap
+    logged in the output via the ``truncated`` flag.
+    """
+
+    def emit_buckets(t: pa.Table) -> pa.Table:
+        sig, has = minhash_signatures(t[text_col], num_perm, ngram)
+        bh = _band_hashes(sig, bands)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(has)
+        n, b = len(keep), bands
+        return pa.table(
+            {
+                "band": np.repeat(np.arange(b, dtype=np.int32), n),
+                "bucket": bh[keep].T.reshape(-1),
+                "id": np.tile(ids[keep], b),
+            }
+        )
+
+    buckets = ds.select_columns([id_col, text_col]).map_batches(
+        emit_buckets, batch_format="pyarrow"
+    )
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["id"].to_numpy())
+        truncated = len(ids) > max_bucket
+        ids = ids[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "truncated": []}).astype(
+                {"id_a": ids.dtype, "id_b": ids.dtype, "truncated": bool}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "truncated": truncated}
+        )
+
+    cand = buckets.groupby(["band", "bucket"]).map_groups(
+        pairs_of, batch_format="pandas"
+    )
+    # dedupe pairs discovered in multiple bands
+    from ray.data.aggregate import Max
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Max("truncated", alias_name="truncated")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """64-bit simhash per doc (sign of per-bit token-hash sums)."""
+    n_docs = len(text)
+    th, tp = _token_hashes(text)
+    acc = np.zeros((n_docs, 64), dtype=np.int32)
+    if len(th):
+        bits = (
+            np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            .astype(np.int32)
+        )  # [n_tokens, 64]
+        contrib = 2 * bits - 1
+        np.add.at(acc, tp, contrib)
+    sig = (acc > 0).astype(np.uint64)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    for b in range(64):
+        out |= sig[:, b] << np.uint64(b)
+    return out
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a ^ b).view(np.uint8).reshape(-1, 8)
+    return _POP8[x].sum(axis=1).astype(np.int64)
+
+
+def simhash_near_duplicates(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> Dataset:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidates via
+    4×16-bit chunk banding (any pair within distance 3 shares a chunk)."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        sig = simhash_signatures(t[text_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        chunks = [
+            ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            for c in range(4)
+        ]
+        return pa.table(
+            {
+                "chunk": np.repeat(np.arange(4, dtype=np.int32), len(ids)),
+                "key": np.concatenate(chunks),
+                "id": np.tile(ids, 4),
+                "sig": np.tile(sig.astype(np.int64), 4),
+            }
+        )
+
+    buckets = ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow"
+    )
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("id").head(max_bucket)
+        ids = g["id"].to_numpy()
+        sigs = g["sig"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": ids.dtype, "id_b": ids.dtype, "hamming": np.int64}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = hamming64(sigs[ia], sigs[ib])
+        ok = d <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[ia][ok], "id_b": ids[ib][ok], "hamming": d[ok]}
+        )
+
+    cand = buckets.groupby(["chunk", "key"]).map_groups(pairs_of, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact token n-gram Jaccard for one pair (verification of LSH
+    candidates; pairs are few, so per-pair Python is fine here)."""
+    import re
+
+    def grams(s: str) -> set:
+        toks = [t for t in re.split(r"\W+", s.lower().strip()) if t]
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / len(ga | gb)
+
+
+def verify_candidates_jaccard(
+    ds: Dataset,
+    candidates: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    ngram: int = 3,
+):
+    """Join candidate pair ids back to texts (broadcast id→text lookup of
+    only the docs that appear in candidates) and verify exact Jaccard.
+
+    Returns a pandas DataFrame (id_a, id_b, jaccard) for pairs ≥ threshold
+    — candidate sets are assumed small relative to the corpus.
+    """
+    import ray
+
+    pairs = candidates.to_pandas()
+    if pairs.empty:
+        return pairs.assign(jaccard=[])
+    needed = np.union1d(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
+    needed_ref = ray.put(pa.array(needed))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        keys = ray.get(needed_ref) if isinstance(needed_ref, ray.ObjectRef) else needed_ref
+        mask = pc.is_in(t[id_col], value_set=keys)
+        return t.filter(mask)
+
+    texts = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(lookup, batch_format="pyarrow")
+        .to_pandas()
+        .set_index(id_col)[text_col]
+        .to_dict()
+    )
+    jac = [
+        ngram_jaccard(texts.get(a, ""), texts.get(b, ""), ngram)
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+    ]
+    pairs = pairs.assign(jaccard=jac)
+    return pairs[pairs["jaccard"] >= threshold].reset_index(drop=True)

@@ -1,0 +1,200 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- **Brute-force cosine top-k** (baseline): the query matrix is broadcast
+  once via ``ray.put``; each batch does one numpy matmul against it and
+  emits per-batch local top-k, merged by a small per-query groupby. The
+  full corpus is never collected.
+- **Embedding near-duplicate pairs**: all-pairs via broadcast of the
+  (normalized) corpus matrix — the documented single-node-feasible
+  baseline; the **IVF variant** below is the scale path: k-means-lite
+  centroids → per-batch cluster assignment → candidate search restricted
+  to same-cluster buckets (a groupby, not a broadcast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+import ray
+
+
+def _stack(col) -> np.ndarray:
+    """list<float> arrow column → [n, d] float64 matrix (zero-copy flatten)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_brute_force(
+    ds: Dataset,
+    query_ids: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Top-k cosine neighbours for the given query ids.
+
+    Returns (query_id, neighbor_id, rank) — rank 1-based by descending
+    similarity, ties broken by ascending neighbor id (deterministic).
+    """
+    import pyarrow.compute as pc
+
+    qset = pa.array(query_ids)
+    q_tbl = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=qset)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    q_ids = q_tbl[id_col].to_numpy()
+    Q = _normalize(np.stack(q_tbl[emb_col].to_numpy()).astype(np.float64))
+    q_ref = ray.put((q_ids, Q))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        M = _normalize(_stack(t[emb_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        S = qm @ M.T  # [n_q, n_batch]
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        kk = min(k, S.shape[1])
+        for row, qid in enumerate(qi):
+            s = S[row]
+            if exclude_self:
+                s = np.where(ids == qid, -np.inf, s)
+            top = np.argpartition(-s, kk - 1)[:kk]
+            rows["query_id"].extend([qid] * len(top))
+            rows["neighbor_id"].extend(ids[top])
+            rows["sim"].extend(s[top])
+        return pa.table(rows)
+
+    local = ds.select_columns([id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def embedding_near_duplicates(
+    ds: Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """All pairs (id_a < id_b) with cosine ≥ threshold. Broadcast baseline:
+    corpus matrix shipped once to the object store; per-batch matmul."""
+    full = ds.select_columns([id_col, emb_col]).to_pandas()
+    ids_all = full[id_col].to_numpy()
+    M_all = _normalize(np.stack(full[emb_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, M_all))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ia, MA = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        M = _normalize(_stack(t[emb_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        S = M @ MA.T
+        r, c = np.nonzero(S >= threshold)
+        keep = ids[r] < ia[c]
+        return pa.table({"id_a": ids[r][keep], "id_b": ia[c][keep]})
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
+def kmeans_lite(
+    ds: Dataset,
+    n_clusters: int = 16,
+    iters: int = 5,
+    sample_n: int = 10_000,
+    emb_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side k-means on a bounded sample → [n_clusters, d] centroids.
+    (Training on a sample is the standard IVF recipe; assignment stays
+    distributed.)"""
+    n = ds.count()
+    frac = min(1.0, sample_n / max(n, 1))
+    sample = ds.select_columns([emb_col]).random_sample(frac, seed=seed).to_pandas()
+    X = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_near_duplicates(
+    ds: Dataset,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bucket: int = 4096,
+) -> Dataset:
+    """Scale path: bucket vectors by nearest centroid (groupby, no corpus
+    broadcast), then all-pairs within each bucket. Misses cross-cluster
+    pairs near boundaries — the standard IVF recall trade-off; raise
+    n_probe by duplicating rows into their top-2 clusters."""
+    C = kmeans_lite(ds, n_clusters=n_clusters, emb_col=emb_col)
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        M = _normalize(_stack(t[emb_col]))
+        S = M @ cm.T
+        top2 = np.argsort(-S, axis=1)[:, :2]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        emb = t[emb_col].combine_chunks()
+        out = pa.table(
+            {
+                "cluster": np.concatenate([top2[:, 0], top2[:, 1]]).astype(np.int32),
+                id_col: np.tile(ids, 2),
+                emb_col: pa.concat_arrays([emb, emb]),
+            }
+        )
+        return out
+
+    assigned = ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        M = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+        S = M @ M.T
+        r, c = np.nonzero(S >= threshold)
+        keep = ids[r] < ids[c]
+        return pd.DataFrame({"id_a": ids[r][keep], "id_b": ids[c][keep]})
+
+    pairs = assigned.groupby("cluster").map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    # a pair can surface from both probe clusters — dedupe
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])

@@ -1,0 +1,195 @@
+"""Training-data operators: text analysis, dedup families, similarity."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray
+from data_linter_ray.functions import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session, sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_counts_vs_duckdb(docs, sf_dir):
+    import duckdb
+
+    got = (
+        text.with_token_counts(docs)
+        .select_columns(["doc_id", "n_tokens_ws", "n_tokens_bpe"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        r"len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws, "
+        r"len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert (got["n_tokens_ws"].to_numpy() == exp["n_tokens_ws"].to_numpy()).all()
+    assert (got["n_tokens_bpe"].to_numpy() == exp["n_tokens_bpe"].to_numpy()).all()
+
+
+def test_quality_vs_duckdb(docs, sf_dir):
+    import duckdb
+
+    got = (
+        text.with_quality(docs)
+        .select_columns(["doc_id", "n_chars_q", "n_punct", "n_stopwords"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        r"SELECT doc_id, length(text) AS n_chars_q, "
+        r"len(regexp_extract_all(text, '[^\w\s]')) AS n_punct, "
+        r"len(regexp_extract_all(text, '\b(?:the|and|of|to|in|is|that|for|with|was)\b')) AS n_stopwords "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    for c in ["n_chars_q", "n_punct", "n_stopwords"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_langid_smoke(docs):
+    out = text.with_langid(docs).select_columns(["lang", "lang_pred"]).to_pandas()
+    # the synthetic corpus is word salad; just require the operator to be
+    # deterministic, total, and emit only known labels
+    assert set(out["lang_pred"]) <= set(text.LANG_STOPWORDS) | {"und"}
+    assert len(out) == docs.count()
+
+
+def test_fingerprint_md5(docs, sf_dir):
+    import duckdb
+
+    got = (
+        text.with_fingerprint(docs)
+        .select_columns(["doc_id", "fp_md5"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"SELECT doc_id, md5(text) AS fp_md5 FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert (got["fp_md5"] == exp["fp_md5"]).all()
+
+
+def test_exact_dedup(ray_session, docs):
+    # duplicate the corpus with shifted ids: survivors = original ids
+    n = docs.count()
+
+    def shift(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(t["doc_id"], 1_000_000),
+        )
+
+    doubled = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+    survivors = dedup.exact_dedup(doubled, "text", "doc_id").to_pandas()
+    assert len(survivors) == n
+    assert (survivors["doc_id"] < 1_000_000).all()
+
+    groups = dedup.exact_duplicate_groups(doubled, "text", "doc_id").to_pandas()
+    assert len(groups) == n
+    assert (groups["n"] == 2).all()
+
+
+def _mutated_corpus(ray_session, sf_dir, n_rows=200):
+    """docs ∪ near-dup copies (one token appended) with ids +10_000."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet").limit(n_rows)
+
+    def mutate(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 10_000),
+                "text": pc.binary_join_element_wise(
+                    t["text"], pa.array(["zzz"] * t.num_rows), " "
+                ),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).union(
+        ds.select_columns(["doc_id", "text"]).map_batches(mutate, batch_format="pyarrow")
+    )
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, sf_dir):
+    corpus = _mutated_corpus(ray_session, sf_dir)
+    cand = dedup.minhash_lsh_candidates(corpus).to_pandas()
+    # every (i, i+10k) mutated pair should be a candidate
+    mut = cand[cand["id_b"] - cand["id_a"] == 10_000]
+    assert len(mut) >= 0.9 * 200
+    verified = dedup.verify_candidates_jaccard(
+        corpus, ray.data.from_pandas(cand[["id_a", "id_b"]]), threshold=0.7
+    )
+    v = verified[verified["id_b"] - verified["id_a"] == 10_000]
+    assert len(v) >= 0.9 * 200
+    assert (verified["jaccard"] >= 0.7).all()
+
+
+def test_simhash_near_dups(ray_session, sf_dir):
+    corpus = _mutated_corpus(ray_session, sf_dir)
+    pairs = dedup.simhash_near_duplicates(corpus, max_hamming=3).to_pandas()
+    mut = pairs[pairs["id_b"] - pairs["id_a"] == 10_000]
+    assert len(mut) >= 0.5 * 200  # simhash is coarser than minhash
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_minhash_signature_determinism():
+    a = pa.array(["the quick brown fox jumps over the lazy dog"] * 2 + ["other words here entirely"])
+    s1, h1 = dedup.minhash_signatures(a)
+    s2, h2 = dedup.minhash_signatures(a)
+    assert (s1 == s2).all() and (h1 == h2).all()
+    assert (s1[0] == s1[1]).all()  # identical docs → identical signatures
+    assert (s1[0] != s1[2]).any()
+
+
+def test_knn_vs_numpy(ray_session, sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    full = ds.to_pandas()
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = full["vec_id"].to_numpy()
+    out = (
+        similarity.knn_brute_force(ds, query_ids=[0, 1, 2], k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    for q in [0, 1, 2]:
+        qi = np.flatnonzero(ids == q)[0]
+        s = M[qi] @ M.T
+        s[qi] = -np.inf
+        order = np.lexsort((ids, -s))[:5]
+        exp = ids[order].tolist()
+        got = out[out["query_id"] == q]["neighbor_id"].tolist()
+        assert got == exp, (q, got, exp)
+
+
+def test_embedding_near_duplicates(ray_session, sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = similarity.embedding_near_duplicates(ds, threshold=0.45).to_pandas()
+    full = ds.to_pandas()
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ids = full["vec_id"].to_numpy()
+    r, c = np.nonzero(S >= 0.45)
+    exp = {(ids[i], ids[j]) for i, j in zip(r, c) if ids[i] < ids[j]}
+    assert set(zip(got["id_a"], got["id_b"])) == exp
+    assert len(exp) > 0
+
+
+def test_ivf_near_duplicates_recall(ray_session, sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    exact = similarity.embedding_near_duplicates(ds, threshold=0.4).to_pandas()
+    ivf = similarity.ivf_near_duplicates(ds, threshold=0.4, n_clusters=8).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    ivf_pairs = set(zip(ivf["id_a"], ivf["id_b"]))
+    assert ivf_pairs <= exact_pairs  # no false positives
+    if exact_pairs:
+        assert len(ivf_pairs) / len(exact_pairs) >= 0.5  # 2-probe recall
