@@ -1,0 +1,164 @@
+"""Reader registry: parquet / CSV / JSONL (+ Lance when available).
+
+Reference semantics re-created (NOT ported):
+  - CSV ``expect-header`` false → column names come from the table schema
+    (``/root/reference/data_linter/validators/pandas_validator.py:417-425``)
+  - ``pandas-kwargs`` NA handling (``keep_default_na``, ``na_values``) →
+    Arrow CSV ``ConvertOptions`` null_values
+    (exercised by reference ``tests/test_end_to_end_run.py:484-505``)
+  - BOM/odd-char strip from header names (``pandas_validator.py:427``)
+  - ``headers-ignore-case`` lowercases data columns
+    (``pandas_validator.py:430-434``)
+  - CSV/JSONL are cast to the schema's arrow types before checks
+    (``pandas_validator.py:480-481``); parquet is read as-encoded
+    (``parquet_validator.py:49-53``).
+
+Casting happens inside a ``map_batches`` stage — distributed, per-batch,
+zero driver involvement. A cast failure raises ``CastError`` which
+``run_validation`` records as a table-level ``parse_data`` failure, the
+reference's ``parse_data_to_pandas`` behavior (``pandas_validator.py:65-75``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+from ray.data import Dataset
+
+from data_linter_ray.metadata import TableSchema
+
+# pandas default NA strings (public pandas docs) — used when
+# keep_default_na is true (the default), matching arrow_pd_parser reads
+PANDAS_DEFAULT_NA = [
+    "",
+    "#N/A",
+    "#N/A N/A",
+    "#NA",
+    "-1.#IND",
+    "-1.#QNAN",
+    "-NaN",
+    "-nan",
+    "1.#IND",
+    "1.#QNAN",
+    "<NA>",
+    "N/A",
+    "NA",
+    "NULL",
+    "NaN",
+    "None",
+    "n/a",
+    "nan",
+    "null",
+]
+
+
+class CastError(Exception):
+    pass
+
+
+def _strip_odd_chars(name: str) -> str:
+    return name.replace("﻿", "").replace("ï»¿", "")
+
+
+def normalize_columns(ds: Dataset, ignore_case: bool = False) -> Dataset:
+    names = ds.schema().names
+    fixed = [_strip_odd_chars(n) for n in names]
+    if ignore_case:
+        fixed = [n.lower() for n in fixed]
+    if fixed != names:
+        ds = ds.map_batches(
+            lambda t, _new=fixed: t.rename_columns(_new), batch_format="pyarrow"
+        )
+    return ds
+
+
+def cast_to_schema(ds: Dataset, schema: TableSchema) -> Dataset:
+    """Cast the overlap columns to the schema's arrow types (CSV/JSONL
+    ingest normalizer). Failures surface as CastError on execution."""
+    targets = {c.name: c.arrow_type for c in schema.columns}
+
+    def cast(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for name in t.column_names:
+            col = t[name]
+            if name in targets and col.type != targets[name]:
+                try:
+                    col = col.cast(targets[name])
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                    raise CastError(f"column {name}: {e}") from e
+            arrays.append(col)
+            names.append(name)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def _csv_options(table_params: dict, schema: TableSchema):
+    expect_header = table_params.get("expect-header", True)
+    pk = table_params.get("pandas-kwargs", {}) or {}
+    na_values = list(pk.get("na_values", []))
+    if pk.get("keep_default_na", True):
+        na_values = PANDAS_DEFAULT_NA + na_values
+    elif not na_values:
+        na_values = []
+    read_opts = pacsv.ReadOptions(
+        column_names=None if expect_header else schema.column_names
+    )
+    convert_opts = pacsv.ConvertOptions(
+        null_values=na_values, strings_can_be_null=True, quoted_strings_can_be_null=False
+    )
+    return read_opts, convert_opts
+
+
+def read_table_dataset(
+    path: str | list[str],
+    schema: TableSchema,
+    table_params: Optional[dict] = None,
+    file_format: Optional[str] = None,
+) -> Dataset:
+    """Read one table's file(s) into a Dataset, applying the format's
+    ingest normalization. ``file_format`` defaults from the path suffix."""
+    import ray.data
+
+    table_params = table_params or {}
+    p0 = path if isinstance(path, str) else path[0]
+    fmt = file_format or (
+        "csv"
+        if p0.endswith(".csv")
+        else "jsonl"
+        if p0.endswith((".jsonl", ".json"))
+        else "lance"
+        if p0.endswith(".lance")
+        else "parquet"
+    )
+
+    if fmt == "parquet":
+        ds = ray.data.read_parquet(path)
+    elif fmt == "lance":
+        try:
+            ds = ray.data.read_lance(p0)  # requires lance in the env
+        except (ImportError, AttributeError) as e:  # pragma: no cover
+            raise ImportError(
+                "lance reader requested but lance is not installed"
+            ) from e
+    elif fmt == "csv":
+        read_opts, convert_opts = _csv_options(table_params, schema)
+        ds = ray.data.read_csv(
+            path, read_options=read_opts, convert_options=convert_opts
+        )
+    elif fmt == "jsonl":
+        ds = ray.data.read_json(path)
+    else:
+        raise ValueError(f"unsupported file format: {fmt}")
+
+    ds = normalize_columns(ds, table_params.get("headers-ignore-case", False))
+    if fmt in ("csv", "jsonl"):
+        use_schema = (
+            schema.lowercase_names()
+            if table_params.get("headers-ignore-case", False)
+            else schema
+        )
+        ds = cast_to_schema(ds, use_schema)
+    return ds
