@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from data_linter_ray.state.sketches import hash_array
+from data_linter_ray.stages.uniqueness import SHUFFLE_PARTITIONS
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -56,7 +57,7 @@ def exact_dedup(
     pruned = ds.select_columns(sorted({text_col, id_col, *extra}))
     local = pruned.map_batches(
         _local_survivors(text_col, id_col, extra), batch_format="pyarrow"
-    )
+    ).repartition(SHUFFLE_PARTITIONS).materialize()
 
     def pick_min(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col, kind="stable").head(1)
@@ -80,13 +81,94 @@ def exact_duplicate_groups(ds: Dataset, text_col: str = "text", id_col: str = "d
 
     hashed = ds.select_columns([text_col, id_col]).map_batches(
         add_hash, batch_format="pyarrow"
-    )
+    ).repartition(SHUFFLE_PARTITIONS)
     agg = hashed.groupby("_h").aggregate(
         Count(alias_name="n"), Min(id_col, alias_name="survivor_id")
     )
     return agg.map_batches(
         lambda t: t.filter(pc.greater(t["n"], 1)).drop_columns(["_h"]),
         batch_format="pyarrow",
+    )
+
+
+def _bucketed_pairs(
+    buckets: Dataset,
+    key_cols: list[str],
+    max_bucket: int,
+    pair_fn,
+) -> Dataset:
+    """Generate within-bucket pairs WITHOUT one Ray group per bucket.
+
+    Buckets are coarsely partitioned by a hash of the bucket key
+    (``groupby`` with one group per distinct (band,bucket) key means one
+    Python map_groups call per group — pathological with 100k+ mostly-
+    singleton buckets). Inside each coarse partition, rows are sorted by
+    the composite key and pairs are generated only for the few buckets
+    with ≥2 members.
+
+    ``pair_fn(sub: pd.DataFrame) -> pd.DataFrame`` builds pairs for ONE
+    real bucket (already capped to ``max_bucket`` rows).
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        h = np.zeros(len(df), dtype=np.uint64)
+        for c in key_cols:
+            h ^= _splitmix(
+                pd.util.hash_pandas_object(df[c], index=False).to_numpy(np.uint64)
+            )
+        df["_part"] = (h % SHUFFLE_PARTITIONS).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + ["id"], kind="stable")
+        sizes = g.groupby(key_cols, sort=False).size().to_numpy()
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        outs = []
+        for s, n in zip(starts, sizes):
+            if n < 2:
+                continue
+            outs.append(pair_fn(g.iloc[s : s + min(n, max_bucket)], n > max_bucket))
+        if not outs:
+            return pair_fn(g.iloc[0:0], False)
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        buckets.map_batches(add_part, batch_format="pyarrow")
+        .repartition(SHUFFLE_PARTITIONS)
+        .materialize()  # fast-path the Sort behind groupby (see uniqueness.py)
+        .groupby("_part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
+
+
+def _dedupe_pairs(cand: Dataset, agg: dict) -> Dataset:
+    """Dedupe (id_a, id_b) pairs found via multiple buckets: per-batch
+    local dedupe, then a bucketed exchange keyed on a pair hash (same
+    two-level pattern as the uniqueness check)."""
+
+    cols = list(agg)
+
+    def local(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df.groupby(["id_a", "id_b"], as_index=False).agg(agg)
+        h = (
+            pd.util.hash_pandas_object(df["id_a"], index=False).to_numpy(np.uint64)
+            ^ pd.util.hash_pandas_object(df["id_b"], index=False).to_numpy(np.uint64)
+        )
+        df["_bucket"] = (h % SHUFFLE_PARTITIONS).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b"], as_index=False).agg(agg)
+
+    return (
+        cand.map_batches(local, batch_format="pyarrow")
+        .repartition(SHUFFLE_PARTITIONS)
+        .materialize()
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+        .select_columns(["id_a", "id_b"] + cols)
     )
 
 
@@ -204,28 +286,21 @@ def minhash_lsh_candidates(
         emit_buckets, batch_format="pyarrow"
     )
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["id"].to_numpy())
-        truncated = len(ids) > max_bucket
-        ids = ids[:max_bucket]
+    def pair_fn(sub: pd.DataFrame, truncated: bool) -> pd.DataFrame:
+        ids = sub["id"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "truncated": []}).astype(
-                {"id_a": ids.dtype, "id_b": ids.dtype, "truncated": bool}
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "truncated": pd.Series([], dtype=bool),
+                }
             )
         ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib], "truncated": truncated}
-        )
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "truncated": truncated})
 
-    cand = buckets.groupby(["band", "bucket"]).map_groups(
-        pairs_of, batch_format="pandas"
-    )
-    # dedupe pairs discovered in multiple bands
-    from ray.data.aggregate import Max
-
-    return cand.groupby(["id_a", "id_b"]).aggregate(
-        Max("truncated", alias_name="truncated")
-    )
+    cand = _bucketed_pairs(buckets, ["band", "bucket"], max_bucket, pair_fn)
+    return _dedupe_pairs(cand, agg={"truncated": "max"})
 
 
 # ---------------------------------------------------------------------------
@@ -290,25 +365,24 @@ def simhash_near_duplicates(
         emit, batch_format="pyarrow"
     )
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("id").head(max_bucket)
-        ids = g["id"].to_numpy()
-        sigs = g["sig"].to_numpy().astype(np.uint64)
+    def pair_fn(sub: pd.DataFrame, truncated: bool) -> pd.DataFrame:
+        ids = sub["id"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
-                {"id_a": ids.dtype, "id_b": ids.dtype, "hamming": np.int64}
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
             )
+        sigs = sub["sig"].to_numpy().astype(np.uint64)
         ia, ib = np.triu_indices(len(ids), k=1)
         d = hamming64(sigs[ia], sigs[ib])
         ok = d <= max_hamming
-        return pd.DataFrame(
-            {"id_a": ids[ia][ok], "id_b": ids[ib][ok], "hamming": d[ok]}
-        )
+        return pd.DataFrame({"id_a": ids[ia][ok], "id_b": ids[ib][ok], "hamming": d[ok]})
 
-    cand = buckets.groupby(["chunk", "key"]).map_groups(pairs_of, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    cand = _bucketed_pairs(buckets, ["chunk", "key"], max_bucket, pair_fn)
+    return _dedupe_pairs(cand, agg={"hamming": "min"})
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,6 @@ from typing import Optional
 
 import pyarrow as pa
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 from data_linter_ray import checks
 from data_linter_ray.metadata import TableSchema
@@ -34,8 +33,298 @@ from data_linter_ray.stages.checker import (
     ColumnAlignmentError,
     compile_plan,
 )
-from data_linter_ray.stages.referential import referential_violations
-from data_linter_ray.stages.uniqueness import uniqueness_violations
+# internal single-pass stream: violation rows (kind 0), per-batch count
+# partials (kind 1), uniqueness pre-aggregates (kind 2) — one schema so a
+# single map_batches pass can emit all three and be materialized once
+INTERNAL_SCHEMA = pa.schema(
+    [
+        ("row_ref", pa.string()),
+        ("column", pa.string()),
+        ("test", pa.string()),
+        ("value", pa.string()),
+        ("n", pa.int64()),
+        ("h", pa.int64()),  # 64-bit key hash (uniqueness pre-agg rows only)
+        ("kind", pa.int8()),
+    ]
+)
+ROWS_KEY = "__rows__"
+
+
+class _FusedChecker:
+    """Single-pass emitter: all per-batch checks + count partials +
+    uniqueness pre-aggregates."""
+
+    def __init__(self, checkers: list, unique_cols: list[str]):
+        self.checkers = checkers
+        self.unique_cols = unique_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from data_linter_ray.stages.checker import _stringify
+
+        parts: list[pa.Table] = []
+        count_cols: list[str] = [ROWS_KEY]
+        count_tests: list[str] = [ROWS_KEY]
+        count_ns: list[int] = [batch.num_rows]
+
+        for checker in self.checkers:
+            viol = checker(batch)
+            if viol.num_rows:
+                parts.append(
+                    pa.Table.from_arrays(
+                        [
+                            viol["row_ref"],
+                            viol["column"],
+                            viol["test"],
+                            viol["value"],
+                            pa.nulls(viol.num_rows, pa.int64()),
+                            pa.nulls(viol.num_rows, pa.int64()),
+                            pa.array([0] * viol.num_rows, pa.int8()),
+                        ],
+                        schema=INTERNAL_SCHEMA,
+                    )
+                )
+                agg = viol.group_by(["column", "test"]).aggregate([([], "count_all")])
+                count_cols.extend(agg["column"].to_pylist())
+                count_tests.extend(agg["test"].to_pylist())
+                count_ns.extend(agg["count_all"].to_pylist())
+
+        n = len(count_cols)
+        parts.append(
+            pa.Table.from_arrays(
+                [
+                    pa.nulls(n, pa.string()),
+                    pa.array(count_cols, pa.string()),
+                    pa.array(count_tests, pa.string()),
+                    pa.nulls(n, pa.string()),
+                    pa.array(count_ns, pa.int64()),
+                    pa.nulls(n, pa.int64()),
+                    pa.array([1] * n, pa.int8()),
+                ],
+                schema=INTERNAL_SCHEMA,
+            )
+        )
+
+        for col in self.unique_cols:
+            import numpy as np
+            import pandas as pd
+
+            vc = batch[col].combine_chunks().value_counts()
+            k = len(vc)
+            h = pd.util.hash_pandas_object(
+                vc.field("values").to_pandas(), index=False
+            ).to_numpy(np.uint64)
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        pa.nulls(k, pa.string()),
+                        pa.array([col] * k, pa.string()),
+                        pa.array(["__preagg__"] * k, pa.string()),
+                        _stringify(vc.field("values")),
+                        pc.cast(vc.field("counts"), pa.int64()),
+                        pa.array(h.astype(np.int64)),
+                        pa.array([2] * k, pa.int8()),
+                    ],
+                    schema=INTERNAL_SCHEMA,
+                )
+            )
+        return pa.concat_tables(parts)
+
+
+def _keep_violations(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    sub = t.filter(pc.equal(t["kind"], 0))
+    return sub.select(["row_ref", "column", "test", "value"])
+
+
+def _fold_count_partials(mat: Dataset) -> tuple[dict, int]:
+    """Driver-side fold of the (tiny) kind-1 count rows."""
+    import pyarrow.compute as pc
+
+    def only_counts(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["kind"], 1)).select(["column", "test", "n"])
+
+    counts: dict[tuple[str, str], int] = {}
+    row_count = 0
+    for row in mat.map_batches(only_counts, batch_format="pyarrow").take_all():
+        key = (row["column"], row["test"])
+        if key == (ROWS_KEY, ROWS_KEY):
+            row_count += row["n"]
+        else:
+            counts[key] = counts.get(key, 0) + row["n"]
+    return counts, row_count
+
+
+def _split_preagg_block(num_parts: int, unique_cols: list[str], *blocks):
+    """Ray task: hash-partition a group of blocks' pre-agg rows into
+    num_parts (col_code, h, n) int matrices — the map side of the manual
+    exchange — AND fold the blocks' kind-1 count partials (piggybacked
+    here so the verdict-count fold costs no extra pass over the stream).
+    Takes blocks as *args (so Ray dereferences the refs) to keep task/ref
+    count bounded. Returns num_parts matrices + one counts dict."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    block = pa.concat_tables(blocks) if len(blocks) > 1 else blocks[0]
+
+    counts_tbl = block.filter(pc.equal(block["kind"], 1))
+    counts: dict[tuple[str, str], int] = {}
+    for c, t, n_ in zip(
+        counts_tbl["column"].to_pylist(),
+        counts_tbl["test"].to_pylist(),
+        counts_tbl["n"].to_pylist(),
+    ):
+        counts[(c, t)] = counts.get((c, t), 0) + n_
+
+    sub = block.filter(pc.equal(block["kind"], 2))
+    h = sub["h"].to_numpy(zero_copy_only=False)
+    n = sub["n"].to_numpy(zero_copy_only=False)
+    col_code = np.zeros(len(h), dtype=np.int64)
+    if len(unique_cols) > 1:
+        cols = sub["column"].to_pandas()
+        for i, c in enumerate(unique_cols):
+            col_code[(cols == c).to_numpy()] = i
+    bucket = (h.astype(np.uint64) % np.uint64(num_parts)).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    hb, nb, cb, bb = h[order], n[order], col_code[order], bucket[order]
+    bounds = np.searchsorted(bb, np.arange(num_parts + 1))
+    return tuple(
+        np.stack([cb[bounds[i] : bounds[i + 1]], hb[bounds[i] : bounds[i + 1]], nb[bounds[i] : bounds[i + 1]]])
+        for i in range(num_parts)
+    ) + (counts,)
+
+
+def _detect_bucket(*parts):
+    """Ray task: reduce side — sum counts per (col_code, h); keep n>1."""
+    import numpy as np
+
+    nonempty = [p for p in parts if p.size]
+    if not nonempty:
+        return np.zeros((3, 0), dtype=np.int64)
+    m = np.concatenate(nonempty, axis=1)
+    code, h, n = m[0], m[1], m[2]
+    order = np.lexsort((h, code))
+    code, h, n = code[order], h[order], n[order]
+    boundary = np.empty(len(h), dtype=bool)
+    boundary[0] = True
+    boundary[1:] = (h[1:] != h[:-1]) | (code[1:] != code[:-1])
+    idx = np.flatnonzero(boundary)
+    sums = np.add.reduceat(n, idx)
+    dup = sums > 1
+    return np.stack([code[idx][dup], h[idx][dup], sums[dup]])
+
+
+def _report_block(block: pa.Table, dup_h):
+    """Ray task: recover key strings for duplicated hashes from one block."""
+    import pyarrow.compute as pc
+
+    sub = block.filter(
+        pc.and_(
+            pc.equal(block["kind"], 2),
+            pc.fill_null(pc.is_in(block["h"], value_set=dup_h), False),
+        )
+    )
+    return sub.select(["column", "value", "h"])
+
+
+def _finalize_unique_violations(dup_n: dict, *hit_tables):
+    """Ray task: dedupe hits per (column, h) → violation rows table."""
+    import pyarrow as pa
+
+    tbl = pa.concat_tables([t for t in hit_tables if t.num_rows])
+    if tbl.num_rows == 0:
+        return VIOLATION_SCHEMA.empty_table()
+    df = tbl.to_pandas().drop_duplicates(subset=["column", "h"])
+    ns = [dup_n.get((c, h), 0) for c, h in zip(df["column"], df["h"])]
+    return pa.table(
+        {
+            "row_ref": pa.array(df["value"], pa.string()),
+            "column": pa.array(df["column"], pa.string()),
+            "test": pa.array([checks.UNIQUE_TEST] * len(df), pa.string()),
+            "value": pa.array([str(x) for x in ns], pa.string()),
+        }
+    ).cast(VIOLATION_SCHEMA)
+
+
+def _uniqueness_from_preagg(
+    mat: Dataset, unique_cols: list[str]
+) -> tuple[Dataset, dict]:
+    """Global duplicate detection over the kind-2 pre-aggregates, as a
+    MANUAL hash exchange with raw Ray tasks.
+
+    Rationale (measured, Ray 2.49 local): Ray Data's sort-based
+    ``groupby().map_groups`` costs ~1ms per *output group row* here —
+    40k duplicate keys pushed the exchange to 40-50s, while this manual
+    split/reduce runs in ~1.5s. All tasks are pure functions of their
+    inputs, so Ray's lineage-based retry semantics still hold
+    (SURVEY.md §2 "raw Ray tasks only where the Dataset API can't
+    express the semantics" — here it can't express it *efficiently*).
+
+    Exchange payload is (col_code, h, n) int64 triples — never key
+    strings; key strings for the duplicate report are recovered from the
+    already-materialized stream by a broadcast filter pass. 64-bit key
+    hashing: collision probability stays negligible below ~10^9 distinct
+    keys per column; swap in a 128-bit hash beyond that.
+
+    Returns (violation rows Dataset, {(col, unique_test): n})."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from data_linter_ray.stages.uniqueness import SHUFFLE_PARTITIONS
+
+    P = SHUFFLE_PARTITIONS
+    split_task = ray.remote(_split_preagg_block)
+    detect_task = ray.remote(_detect_bucket)
+    report_task = ray.remote(_report_block)
+    finalize_task = ray.remote(_finalize_unique_violations)
+
+    block_refs = [
+        r for bundle in mat.iter_internal_ref_bundles() for r in bundle.block_refs
+    ]
+    # group blocks so split-task (and returned-ref) count stays ~2×P
+    group = max(1, len(block_refs) // (2 * P))
+    block_groups = [
+        block_refs[i : i + group] for i in range(0, len(block_refs), group)
+    ]
+    per_block = [
+        split_task.options(num_returns=P + 1).remote(P, unique_cols, *g)
+        for g in block_groups
+    ]
+    detect_refs = [
+        detect_task.remote(*[pb[p] for pb in per_block]) for p in range(P)
+    ]
+    # fold the piggybacked count partials (last return of each split task)
+    fold_counts: dict[tuple[str, str], int] = {}
+    for d in ray.get([pb[P] for pb in per_block]):
+        for k, v in d.items():
+            fold_counts[k] = fold_counts.get(k, 0) + v
+    dup_parts = ray.get(detect_refs)
+
+    row_count = fold_counts.pop((ROWS_KEY, ROWS_KEY), 0)
+
+    counts: dict[tuple[str, str], int] = {}
+    dup_n: dict[tuple[str, int], int] = {}
+    for m in dup_parts:
+        for code, h, n in m.T:
+            col = unique_cols[int(code)]
+            dup_n[(col, int(h))] = int(n)
+            key = (col, checks.UNIQUE_TEST)
+            counts[key] = counts.get(key, 0) + 1
+    if not dup_n:
+        return (
+            rd.from_arrow(VIOLATION_SCHEMA.empty_table()),
+            counts,
+            fold_counts,
+            row_count,
+        )
+
+    dup_h = pa.array(np.array([h for (_, h) in dup_n], dtype=np.int64))
+    hit_refs = [report_task.remote(b, dup_h) for b in block_refs]
+    final_ref = finalize_task.remote(dup_n, *hit_refs)
+    return rd.from_arrow_refs([final_ref]), counts, fold_counts, row_count
 
 
 @dataclass
@@ -49,14 +338,11 @@ class TableValidationResult:
     def valid(self) -> bool:
         return self.response.valid
 
-
-def _violation_counts(violations: Dataset) -> dict[tuple[str, str], int]:
-    """Small groupby over the (already bounded) violation rows."""
-    agg = violations.groupby(["column", "test"]).aggregate(Count(alias_name="n"))
-    out: dict[tuple[str, str], int] = {}
-    for row in agg.take_all():  # rows = #columns × #tests — tiny
-        out[(row["column"], row["test"])] = row["n"]
-    return out
+    @property
+    def n_violations(self) -> int:
+        """Total violation rows — from the already-folded counts, no extra
+        Dataset execution."""
+        return sum(self.counts.values())
 
 
 def validate_dataset(
@@ -98,64 +384,63 @@ def validate_dataset(
     if row_limit is not None:
         ds = ds.limit(row_limit)
 
-    # --- column-pruned stateless check pass -----------------------------
-    needed = plan.input_columns
-    violation_parts: list[Dataset] = []
-    if plan.tasks:
-        checked = ds.select_columns(needed) if needed else ds
-        violation_parts.append(
-            checked.map_batches(BatchChecker(plan), batch_format="pyarrow")
-        )
+    # --- ONE fused, column-pruned map pass for every per-batch check ----
+    # (constraint kernels, span checks, span equality, broadcast
+    # referential anti-joins). Only globally-coupled checks — uniqueness,
+    # and referential against oversized dimensions — get their own shuffle
+    # branches. One scan instead of one per check family.
+    import ray as _ray
 
-    # --- span checks (list<struct> interleaved payload) -----------------
+    from data_linter_ray.stages.referential import (
+        BROADCAST_ROW_THRESHOLD,
+        _BroadcastAntiJoin,
+        distinct_key_set,
+    )
+    from data_linter_ray.stages.spans import (
+        SpanChecker,
+        SpanEqualityChecker,
+        SpanMediaRefChecker,
+    )
+
     span_cols = [
         c
         for c in schema.columns
         if c.name in data_schema.names
         and (c.span_constraints is not None or c.type in ("spans", "list<span>"))
     ]
-    for spec in span_cols:
-        from data_linter_ray.stages.spans import (
-            media_ref_violations,
-            span_equality_violations,
-            span_violations,
-        )
-
-        sc = spec.span_constraints or {}
-        violation_parts.append(
-            span_violations(ds, spans_col=spec.name, id_column=id_column)
-        )
-        if spec.references and ref_tables and spec.references in ref_tables:
-            pk = spec.references.split(".", 1)[1]
-            violation_parts.append(
-                media_ref_violations(
-                    ds, ref_tables[spec.references], spans_col=spec.name, id_column=id_column
-                )
-            )
-        ref_col = sc.get("reference_column")
-        if ref_col and ref_col in data_schema.names:
-            violation_parts.append(
-                span_equality_violations(
-                    ds,
-                    left_col=spec.name,
-                    right_col=ref_col,
-                    id_column=id_column,
-                    compare_offsets=bool(sc.get("compare_offsets", False)),
-                )
-            )
-
-    # --- extension shuffle checks --------------------------------------
-    unique_cols = [c.name for c in schema.columns if c.unique and c.name in data_schema.names]
-    for col in unique_cols:
-        violation_parts.append(uniqueness_violations(ds, col))
     span_col_names = {c.name for c in span_cols}
     ref_specs = [
         c
         for c in schema.columns
         if c.references
         and c.name in data_schema.names
-        and c.name not in span_col_names  # span refs are media_ref_violations
+        and c.name not in span_col_names  # span refs use SpanMediaRefChecker
     ]
+    unique_cols = [
+        c.name for c in schema.columns if c.unique and c.name in data_schema.names
+    ]
+
+    fused: list = []
+    needed: set[str] = set(plan.input_columns) if plan.tasks else set()
+    if plan.tasks:
+        fused.append(BatchChecker(plan))
+    for spec in span_cols:
+        sc = spec.span_constraints or {}
+        fused.append(SpanChecker(spec.name, id_column))
+        needed.add(spec.name)
+        if spec.references and ref_tables and spec.references in ref_tables:
+            pk = spec.references.split(".", 1)[1]
+            pk_ref = _ray.put(distinct_key_set(ref_tables[spec.references], pk))
+            fused.append(SpanMediaRefChecker(spec.name, id_column, pk_ref))
+        ref_col = sc.get("reference_column")
+        if ref_col and ref_col in data_schema.names:
+            fused.append(
+                SpanEqualityChecker(
+                    spec.name, ref_col, id_column, bool(sc.get("compare_offsets", False))
+                )
+            )
+            needed.add(ref_col)
+    shuffle_refs: dict[str, tuple] = {}  # fk col -> (target_ds, pk)
     for spec in ref_specs:
         target = (ref_tables or {}).get(spec.references)
         if target is None:
@@ -165,25 +450,54 @@ def validate_dataset(
             )
             continue
         pk = spec.references.split(".", 1)[1]
-        violation_parts.append(
-            referential_violations(ds, spec.name, target, pk, id_column=id_column)
+        if isinstance(target, Dataset) and target.count() > BROADCAST_ROW_THRESHOLD:
+            shuffle_refs[spec.name] = (target, pk)  # dedicated shuffle branch
+            continue
+        pk_ref = _ray.put(distinct_key_set(target, pk))
+        fused.append(_BroadcastAntiJoin(spec.name, id_column, pk_ref))
+        needed.add(spec.name)
+    if id_column:
+        needed.add(id_column)
+
+    needed.update(unique_cols)
+    checked = ds.select_columns(sorted(needed)) if needed else ds
+
+    # --- single-scan execution ------------------------------------------
+    # ONE materialized pass produces a mixed stream (violation rows +
+    # per-batch count partials + uniqueness pre-aggregates); everything
+    # downstream — verdict counts, row count, the uniqueness exchange —
+    # runs over that bounded stream, never re-scanning the input. This
+    # collapsed ~8 sub-executions (each with ~1s fixed planning/startup
+    # cost) into 1 big + 2 tiny, which is what makes 8→32 CPU scaling
+    # track compute instead of overhead.
+    mat = checked.map_batches(
+        _FusedChecker(fused, unique_cols), batch_format="pyarrow"
+    ).materialize()
+
+    violation_parts: list[Dataset] = [
+        mat.map_batches(_keep_violations, batch_format="pyarrow")
+    ]
+    if unique_cols:
+        # one manual exchange does dup detection AND the count fold
+        # (partials piggyback on the split tasks — no extra pass)
+        uniq_viol, uniq_counts, counts, row_count = _uniqueness_from_preagg(
+            mat, unique_cols
         )
-
-    row_count = ds.count()
-
-    if violation_parts:
-        violations = violation_parts[0]
-        for part in violation_parts[1:]:
-            violations = violations.union(part)
-        # bounded by total violation volume (not input volume); pins the
-        # result so the counts pass and the caller's sink don't re-scan
-        violations = violations.materialize()
-        counts = _violation_counts(violations)
+        violation_parts.append(uniq_viol)
+        counts.update(uniq_counts)
     else:
-        import ray
+        counts, row_count = _fold_count_partials(mat)
+    for fk, (target, pk) in shuffle_refs.items():
+        from data_linter_ray.stages.referential import referential_violations_shuffle
 
-        violations = ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
-        counts = {}
+        part = referential_violations_shuffle(ds, fk, target, pk).materialize()
+        counts[(fk, checks.REFERENTIAL_TEST)] = part.count()
+        violation_parts.append(part)
+
+    violations = violation_parts[0]
+    for part in violation_parts[1:]:
+        violations = violations.union(part)
+    counts = {k: v for k, v in counts.items() if v}
 
     samples: dict[tuple[str, str], tuple[list, list]] = {}
     if log_verbosity is not None and counts:

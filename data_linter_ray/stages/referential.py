@@ -18,7 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Max, Sum
 
 from data_linter_ray.checks import REFERENTIAL_TEST
 from data_linter_ray.stages.checker import VIOLATION_SCHEMA, _stringify
@@ -64,15 +63,12 @@ class _BroadcastAntiJoin:
         )
 
 
-def referential_violations_broadcast(
-    ds: Dataset,
-    fk: str,
-    ref_ds: Dataset,
-    pk: str,
-    id_column: str | None = None,
-) -> Dataset:
-    """Broadcast strategy: distinct PK values → object store → pc.is_in."""
-    # distinct via two-level agg so only uniques leave each block
+def distinct_key_set(ref_ds: Dataset | pa.Array, pk: str) -> pa.Array:
+    """Distinct PK values as one Arrow array (two-level: per-block unique
+    first, so only uniques reach the driver). Accepts a precomputed
+    pa.Array passthrough so callers can skip the scan entirely."""
+    if isinstance(ref_ds, (pa.Array, pa.ChunkedArray)):
+        return ref_ds if isinstance(ref_ds, pa.Array) else ref_ds.combine_chunks()
     distinct = (
         ref_ds.select_columns([pk])
         .map_batches(
@@ -83,8 +79,18 @@ def referential_violations_broadcast(
         )
         .unique(pk)
     )
-    pk_values = pa.array(distinct, type=ref_ds.schema().base_schema.field(pk).type)
-    pk_ref = ray.put(pk_values)
+    return pa.array(distinct, type=ref_ds.schema().base_schema.field(pk).type)
+
+
+def referential_violations_broadcast(
+    ds: Dataset,
+    fk: str,
+    ref_ds: Dataset | pa.Array,
+    pk: str,
+    id_column: str | None = None,
+) -> Dataset:
+    """Broadcast strategy: distinct PK values → object store → pc.is_in."""
+    pk_ref = ray.put(distinct_key_set(ref_ds, pk))
     return ds.map_batches(
         _BroadcastAntiJoin(fk, id_column, pk_ref), batch_format="pyarrow"
     )
@@ -100,51 +106,61 @@ def referential_violations_shuffle(
     the scalable contract.
     """
 
+    import numpy as np
+    import pandas as pd
+
+    num_buckets = 64
+
+    def bucket_of(vals: pa.Array) -> pa.Array:
+        h = pd.util.hash_pandas_object(vals.to_pandas(), index=False).to_numpy(
+            dtype=np.uint64
+        )
+        return pa.array((h % num_buckets).astype(np.int64))
+
     def fk_partials(t: pa.Table) -> pa.Table:
         vc = t[fk].combine_chunks().drop_null().value_counts()
         k = vc.field("values")
         return pa.Table.from_arrays(
             [k, pc.cast(vc.field("counts"), pa.int64()),
-             pa.nulls(len(k), pa.int64())],
-            names=["key", "n_fk", "has_pk"],
+             pa.nulls(len(k), pa.int64()), bucket_of(k)],
+            names=["key", "n_fk", "has_pk", "_bucket"],
         )
 
     def pk_partials(t: pa.Table) -> pa.Table:
         k = t[pk].combine_chunks().unique()
         return pa.Table.from_arrays(
             [k, pa.nulls(len(k), pa.int64()),
-             pa.array([1] * len(k), type=pa.int64())],
-            names=["key", "n_fk", "has_pk"],
+             pa.array([1] * len(k), type=pa.int64()), bucket_of(k)],
+            names=["key", "n_fk", "has_pk", "_bucket"],
         )
 
-    tagged = ds.select_columns([fk]).map_batches(
-        fk_partials, batch_format="pyarrow"
-    ).union(
-        ref_ds.select_columns([pk]).map_batches(pk_partials, batch_format="pyarrow")
+    from data_linter_ray.stages.uniqueness import SHUFFLE_PARTITIONS
+
+    tagged = (
+        ds.select_columns([fk])
+        .map_batches(fk_partials, batch_format="pyarrow")
+        .union(
+            ref_ds.select_columns([pk]).map_batches(pk_partials, batch_format="pyarrow")
+        )
+        .repartition(SHUFFLE_PARTITIONS)
+        .materialize()  # fast-path the Sort behind groupby (see uniqueness.py)
     )
-    joined = tagged.groupby("key").aggregate(
-        Sum("n_fk", alias_name="n_fk", ignore_nulls=True),
-        Max("has_pk", alias_name="has_pk", ignore_nulls=True),
-    )
 
-    def dangling(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.fill_null(pc.equal(pc.fill_null(t["has_pk"], 0), 0), False),
-            pc.fill_null(pc.greater(t["n_fk"], 0), False),
+    def dangling(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("key", as_index=False).agg(
+            n_fk=("n_fk", "sum"), has_pk=("has_pk", "max")
         )
-        sub = t.filter(mask)
-        n = sub.num_rows
-        return pa.Table.from_arrays(
-            [
-                pa.nulls(n, pa.string()),
-                pa.array([fk] * n, type=pa.string()),
-                pa.array([REFERENTIAL_TEST] * n, type=pa.string()),
-                _stringify(sub["key"].combine_chunks()),
-            ],
-            schema=VIOLATION_SCHEMA,
+        bad = s[(s["has_pk"].fillna(0) == 0) & (s["n_fk"].fillna(0) > 0)]
+        return pd.DataFrame(
+            {
+                "row_ref": pd.array([None] * len(bad), dtype="string"),
+                "column": fk,
+                "test": REFERENTIAL_TEST,
+                "value": bad["key"].astype(str),
+            }
         )
 
-    return joined.map_batches(dangling, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(dangling, batch_format="pandas")
 
 
 def referential_violations(

@@ -163,38 +163,62 @@ def span_violations(ds: Dataset, spans_col: str = "spans", id_column: str | None
     )
 
 
-def media_ref_violations(ds: Dataset, catalog: Dataset, spans_col: str = "spans", id_column: str | None = "doc_id") -> Dataset:
-    """Flattened spans.media_ref ⊆ media_catalog.media_ref (broadcast)."""
-    from data_linter_ray.stages.referential import referential_violations_broadcast
+class SpanMediaRefChecker:
+    """Per-batch: flatten spans.media_ref and anti-join against the
+    broadcast catalog key set → violation rows attributed to the spans
+    column. (Batch-level so it can be fused into the single check pass.)"""
 
-    cols = [spans_col] + ([id_column] if id_column else [])
+    def __init__(self, spans_col: str, id_column: str | None, pk_set_ref):
+        self.spans_col = spans_col
+        self.id_column = id_column
+        self.pk_set_ref = pk_set_ref
+        self._pk_set = None
 
-    def flatten_refs(t: pa.Table) -> pa.Table:
-        spans, flat, parents = _flatten(t[spans_col])
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        if self._pk_set is None:
+            obj = self.pk_set_ref
+            self._pk_set = ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
+        spans, flat, parents = _flatten(t[self.spans_col])
         media = flat.field("media_ref")
-        keep = pc.invert(pc.is_null(media))
-        arrays = [pc.filter(media, keep)]
-        names = ["media_ref"]
-        if id_column and id_column in t.column_names:
-            ids = t[id_column].combine_chunks().take(pa.array(parents))
-            arrays.append(pc.filter(ids, keep))
-            names.append(id_column)
-        return pa.Table.from_arrays(arrays, names=names)
+        present = pc.invert(pc.is_null(media))
+        dangling = pc.and_(
+            present,
+            pc.invert(pc.fill_null(pc.is_in(media, value_set=self._pk_set), False)),
+        )
+        n = pc.sum(dangling).as_py() or 0
+        if not n:
+            return VIOLATION_SCHEMA.empty_table()
+        if self.id_column and self.id_column in t.column_names:
+            ids = t[self.id_column].combine_chunks().take(pa.array(parents))
+            refs = _stringify(pc.filter(ids, dangling))
+        else:
+            refs = pa.nulls(n, pa.string())
+        from data_linter_ray.checks import REFERENTIAL_TEST
 
-    flat_refs = ds.select_columns(cols).map_batches(flatten_refs, batch_format="pyarrow")
-    viol = referential_violations_broadcast(
-        flat_refs, "media_ref", catalog, "media_ref", id_column=id_column
-    )
-
-    def relabel(t: pa.Table) -> pa.Table:
-        # attribute the violation to the spans column, not the flattened child
-        return t.set_column(
-            t.schema.get_field_index("column"),
-            "column",
-            pa.array([spans_col] * t.num_rows, type=pa.string()),
+        return pa.Table.from_arrays(
+            [
+                refs,
+                pa.array([self.spans_col] * n, type=pa.string()),
+                pa.array([REFERENTIAL_TEST] * n, type=pa.string()),
+                _stringify(pc.filter(media, dangling)),
+            ],
+            schema=VIOLATION_SCHEMA,
         )
 
-    return viol.map_batches(relabel, batch_format="pyarrow")
+
+def media_ref_violations(ds: Dataset, catalog: Dataset, spans_col: str = "spans", id_column: str | None = "doc_id") -> Dataset:
+    """Flattened spans.media_ref ⊆ media_catalog.media_ref (broadcast)."""
+    import ray
+
+    from data_linter_ray.stages.referential import distinct_key_set
+
+    pk_ref = ray.put(distinct_key_set(catalog, "media_ref"))
+    cols = [spans_col] + ([id_column] if id_column else [])
+    return ds.select_columns(cols).map_batches(
+        SpanMediaRefChecker(spans_col, id_column, pk_ref), batch_format="pyarrow"
+    )
 
 
 def span_sequence_equality_mask(left, right, compare_offsets: bool = False) -> np.ndarray:
@@ -233,6 +257,45 @@ def span_sequence_equality_mask(left, right, compare_offsets: bool = False) -> n
     return unequal
 
 
+class SpanEqualityChecker:
+    """Per-batch row-wise span-sequence equality → violation rows."""
+
+    def __init__(
+        self,
+        left_col: str = "spans",
+        right_col: str = "spans_reference",
+        id_column: str | None = "doc_id",
+        compare_offsets: bool = False,
+    ):
+        self.left_col = left_col
+        self.right_col = right_col
+        self.id_column = id_column
+        self.compare_offsets = compare_offsets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mask = span_sequence_equality_mask(
+            t[self.left_col], t[self.right_col], compare_offsets=self.compare_offsets
+        )
+        n = int(mask.sum())
+        if not n:
+            return VIOLATION_SCHEMA.empty_table()
+        pa_mask = pa.array(mask)
+        refs = (
+            pc.filter(_stringify(t[self.id_column].combine_chunks()), pa_mask)
+            if self.id_column and self.id_column in t.column_names
+            else pa.nulls(n, pa.string())
+        )
+        return pa.Table.from_arrays(
+            [
+                refs,
+                pa.array([self.left_col] * n, type=pa.string()),
+                pa.array(["span_sequence_equality"] * n, type=pa.string()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=VIOLATION_SCHEMA,
+        )
+
+
 def span_equality_violations(
     ds: Dataset,
     left_col: str = "spans",
@@ -241,29 +304,8 @@ def span_equality_violations(
     compare_offsets: bool = False,
 ) -> Dataset:
     """Rows whose span sequence differs from the reference copy."""
-
-    def f(t: pa.Table) -> pa.Table:
-        mask = span_sequence_equality_mask(
-            t[left_col], t[right_col], compare_offsets=compare_offsets
-        )
-        n = int(mask.sum())
-        if not n:
-            return VIOLATION_SCHEMA.empty_table()
-        pa_mask = pa.array(mask)
-        refs = (
-            pc.filter(_stringify(t[id_column].combine_chunks()), pa_mask)
-            if id_column and id_column in t.column_names
-            else pa.nulls(n, pa.string())
-        )
-        return pa.Table.from_arrays(
-            [
-                refs,
-                pa.array([left_col] * n, type=pa.string()),
-                pa.array(["span_sequence_equality"] * n, type=pa.string()),
-                pa.nulls(n, pa.string()),
-            ],
-            schema=VIOLATION_SCHEMA,
-        )
-
     cols = [left_col, right_col] + ([id_column] if id_column else [])
-    return ds.select_columns(cols).map_batches(f, batch_format="pyarrow")
+    return ds.select_columns(cols).map_batches(
+        SpanEqualityChecker(left_col, right_col, id_column, compare_offsets),
+        batch_format="pyarrow",
+    )
