@@ -425,6 +425,54 @@ def q_embedding_near_dups(sf_dir: str):
     return S.embedding_near_duplicates(ds, threshold=0.45)
 
 
+def q_drift(sf_dir: str):
+    """Distribution-drift verdicts: events.value + user_id sketched, then
+    checked against their own baseline (distance 0) and against a
+    shifted copy (drift fires). Rows-only — sketches are approximate."""
+    import pandas as pd
+
+    from data_linter_ray.stages.sketch_stage import compute_sketches, drift_check
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value", "user_id"])
+    base = compute_sketches(ds, ["value"], ["user_id"])
+    same = drift_check(ds, base, threshold=0.05)
+    shifted = ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("value"), "value", pc.multiply(t["value"], 2.0)
+        ),
+        batch_format="pyarrow",
+    )
+    moved = drift_check(shifted, {"value": base["value"]}, threshold=0.05)
+    rows = [
+        {"case": "self", "column": r.column, "metric": r.metric, "valid": r.valid}
+        for r in same
+    ] + [
+        {"case": "shifted", "column": r.column, "metric": r.metric, "valid": r.valid}
+        for r in moved
+    ]
+    return pd.DataFrame(rows).sort_values(["case", "column", "metric"]).reset_index(drop=True)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic binary payloads → decode (actor
+    pool) → feature extraction; returns per-media feature checksums.
+    Rows-only (the codec is the documented deterministic stub)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_linter_ray.functions import multimodal as mm
+
+    out = mm.decode_pipeline(
+        mm.synth_media_dataset(2000, payload_bytes=512), concurrency=2, num_cpus=0.5
+    ).to_pandas()
+    out["feature_sum"] = out["features"].map(lambda v: float(np.asarray(v).sum()))
+    return (
+        out[["media_ref", "kind", "feature_sum"]]
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_summary(sf_dir: str):
     """Grouped log-style aggregate (reference A5 analog): per event_type
     count + min/max value (order-independent aggregates only)."""
@@ -452,6 +500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q_knn,
         "embedding_near_dups": q_embedding_near_dups,
         "events_summary": q_events_summary,
+        "drift": q_drift,
+        "media_features": q_media_features,
         "minmax_violations": q_minmax_violations,
         "enum_violations": q_enum_violations,
         "pattern_violations": q_pattern_violations,

@@ -43,6 +43,8 @@ _TABLE_KEYS = {
     "log-verbosity",
     "ref-tables",
     "only-test-cols-in-metadata",
+    "drift-baseline",
+    "drift-threshold",
 }
 
 
@@ -75,6 +77,8 @@ class TableConfig:
     pandas_kwargs: dict = field(default_factory=dict)
     log_verbosity: Optional[int] = None
     ref_tables: dict = field(default_factory=dict)  # "table.column" -> path
+    drift_baseline: Optional[str] = None  # path to saved sketch baselines
+    drift_threshold: float = 0.1
 
     def table_params(self) -> dict:
         return {
@@ -107,6 +111,8 @@ class TableConfig:
             pandas_kwargs=d.get("pandas-kwargs", {}) or {},
             log_verbosity=d.get("log-verbosity"),
             ref_tables=d.get("ref-tables", {}) or {},
+            drift_baseline=d.get("drift-baseline"),
+            drift_threshold=d.get("drift-threshold", 0.1),
         )
 
 

@@ -170,8 +170,43 @@ def run_validation(
             if resume and store.exists(probe):
                 continue
             t0 = time.monotonic()
+            if config.validator_engine == "parquet":
+                # schema-only conformance (reference ParquetValidator path)
+                from data_linter_ray.stages.schema_conformance import (
+                    validate_parquet_schema,
+                )
+
+                try:
+                    resp = validate_parquet_schema(path, schema)
+                except Exception as e:  # noqa: BLE001
+                    resp = None
+                    m = UnitManifest(
+                        table=name,
+                        source_path=path,
+                        valid=False,
+                        response={
+                            "valid": False,
+                            "parse_data": {"valid": False, "traceback": repr(e)},
+                        },
+                        duration_s=time.monotonic() - t0,
+                    )
+                if resp is not None:
+                    m = UnitManifest(
+                        table=name,
+                        source_path=path,
+                        valid=resp.valid,
+                        response=resp.get_result(),
+                        duration_s=time.monotonic() - t0,
+                    )
+                store.commit(m)
+                continue
             try:
                 ds = read_table_dataset(path, schema, tc.table_params())
+                drift_baselines = None
+                if tc.drift_baseline and os.path.exists(tc.drift_baseline):
+                    from data_linter_ray.stages.sketch_stage import load_baselines
+
+                    drift_baselines = load_baselines(tc.drift_baseline)
                 res = validate_dataset(
                     ds,
                     schema,
@@ -181,6 +216,8 @@ def run_validation(
                     allow_unexpected_data=tc.allow_unexpected_data,
                     row_limit=tc.row_limit,
                     log_verbosity=tc.log_verbosity,
+                    drift_baselines=drift_baselines,
+                    drift_threshold=tc.drift_threshold,
                 )
                 viol_path = None
                 if res.violations is not None and res.counts:

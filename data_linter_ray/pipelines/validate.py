@@ -355,6 +355,8 @@ def validate_dataset(
     allow_unexpected_data: bool = False,
     row_limit: Optional[int] = None,
     log_verbosity: Optional[int] = None,
+    drift_baselines: Optional[dict] = None,
+    drift_threshold: float = 0.1,
 ) -> TableValidationResult:
     """Validate a Dataset against a TableSchema.
 
@@ -362,6 +364,10 @@ def validate_dataset(
     (``"table.column"``) to their Datasets for referential checks.
     ``log_verbosity`` mirrors the reference (pandas_validator.py:352-382):
     None → no value samples in the response dict; 0 → all; n → up to n.
+    ``drift_baselines`` — {column: {"tdigest": TDigest, "hll": HLL}} from
+    :func:`data_linter_ray.stages.sketch_stage.load_baselines`; columns
+    whose spec has ``drift`` set are checked against them and recorded as
+    ``drift_test`` response entries.
     """
     response = ValidatorResult()
     try:
@@ -498,6 +504,34 @@ def validate_dataset(
     for part in violation_parts[1:]:
         violations = violations.union(part)
     counts = {k: v for k, v in counts.items() if v}
+
+    # --- distribution-drift checks (sketch stage vs stored baselines) ---
+    drift_results = []
+    drift_cols = [c for c in schema.columns if c.drift and c.name in data_schema.names]
+    if drift_cols and drift_baselines:
+        from data_linter_ray.stages.sketch_stage import drift_check
+
+        wanted = {
+            c.name: drift_baselines[c.name]
+            for c in drift_cols
+            if c.name in drift_baselines
+        }
+        if wanted:
+            drift_results = drift_check(ds, wanted, threshold=drift_threshold)
+        for dr in drift_results:
+            response.add_test_to_col(
+                dr.column,
+                checks.DRIFT_TEST,
+                {
+                    "valid": dr.valid,
+                    "test_inputs": {
+                        "column": dr.column,
+                        "metric": dr.metric,
+                        "distance": dr.distance,
+                        "threshold": dr.threshold,
+                    },
+                },
+            )
 
     samples: dict[tuple[str, str], tuple[list, list]] = {}
     if log_verbosity is not None and counts:

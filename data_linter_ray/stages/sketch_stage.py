@@ -131,6 +131,46 @@ def compute_sketches(
     return out
 
 
+def save_baselines(sketches: dict[str, dict], path: str) -> str:
+    """Persist merged sketches (the drift baseline) to one JSON file
+    (payloads base64) — KB-sized, safe anywhere."""
+    import base64
+    import json
+    import os
+
+    out: dict = {}
+    for col, entry in sketches.items():
+        e: dict = {}
+        if "tdigest" in entry:
+            e["tdigest"] = base64.b64encode(entry["tdigest"].to_bytes()).decode()
+        if "hll" in entry:
+            e["hll"] = base64.b64encode(entry["hll"].to_bytes()).decode()
+        out[col] = e
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, path)
+    return path
+
+
+def load_baselines(path: str) -> dict[str, dict]:
+    import base64
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    out: dict[str, dict] = {}
+    for col, e in raw.items():
+        entry: dict = {}
+        if "tdigest" in e:
+            entry["tdigest"] = TDigest.from_bytes(base64.b64decode(e["tdigest"]))
+        if "hll" in e:
+            entry["hll"] = HyperLogLog.from_bytes(base64.b64decode(e["hll"]))
+        out[col] = entry
+    return out
+
+
 @dataclass
 class DriftResult:
     column: str

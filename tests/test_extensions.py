@@ -1,0 +1,207 @@
+"""Multimodal plumbing, parquet schema conformance, drift-in-pipeline,
+and log-explorer tests."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+from data_linter_ray.metadata import ColumnSpec, TableSchema
+
+
+# ---------------- multimodal --------------------------------------------
+
+
+def test_media_decode_pipeline(ray_session):
+    from data_linter_ray.functions import multimodal as mm
+
+    media = mm.synth_media_dataset(500, payload_bytes=512)
+    out = mm.decode_pipeline(media, concurrency=2, batch_size=128)
+    t = out.to_pandas()
+    assert len(t) == 500
+    assert len(t["pixels"].iloc[0]) == 64
+    assert len(t["features"].iloc[0]) == mm.FEATURE_DIM
+    # deterministic fake decode: same payload → same pixels
+    t2 = mm.decode_pipeline(mm.synth_media_dataset(500, payload_bytes=512), concurrency=2).to_pandas()
+    a = t.sort_values("media_ref").iloc[0]
+    b = t2.sort_values("media_ref").iloc[0]
+    assert list(a["pixels"]) == list(b["pixels"])
+
+
+def test_frame_sampler(ray_session):
+    from data_linter_ray.functions import multimodal as mm
+
+    media = mm.synth_media_dataset(50, kind="video", payload_bytes=1024)
+    frames = media.map_batches(
+        mm.FrameSampler,
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=25,
+        num_cpus=0.5,
+    ).to_pandas()
+    assert len(frames) == 200  # 4 frames per video
+    assert set(frames["frame"]) == {0, 1, 2, 3}
+
+
+def test_suggested_batch_size():
+    from data_linter_ray.functions.multimodal import suggested_batch_size
+
+    assert suggested_batch_size(1024 * 1024) == 64  # 64MB budget / 1MB payloads
+    assert suggested_batch_size(10**9) == 1  # giant payloads → row-at-a-time
+
+
+# ---------------- parquet schema conformance ----------------------------
+
+BASE = TableSchema(
+    name="t",
+    columns=[
+        ColumnSpec(name="a", type="int64"),
+        ColumnSpec(name="b", type="string"),
+        ColumnSpec(name="c", type="float64"),
+    ],
+)
+
+
+def write(tmp_path, table):
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(table, p)
+    return p
+
+
+def test_schema_conforms_exact(tmp_path):
+    from data_linter_ray.stages.schema_conformance import validate_parquet_schema
+
+    p = write(tmp_path, pa.table({"a": pa.array([1], pa.int64()), "b": ["x"], "c": [1.0]}))
+    r = validate_parquet_schema(p, BASE).get_result()
+    assert r["valid"]
+    assert r["check_schema_conforms"]["valid"]
+
+
+def test_schema_type_mismatch(tmp_path):
+    from data_linter_ray.stages.schema_conformance import validate_parquet_schema
+
+    p = write(tmp_path, pa.table({"a": pa.array([1], pa.int32()), "b": ["x"], "c": [1.0]}))
+    r = validate_parquet_schema(p, BASE).get_result()
+    cc = r["check_schema_conforms"]
+    assert not cc["valid"]
+    assert cc["cols_with_different_types"]["a"] == {
+        "meta_field": "int64",
+        "table_field": "int32",
+    }
+
+
+def test_schema_missing_and_extra_cols(tmp_path):
+    from data_linter_ray.stages.schema_conformance import validate_parquet_schema
+
+    p = write(tmp_path, pa.table({"a": pa.array([1], pa.int64()), "b": ["x"], "d": [2]}))
+    cc = validate_parquet_schema(p, BASE).get_result()["check_schema_conforms"]
+    assert cc["cols_in_meta_not_in_file"] == ["c"]
+    assert cc["cols_in_file_not_in_meta"] == ["d"]
+
+
+def test_parquet_engine_in_run(ray_session, tmp_path):
+    from data_linter_ray.pipelines.run import run_validation
+
+    land = tmp_path / "land"
+    land.mkdir()
+    pq.write_table(pa.table({"a": pa.array([1], pa.int64()), "b": ["x"], "c": [1.0]}), land / "t1.parquet")
+    pq.write_table(pa.table({"a": pa.array([1], pa.int32()), "b": ["x"], "c": [1.0]}), land / "t1_bad.parquet")
+    cfg = {
+        "land-base-path": str(land) + "/",
+        "pass-base-path": str(tmp_path / "pass") + "/",
+        "fail-base-path": str(tmp_path / "fail") + "/",
+        "log-base-path": str(tmp_path / "log") + "/",
+        "validator-engine": "parquet",
+        "tables": {"t1": {"metadata": BASE.to_dict()}},
+    }
+    res = run_validation(cfg)
+    assert not res.all_tables_passed
+    assert os.path.exists(tmp_path / "pass" / "t1" / "t1.parquet")
+    assert os.path.exists(tmp_path / "fail" / "t1" / "t1_bad.parquet")
+
+
+# ---------------- drift in pipeline -------------------------------------
+
+
+def test_drift_in_validate_and_config(ray_session, tmp_path, sf_dir):
+    from data_linter_ray.pipelines import validate_dataset
+    from data_linter_ray.stages.sketch_stage import (
+        compute_sketches,
+        load_baselines,
+        save_baselines,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    base = compute_sketches(ds, ["value"], [])
+    path = str(tmp_path / "baselines.json")
+    save_baselines(base, path)
+    loaded = load_baselines(path)
+    assert loaded["value"]["tdigest"].quantile(0.5) == pytest.approx(
+        base["value"]["tdigest"].quantile(0.5)
+    )
+
+    schema = TableSchema(
+        name="events",
+        columns=[ColumnSpec(name="value", type="float64", drift={"metric": "quantile_shift"})],
+    )
+    res = validate_dataset(
+        ds, schema, allow_unexpected_data=True, drift_baselines=loaded
+    )
+    r = res.response.get_result()
+    assert r["value"]["drift_test"]["valid"]  # same data vs itself
+
+    import pyarrow.compute as pc
+
+    shifted = ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("value"), "value", pc.add(t["value"], 500.0)
+        ),
+        batch_format="pyarrow",
+    )
+    res2 = validate_dataset(
+        shifted, schema, allow_unexpected_data=True, drift_baselines=loaded
+    )
+    assert res2.response.get_result()["value"]["drift_test"]["valid"] is False
+    assert not res2.valid
+
+
+# ---------------- log explorer ------------------------------------------
+
+
+def test_log_explorer(ray_session, tmp_path):
+    from data_linter_ray import log_explorer
+    from data_linter_ray.pipelines.run import run_validation
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "table1.csv").write_text("my_int,animal\n10,cat\n")
+    (land / "table1_bad.csv").write_text("my_int,animal\n99,robot\n")
+    meta = {
+        "name": "table1",
+        "columns": [
+            {"name": "my_int", "type": "int64", "minimum": 0, "maximum": 20},
+            {"name": "animal", "type": "string", "enum": ["cat", "dog"]},
+        ],
+    }
+    cfg = {
+        "land-base-path": str(land) + "/",
+        "pass-base-path": str(tmp_path / "pass") + "/",
+        "fail-base-path": str(tmp_path / "fail") + "/",
+        "log-base-path": str(tmp_path / "log") + "/",
+        "tables": {"table1": {"metadata": meta}},
+    }
+    run_validation(cfg)
+    summary = log_explorer.summary_of_all_tables(cfg)
+    assert summary["overall_valid"] is False
+    assert summary["fail_count"] == 1
+    assert summary["fail_percentage"] == pytest.approx(50.0)
+    assert summary["tables"]["table1"]["fail_count"] == 1
+
+    failed = log_explorer.get_failed_files(cfg)
+    assert failed["original-path"].iloc[0].endswith("table1_bad.csv")
+
+    errs = log_explorer.get_all_errors_for_file(cfg, str(land / "table1_bad.csv"))
+    assert len(errs) == 1
+    assert errs["response"].iloc[0]["valid"] is False
