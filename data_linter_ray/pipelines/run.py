@@ -112,15 +112,15 @@ def _load_schema(tc: TableConfig) -> TableSchema:
     raise ValueError(f"table {tc.name}: no metadata given")
 
 
-def _move_file(src: str, dst_dir: str, compress: bool) -> str:
-    os.makedirs(dst_dir, exist_ok=True)
-    base = os.path.basename(src)
-    if compress and not base.endswith(".gz"):
-        dst = os.path.join(dst_dir, base + ".gz")
+def _move_file(src: str, dst: str, compress: bool) -> str:
+    """Copy (optionally gzip) src to the exact dst path."""
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if compress and not dst.endswith(".gz"):
+        dst += ".gz"
+    if compress:
         with open(src, "rb") as fi, gzip.open(dst, "wb") as fo:
             shutil.copyfileobj(fi, fo)
     else:
-        dst = os.path.join(dst_dir, base)
         shutil.copy2(src, dst)
     return dst
 
@@ -136,6 +136,12 @@ class RunResult:
         return self.all_tables_passed
 
 
+def open_status_store(config: RunConfig) -> ManifestStore:
+    return ManifestStore(
+        os.path.join(config.log_base_path, "data_linter_temporary_fs", "status")
+    )
+
+
 def run_validation(
     config: dict | str | RunConfig,
     *,
@@ -145,17 +151,29 @@ def run_validation(
     if not isinstance(config, RunConfig):
         config = load_and_validate_config(config)
 
-    log_root = config.log_base_path
-    store = ManifestStore(os.path.join(log_root, "data_linter_temporary_fs", "status"))
+    store = open_status_store(config)
     if not resume:
         store.clear()
 
     files = list_land_files(config.land_base_path)
     matched = match_files_to_tables(files, config)
+    validate_phase(config, store, matched, resume=resume)
+    return collect_phase(config, store, raise_on_failure=raise_on_failure)
 
-    # ---- validate phase (checkpointed per unit) ------------------------
+
+def validate_phase(
+    config: RunConfig,
+    store: ManifestStore,
+    matched: dict[str, list[str]],
+    *,
+    resume: bool = False,
+) -> None:
+    """Validate every matched (table, file) unit, committing one manifest
+    per unit (the checkpoint unit; committed units are skipped on
+    resume)."""
+    log_root = config.log_base_path
     for name, tc in config.tables.items():
-        if not matched[name]:
+        if not matched.get(name):
             continue  # optional table with no files: skip, keep validating
         schema = _load_schema(tc)
         ref_tables = None
@@ -250,17 +268,49 @@ def run_validation(
                 )
             store.commit(m)
 
-    # ---- collect & route (reference collect_all_status) ----------------
+
+def collect_phase(
+    config: RunConfig,
+    store: ManifestStore,
+    *,
+    raise_on_failure: bool | None = None,
+) -> RunResult:
+    """Collect committed manifests, route files pass/fail, write per-table
+    logs (reference ``collect_all_status``, validation.py:498-649)."""
+    log_root = config.log_base_path
     manifests = store.all()
     all_passed = bool(manifests) and all(m.valid for m in manifests)
 
+    from data_linter_ray.utils import get_out_path
+
+    run_ts = str(int(time.time()))
+    filenum: dict[str, int] = {}
     for m in manifests:
         if not m.source_path:
             continue
         to_pass = m.valid if not config.all_must_pass else all_passed
         dst_root = config.pass_base_path if to_pass else config.fail_base_path
-        dst_dir = os.path.join(dst_root, m.table)
-        archived = _move_file(m.source_path, dst_dir, config.compress_data)
+        base = os.path.basename(m.source_path)
+        if config.timestamp_partition_name:
+            # reference hive-style partitioned naming (utils.get_out_path):
+            # {base}/{table}/{tpn}={ts}/{file}-{n}-{ts}[.gz]
+            i = filenum.get(m.table, 0)
+            filenum[m.table] = i + 1
+            dst = get_out_path(
+                dst_root,
+                m.table,
+                run_ts,
+                base,
+                compress=config.compress_data,
+                filenum=i,
+                timestamp_partition_name=config.timestamp_partition_name,
+            )
+        else:
+            # stable idempotent naming (deliberate difference from the
+            # reference's always-ts-suffixed names: a resumed run
+            # overwrites rather than duplicating outputs)
+            dst = os.path.join(dst_root, m.table, base)
+        archived = _move_file(m.source_path, dst, config.compress_data)
         if to_pass and config.remove_tables_on_pass:
             os.unlink(m.source_path)
         store.set_archived(m.key(), archived)
