@@ -425,6 +425,89 @@ def q_embedding_near_dups(sf_dir: str):
     return S.embedding_near_duplicates(ds, threshold=0.45)
 
 
+def _lineitem_schema() -> TableSchema:
+    return TableSchema(
+        name="lineitem",
+        columns=[
+            ColumnSpec(name="l_orderkey", type="int64", nullable=False),
+            ColumnSpec(name="l_linenumber", type="int32", minimum=1, maximum=4),
+            ColumnSpec(name="l_quantity", type="float64", minimum=1.0, maximum=40.0),
+            ColumnSpec(name="l_discount", type="float64", minimum=0.0, maximum=0.05),
+            ColumnSpec(name="l_returnflag", type="string", enum=["A", "N"], nullable=False),
+            ColumnSpec(name="l_linestatus", type="string", enum=["O", "F"], nullable=False),
+        ],
+    )
+
+
+def q_lineitem_verdict(sf_dir: str):
+    """Full engine verdict over lineitem — six columns, mixed check
+    families, deliberately tight bounds so every test has violations."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    schema = _lineitem_schema()
+    res = validate_dataset(ds, schema, allow_unexpected_data=True)
+    r = res.response.get_result()
+    rows = []
+    for col in schema.column_names:
+        if col not in r or not isinstance(r[col], dict):
+            continue
+        for test, tres in r[col].items():
+            if test == "valid" or not isinstance(tres, dict):
+                continue
+            n = res.counts.get((col, test), 0)
+            rows.append(
+                {"column": col, "test": test, "n_violations": n, "n_rows": res.row_count}
+            )
+    return pd.DataFrame(rows).sort_values(["column", "test"]).reset_index(drop=True)
+
+
+def q_customer_acctbal_violations(sf_dir: str):
+    return _filter_by_mask(
+        ["customer", "c_custkey", "c_acctbal"],
+        lambda t: checks.min_max_mask(t["c_acctbal"], 0.0, 9000.0),
+    )(sf_dir)
+
+
+def q_star_ref_check(sf_dir: str):
+    """Referential sweep over the star schema: dangling-FK counts for
+    lineitem→orders/part/supplier and orders→customer in one result
+    (broadcast anti-joins; all counts expected 0 on clean testdata)."""
+    import pandas as pd
+
+    from data_linter_ray.stages.referential import referential_violations_broadcast
+
+    pairs = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    rows = []
+    for fact, fk, dim, pk in pairs:
+        viol = referential_violations_broadcast(
+            ray.data.read_parquet(f"{sf_dir}/{fact}.parquet", columns=[fk]),
+            fk,
+            ray.data.read_parquet(f"{sf_dir}/{dim}.parquet", columns=[pk]),
+            pk,
+        )
+        rows.append({"fk": fk, "n_dangling": viol.count()})
+    return pd.DataFrame(rows).sort_values("fk").reset_index(drop=True)
+
+
+def q_orders_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+    )
+
+
 def q_drift(sf_dir: str):
     """Distribution-drift verdicts: events.value + user_id sketched, then
     checked against their own baseline (distance 0) and against a
@@ -502,6 +585,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_summary": q_events_summary,
         "drift": q_drift,
         "media_features": q_media_features,
+        "lineitem_verdict": q_lineitem_verdict,
+        "customer_acctbal_violations": q_customer_acctbal_violations,
+        "star_ref_check": q_star_ref_check,
+        "orders_summary": q_orders_summary,
         "minmax_violations": q_minmax_violations,
         "enum_violations": q_enum_violations,
         "pattern_violations": q_pattern_violations,
@@ -556,6 +643,36 @@ def oracle_sql() -> dict[str, str]:
         "events_summary": (
             "SELECT event_type, count(*) AS n, min(value) AS min_value, "
             "max(value) AS max_value FROM events GROUP BY event_type"
+        ),
+        "lineitem_verdict": (
+            "WITH nr AS (SELECT count(*) AS n_rows FROM lineitem), "
+            "checks(col, test, n_violations) AS ("
+            "  SELECT 'l_discount', 'min_max_test', (SELECT count(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.05)"
+            "  UNION ALL SELECT 'l_linenumber', 'min_max_test', (SELECT count(*) FROM lineitem WHERE l_linenumber < 1 OR l_linenumber > 4)"
+            "  UNION ALL SELECT 'l_linestatus', 'enum_test', (SELECT count(*) FROM lineitem WHERE l_linestatus IS NULL OR l_linestatus NOT IN ('O','F'))"
+            "  UNION ALL SELECT 'l_linestatus', 'nullable_test', (SELECT count(*) FROM lineitem WHERE l_linestatus IS NULL)"
+            "  UNION ALL SELECT 'l_orderkey', 'nullable_test', (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)"
+            "  UNION ALL SELECT 'l_quantity', 'min_max_test', (SELECT count(*) FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 40.0)"
+            "  UNION ALL SELECT 'l_returnflag', 'enum_test', (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A','N'))"
+            "  UNION ALL SELECT 'l_returnflag', 'nullable_test', (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL)"
+            ") SELECT col AS \"column\", test, n_violations, nr.n_rows AS n_rows "
+            "FROM checks, nr ORDER BY \"column\", test"
+        ),
+        "customer_acctbal_violations": (
+            "SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_acctbal < 0.0 OR c_acctbal > 9000.0"
+        ),
+        "star_ref_check": (
+            "SELECT * FROM (VALUES"
+            " ('l_orderkey', (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))),"
+            " ('l_partkey', (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))),"
+            " ('l_suppkey', (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))),"
+            " ('o_custkey', (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))"
+            ") AS t(fk, n_dangling) ORDER BY fk"
+        ),
+        "orders_summary": (
+            "SELECT o_orderpriority, count(*) AS n, min(o_totalprice) AS min_price, "
+            "max(o_totalprice) AS max_price FROM orders GROUP BY o_orderpriority"
         ),
         "minmax_violations": (
             "SELECT event_id, value FROM events "

@@ -110,6 +110,10 @@ QUERY_NAMES = [
     "knn",
     "embedding_near_dups",
     "events_summary",
+    "lineitem_verdict",
+    "star_ref_check",
+    "drift",
+    "media_features",
 ]
 
 
