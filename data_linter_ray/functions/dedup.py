@@ -52,20 +52,38 @@ def _local_survivors(text_col: str, id_col: str, extra_cols: list[str]):
 def exact_dedup(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id", keep_cols: list[str] | None = None
 ) -> Dataset:
-    """One survivor row (min id) per distinct content value."""
+    """One survivor row (min id) per distinct content value.
+
+    Exchange is keyed on a COARSE bucket of the content hash (one Ray
+    group per bucket, pandas vectorized min-id inside), never one group
+    per distinct value — per-group Python dispatch is the measured
+    bottleneck at high-cardinality keys."""
     extra = [c for c in (keep_cols or []) if c not in (text_col, id_col)]
     pruned = ds.select_columns(sorted({text_col, id_col, *extra}))
-    local = pruned.map_batches(
-        _local_survivors(text_col, id_col, extra), batch_format="pyarrow"
-    ).repartition(SHUFFLE_PARTITIONS).materialize()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t["_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_bucket", pa.array((h % SHUFFLE_PARTITIONS).astype(np.int64))
+        )
+
+    local = (
+        pruned.map_batches(
+            _local_survivors(text_col, id_col, extra), batch_format="pyarrow"
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(SHUFFLE_PARTITIONS)
+        .materialize()
+    )
 
     def pick_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)
+        g = g.sort_values(id_col, kind="stable")
+        return g.drop_duplicates(subset=["_h"], keep="first")
 
     return (
-        local.groupby("_h")
+        local.groupby("_bucket")
         .map_groups(pick_min, batch_format="pandas")
-        .drop_columns(["_h"])
+        .drop_columns(["_h", "_bucket"])
     )
 
 
