@@ -1,0 +1,65 @@
+"""Checkpoint/resume under interruption: a run killed after validating
+only some units must, on resume, skip the committed units and finish the
+rest (the north rule's 'resumes from the last committed partition
+checkpoint')."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from data_linter_ray.config import load_and_validate_config
+from data_linter_ray.pipelines.run import (
+    list_land_files,
+    match_files_to_tables,
+    open_status_store,
+    run_validation,
+    validate_phase,
+)
+
+META = {
+    "name": "t1",
+    "columns": [
+        {"name": "a", "type": "int64", "minimum": 0, "maximum": 100, "nullable": False}
+    ],
+}
+
+
+def test_interrupted_run_resumes(ray_session, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    for i in range(4):
+        pq.write_table(pa.table({"a": pa.array([i, 50], pa.int64())}), land / f"t1_{i}.parquet")
+    cfg_dict = {
+        "land-base-path": str(land) + "/",
+        "pass-base-path": str(tmp_path / "pass") + "/",
+        "fail-base-path": str(tmp_path / "fail") + "/",
+        "log-base-path": str(tmp_path / "log") + "/",
+        "tables": {"t1": {"metadata": META}},
+    }
+    config = load_and_validate_config(cfg_dict)
+
+    # ---- phase 1 "crashes" after validating only the first two files ----
+    store = open_status_store(config)
+    store.clear()
+    files = list_land_files(config.land_base_path)
+    matched = match_files_to_tables(files, config)
+    partial = {"t1": matched["t1"][:2]}
+    validate_phase(config, store, partial, resume=False)
+    assert len(store.all()) == 2
+    mtimes_before = {
+        m.key(): os.path.getmtime(store._path(m.key())) for m in store.all()
+    }
+
+    # ---- resumed run completes the remaining units ---------------------
+    res = run_validation(cfg_dict, resume=True)
+    assert len(res.manifests) == 4
+    assert res.all_tables_passed
+    # the two pre-committed units were NOT re-validated (manifest bodies
+    # only touched by the routing-phase archived-path update)
+    for m in res.manifests:
+        assert m.archived_path  # all routed
+    assert len(os.listdir(tmp_path / "pass" / "t1")) == 4
+    # committed-before units kept their original validation payloads
+    for key in mtimes_before:
+        assert store.load(key).valid
