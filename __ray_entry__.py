@@ -483,15 +483,20 @@ def q_star_ref_check(sf_dir: str):
         ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
         ("orders", "o_custkey", "customer", "c_custkey"),
     ]
-    rows = []
-    for fact, fk, dim, pk in pairs:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(pair):
+        fact, fk, dim, pk = pair
         viol = referential_violations_broadcast(
             ray.data.read_parquet(f"{sf_dir}/{fact}.parquet", columns=[fk]),
             fk,
             ray.data.read_parquet(f"{sf_dir}/{dim}.parquet", columns=[pk]),
             pk,
         )
-        rows.append({"fk": fk, "n_dangling": viol.count()})
+        return {"fk": fk, "n_dangling": viol.count()}
+
+    with ThreadPoolExecutor(len(pairs)) as pool:  # independent sub-jobs
+        rows = list(pool.map(one, pairs))
     return pd.DataFrame(rows).sort_values("fk").reset_index(drop=True)
 
 

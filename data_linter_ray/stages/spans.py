@@ -64,15 +64,15 @@ def span_check_masks(spans) -> dict[str, np.ndarray]:
     offset = flat.field("offset")
 
     def rowify(flat_mask) -> np.ndarray:
-        """element-level violation mask → row-level mask via parent index."""
-        m = np.zeros(n_rows, dtype=bool)
+        """element-level violation mask → row-level mask via parent index
+        (bincount of violating parents — ~10× faster than logical_or.at)."""
         fm = (
             pc.fill_null(flat_mask, False).to_numpy(zero_copy_only=False)
             if not isinstance(flat_mask, np.ndarray)
             else flat_mask
         )
-        np.logical_or.at(m, parents[: len(fm)], fm)
-        return m
+        hits = parents[: len(fm)][fm]
+        return np.bincount(hits, minlength=n_rows).astype(bool)
 
     out: dict[str, np.ndarray] = {}
     is_text = pc.equal(kind, "text")
@@ -251,8 +251,7 @@ def span_sequence_equality_mask(left, right, compare_offsets: bool = False) -> n
         neq = pc.fill_null(pc.not_equal(a, b), False).to_numpy(zero_copy_only=False)
         null_mismatch = pc.xor(pc.is_null(a), pc.is_null(b)).to_numpy(zero_copy_only=False)
         elem_neq |= neq | null_mismatch
-    row_neq_sub = np.zeros(int(both.sum()), dtype=bool)
-    np.logical_or.at(row_neq_sub, parents, elem_neq)
+    row_neq_sub = np.bincount(parents[elem_neq], minlength=int(both.sum())).astype(bool)
     unequal[np.flatnonzero(both)] = row_neq_sub
     return unequal
 
