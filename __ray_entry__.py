@@ -485,18 +485,26 @@ def q_star_ref_check(sf_dir: str):
     ]
     from concurrent.futures import ThreadPoolExecutor
 
-    def one(pair):
-        fact, fk, dim, pk = pair
-        viol = referential_violations_broadcast(
-            ray.data.read_parquet(f"{sf_dir}/{fact}.parquet", columns=[fk]),
-            fk,
-            ray.data.read_parquet(f"{sf_dir}/{dim}.parquet", columns=[pk]),
-            pk,
+    # build the (lazy) pipelines on the main thread — Ray's read_parquet
+    # does lazy fsspec imports that race under concurrent first-import —
+    # then execute the independent sub-jobs concurrently
+    viols = []
+    for fact, fk, dim, pk in pairs:
+        viols.append(
+            (
+                fk,
+                referential_violations_broadcast(
+                    ray.data.read_parquet(f"{sf_dir}/{fact}.parquet", columns=[fk]),
+                    fk,
+                    ray.data.read_parquet(f"{sf_dir}/{dim}.parquet", columns=[pk]),
+                    pk,
+                ),
+            )
         )
-        return {"fk": fk, "n_dangling": viol.count()}
-
-    with ThreadPoolExecutor(len(pairs)) as pool:  # independent sub-jobs
-        rows = list(pool.map(one, pairs))
+    with ThreadPoolExecutor(len(viols)) as pool:
+        rows = list(
+            pool.map(lambda t: {"fk": t[0], "n_dangling": t[1].count()}, viols)
+        )
     return pd.DataFrame(rows).sort_values("fk").reset_index(drop=True)
 
 
