@@ -23,6 +23,7 @@ _TOP_LEVEL_KEYS = {
     "remove-tables-on-pass",
     "all-must-pass",
     "fail-unknown-files",
+    "fail-no-files",
     "validator-engine",
     "validator-engine-params",
     "timestamp-partition-name",
@@ -127,6 +128,7 @@ class RunConfig:
     remove_tables_on_pass: bool = True
     compress_data: bool = False
     fail_unknown_files: dict = field(default_factory=dict)
+    fail_no_files: bool = False
     validator_engine: str = "ray"
     timestamp_partition_name: Optional[str] = None
 
@@ -158,6 +160,7 @@ class RunConfig:
             remove_tables_on_pass=d.get("remove-tables-on-pass", True),
             compress_data=d.get("compress-data", False),
             fail_unknown_files=d.get("fail-unknown-files", {}) or {},
+            fail_no_files=d.get("fail-no-files", False),
             validator_engine=engine,
             timestamp_partition_name=d.get("timestamp-partition-name"),
         )

@@ -66,6 +66,8 @@ def match_files_to_tables(
     matching ≥2 tables → FileExistsError; unknown files (only when
     ``fail-unknown-files`` is configured) → FileExistsError."""
     land = config.land_base_path.rstrip("/") + "/"
+    if not files and config.fail_no_files:
+        raise FileNotFoundError(f"No files found in the path: {config.land_base_path}")
     matched: dict[str, list[str]] = {name: [] for name in config.tables}
     all_matched: list[str] = []
     for name, tc in config.tables.items():

@@ -313,6 +313,47 @@ def test_jsonl_table(ray_session, tmp_path):
     assert res.manifests[0].counts.get("my_int::min_max_test") == 1
 
 
+TABLE2_META = {
+    "name": "table2",
+    "columns": [
+        {"name": "employee_id", "type": "int64", "minimum": 100000, "maximum": 999999, "nullable": False},
+        {"name": "employee_name", "type": "string"},
+        {"name": "fte", "type": "float64", "minimum": 0.0, "maximum": 1.0},
+    ],
+}
+
+
+def test_jsonl_missing_keys_inflates_nulls(ray_session, tmp_path):
+    """F3 'missing_keys': a key absent in some rows reads as null →
+    non-nullable check fails (reference tests/data/headers behavior)."""
+    jsonl = (
+        '{"employee_id": 123456, "employee_name": "a", "fte": 0.5}\n'
+        '{"employee_name": "b", "fte": 0.5}\n'
+    )
+    cfg = make_env(tmp_path, {"table2.jsonl": jsonl}, {"table2": {"metadata": TABLE2_META}})
+    res = run_validation(cfg)
+    assert not res.all_tables_passed
+    assert res.manifests[0].counts.get("employee_id::nullable_test") == 1
+
+
+def test_jsonl_reordered_cols_pass(ray_session, tmp_path):
+    """F3 'reordered_cols': same keys, different order — must pass."""
+    jsonl = (
+        '{"fte": 0.5, "employee_id": 123456, "employee_name": "a"}\n'
+        '{"employee_name": "b", "fte": 1.0, "employee_id": 654321}\n'
+    )
+    cfg = make_env(tmp_path, {"table2.jsonl": jsonl}, {"table2": {"metadata": TABLE2_META}})
+    assert run_validation(cfg).all_tables_passed
+
+
+def test_jsonl_wrong_headers_fail(ray_session, tmp_path):
+    """F3 'wrong_headers': renamed keys → zero overlap → hard fail."""
+    jsonl = '{"emp": 1, "name": "a", "hours": 0.5}\n'
+    cfg = make_env(tmp_path, {"table2.jsonl": jsonl}, {"table2": {"metadata": TABLE2_META}})
+    res = run_validation(cfg)
+    assert not res.all_tables_passed
+
+
 def test_cast_failure_recorded_not_raised(ray_session, tmp_path):
     csv = "my_int,animal,my_email\nnot_a_number,cat,a@b.c\n"
     cfg = make_env(
