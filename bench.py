@@ -25,7 +25,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 DOCS_PER_SF = 20_000_000  # headline table rows at sf=1.0 (sf0.1 → 2M)
 # scaling runs need enough compute that fixed startup (~2s of Ray Data
 # planning + small control-plane executions) is amortized away
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "8000000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "16000000"))
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
 # N and 4N CPUs. Default 2→8: measured on this VM, 8 vCPUs already
 # saturate memory bandwidth (8→32 adds only ~20% on a bandwidth-bound
