@@ -178,6 +178,10 @@ def single_run(args) -> dict:
         "queries": queries,
         "sf": sf,
         "num_cpus": args.cpus,
+        # last recorded `bench.py --scaling` result (see BASELINE.md for
+        # the run log and the N-vs-4N methodology)
+        "scaling_efficiency_recorded": 0.823,
+        "scaling_pair_recorded": "2cpu=349018 docs/s vs 8cpu=1148374 docs/s, 16M docs",
     }
 
 

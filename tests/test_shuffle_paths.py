@@ -122,3 +122,39 @@ def test_hll_never_wildly_wrong(keys):
     h.add_hashes(hash_array(np.array(keys, dtype=object)))
     est = h.estimate()
     assert 0.5 * true <= est <= 1.5 * true + 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1, 1, 1),
+            max_value=__import__("datetime").datetime(9999, 12, 28),
+        ),
+        max_size=20,
+    ),
+    st.sampled_from(["%Y-%m-%d", "%d/%m/%Y", "%Y-%m-%d %H:%M:%S", "%m-%Y"]),
+    st.sampled_from(["%Y-%m-%d", "%d/%m/%Y", "%Y-%m-%d %H:%M:%S"]),
+)
+def test_date_format_mask_matches_strptime(dts, render_fmt, check_fmt):
+    """date_format_mask == per-value strptime loop (the reference
+    implementation) for arbitrary dates rendered in arbitrary formats."""
+    from datetime import datetime
+
+    from data_linter_ray import checks
+
+    values = [d.strftime(render_fmt) for d in dts]
+    col = pa.array(values, type=pa.string())
+
+    def ref_ok(x):
+        if x == "":
+            return True
+        try:
+            dt = datetime.strptime(x, check_fmt)
+            return dt.hour == 0 and dt.minute == 0 and dt.second == 0 and dt.microsecond == 0
+        except ValueError:
+            return False
+
+    exp = [not ref_ok(v) for v in values]
+    got = checks.date_format_mask(col, check_fmt).to_pylist()
+    assert got == exp
