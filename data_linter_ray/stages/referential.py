@@ -112,10 +112,9 @@ def referential_violations_shuffle(
     num_buckets = 64
 
     def bucket_of(vals: pa.Array) -> pa.Array:
-        h = pd.util.hash_pandas_object(vals.to_pandas(), index=False).to_numpy(
-            dtype=np.uint64
-        )
-        return pa.array((h % num_buckets).astype(np.int64))
+        from data_linter_ray.state.sketches import hash_array
+
+        return pa.array((hash_array(vals) % num_buckets).astype(np.int64))
 
     def fk_partials(t: pa.Table) -> pa.Table:
         vc = t[fk].combine_chunks().drop_null().value_counts()

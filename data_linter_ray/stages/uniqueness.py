@@ -38,13 +38,11 @@ def _local_counts(key: str, num_buckets: int):
     and far cheaper than Ray's hash-shuffle actors at this scale."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        from data_linter_ray.state.sketches import hash_array
 
         vc = batch[key].combine_chunks().value_counts()
         vals = vc.field("values")
-        h = pd.util.hash_pandas_object(vals.to_pandas(), index=False).to_numpy(
-            dtype=np.uint64
-        )
+        h = hash_array(vals)
         return pa.Table.from_arrays(
             [
                 vals,
