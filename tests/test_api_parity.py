@@ -107,3 +107,24 @@ def test_generate_iam_config(tmp_path):
     assert any("bucket/fail/" in p for p in result["s3"]["read_write"])
     with pytest.raises(ValueError, match="overwrite"):
         utils.generate_iam_config(cfg, out)
+
+def test_reference_module_layout(ray_session, tmp_path):
+    """data_linter_ray.validation mirrors the reference's import surface."""
+    from data_linter_ray import validation as V
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "table1.csv").write_text("my_int,animal\n10,cat\n")
+    cfg = {
+        "land-base-path": str(land) + "/",
+        "pass-base-path": str(tmp_path / "pass") + "/",
+        "fail-base-path": str(tmp_path / "fail") + "/",
+        "log-base-path": str(tmp_path / "log") + "/",
+        "tables": {"table1": {"metadata": META}},
+    }
+    matched = V.match_files_in_land_to_config(cfg)
+    assert len(matched["table1"]) == 1
+    V.validate_data(cfg)
+    res = V.collect_all_status(cfg)
+    assert res.all_tables_passed
+    assert "pandas" in V.get_validator and "parquet" in V.get_validator
