@@ -49,6 +49,17 @@ _TABLE_KEYS = {
 }
 
 
+#: run-level validator kwargs applied to every table as defaults
+#: (reference passes ``validator-engine-params`` to each validator
+#: constructor — validation.py:391-393, :418-420)
+_ENGINE_PARAM_KEYS = {
+    "log-verbosity",
+    "row-limit",
+    "row-sample",
+    "sample-seed",
+}
+
+
 class ConfigError(ValueError):
     pass
 
@@ -130,6 +141,7 @@ class RunConfig:
     fail_unknown_files: dict = field(default_factory=dict)
     fail_no_files: bool = False
     validator_engine: str = "ray"
+    validator_engine_params: dict = field(default_factory=dict)
     timestamp_partition_name: Optional[str] = None
 
     @classmethod
@@ -145,6 +157,18 @@ class RunConfig:
         engine = d.get("validator-engine", "ray")
         if engine not in ("ray", "pandas", "parquet"):
             raise ConfigError(f"unknown validator-engine: {engine}")
+        engine_params = _dashify(
+            d.get("validator-engine-params", {}) or {}, _ENGINE_PARAM_KEYS
+        )
+        unknown_params = set(engine_params) - _ENGINE_PARAM_KEYS
+        if unknown_params:
+            raise ConfigError(
+                f"unknown validator-engine-params keys: {sorted(unknown_params)}"
+            )
+        if engine_params.get("row-sample") not in (None, "head", "random"):
+            raise ConfigError(
+                "validator-engine-params.row-sample must be 'head' or 'random'"
+            )
         if not isinstance(d["tables"], dict) or not d["tables"]:
             raise ConfigError("config.tables must be a non-empty mapping")
         return cls(
@@ -162,6 +186,7 @@ class RunConfig:
             fail_unknown_files=d.get("fail-unknown-files", {}) or {},
             fail_no_files=d.get("fail-no-files", False),
             validator_engine=engine,
+            validator_engine_params=engine_params,
             timestamp_partition_name=d.get("timestamp-partition-name"),
         )
 
@@ -169,8 +194,9 @@ class RunConfig:
     def from_yaml(cls, path: str) -> "RunConfig":
         import yaml
 
-        with open(path) as f:
-            return cls.from_dict(yaml.safe_load(f))
+        from data_linter_ray import fs
+
+        return cls.from_dict(yaml.safe_load(fs.read_text(path)))
 
 
 def load_and_validate_config(source: str | dict) -> RunConfig:

@@ -186,8 +186,9 @@ class TableSchema:
 
     @classmethod
     def from_json(cls, path: str) -> "TableSchema":
-        with open(path) as f:
-            return cls.from_dict(json.load(f))
+        from data_linter_ray import fs
+
+        return cls.from_dict(json.loads(fs.read_text(path)))
 
     def to_dict(self) -> dict:
         return {

@@ -12,7 +12,14 @@ Re-creates the reference's ``run_validation``
   4. routing: all-pass → pass path; ``all-must-pass`` + any fail → ALL
      files to fail path and a final ValueError (validation.py:547-557,
      :635-642); else per-file pass/fail. Optional delete-on-pass.
-  5. per-table JSON log written under the log path.
+  5. per-table JSON log written under the log path; a run-level main log
+     is collated and uploaded on success AND on the error path
+     (reference logging_functions.py:51-69, validation.py:240-251).
+
+Every base path (land / pass / fail / log) may independently be a local
+path or an ``s3://`` URI, in any combination — the reference's 16-way
+path matrix (``tests/test_end_to_end_run.py:82-119``). All path I/O goes
+through :mod:`data_linter_ray.fs`.
 
 Resume: ``run_validation(..., resume=True)`` skips any unit whose
 manifest is already committed — the reference's parallel mode used S3
@@ -27,14 +34,12 @@ CONTINUES with other tables rather than silently returning early
 from __future__ import annotations
 
 import fnmatch
-import gzip
 import json
-import os
 import re
-import shutil
 import time
 from dataclasses import dataclass, field
 
+from data_linter_ray import fs
 from data_linter_ray.config import RunConfig, TableConfig, load_and_validate_config
 from data_linter_ray.metadata import TableSchema
 from data_linter_ray.pipelines.validate import validate_dataset
@@ -43,18 +48,14 @@ from data_linter_ray.state.manifest import ManifestStore, UnitManifest
 
 
 def list_land_files(land: str) -> list[str]:
-    """Local land-folder listing: exclude dotfiles and zero-byte files
-    (reference utils.get_filepaths_from_local_folder, utils.py:153-177)."""
-    out = []
-    for root, _dirs, files in os.walk(land):
-        for fn in files:
-            if fn.startswith("."):
-                continue
-            p = os.path.join(root, fn)
-            if os.path.getsize(p) == 0:
-                continue
-            out.append(p)
-    return sorted(out)
+    """Land listing, local or S3: exclude dotfiles and zero-byte files
+    (reference utils.get_filepaths_from_local_folder, utils.py:153-177;
+    S3 branch validation.py:154-157)."""
+    return fs.list_files(land)
+
+
+def _basename(path: str) -> str:
+    return path.rstrip("/").rsplit("/", 1)[-1]
 
 
 def match_files_to_tables(
@@ -72,7 +73,7 @@ def match_files_to_tables(
     all_matched: list[str] = []
     for name, tc in config.tables.items():
         for f in files:
-            rel = f[len(land):] if f.startswith(land) else os.path.basename(f)
+            rel = f[len(land):] if f.startswith(land) else _basename(f)
             hit = (
                 re.match(tc.pattern, rel) is not None
                 if tc.pattern
@@ -95,7 +96,7 @@ def match_files_to_tables(
             for f in files
             if f not in set(all_matched)
             and not any(
-                fnmatch.fnmatch(os.path.basename(f), e) or f.endswith(e)
+                fnmatch.fnmatch(_basename(f), e) or f.endswith(e)
                 for e in exceptions
             )
         ]
@@ -114,24 +115,12 @@ def _load_schema(tc: TableConfig) -> TableSchema:
     raise ValueError(f"table {tc.name}: no metadata given")
 
 
-def _move_file(src: str, dst: str, compress: bool) -> str:
-    """Copy (optionally gzip) src to the exact dst path."""
-    os.makedirs(os.path.dirname(dst), exist_ok=True)
-    if compress and not dst.endswith(".gz"):
-        dst += ".gz"
-    if compress:
-        with open(src, "rb") as fi, gzip.open(dst, "wb") as fo:
-            shutil.copyfileobj(fi, fo)
-    else:
-        shutil.copy2(src, dst)
-    return dst
-
-
 @dataclass
 class RunResult:
     all_tables_passed: bool
     manifests: list[UnitManifest] = field(default_factory=list)
     table_logs: dict = field(default_factory=dict)
+    main_log_path: str | None = None
 
     @property
     def valid(self) -> bool:
@@ -140,7 +129,7 @@ class RunResult:
 
 def open_status_store(config: RunConfig) -> ManifestStore:
     return ManifestStore(
-        os.path.join(config.log_base_path, "data_linter_temporary_fs", "status")
+        fs.join(config.log_base_path, "data_linter_temporary_fs", "status")
     )
 
 
@@ -150,17 +139,44 @@ def run_validation(
     resume: bool = False,
     raise_on_failure: bool | None = None,
 ) -> RunResult:
-    if not isinstance(config, RunConfig):
-        config = load_and_validate_config(config)
+    from data_linter_ray import runlog
 
-    store = open_status_store(config)
-    if not resume:
-        store.clear()
+    log, buf = runlog.logging_setup()
+    main_log_path = None
+    try:
+        log.info("Loading config")
+        if not isinstance(config, RunConfig):
+            config = load_and_validate_config(config)
+        main_log_path = runlog.get_main_log_path(config.log_base_path)
 
-    files = list_land_files(config.land_base_path)
-    matched = match_files_to_tables(files, config)
-    validate_phase(config, store, matched, resume=resume)
-    return collect_phase(config, store, raise_on_failure=raise_on_failure)
+        store = open_status_store(config)
+        if not resume:
+            store.clear()
+
+        log.info("Matching land files")
+        files = list_land_files(config.land_base_path)
+        matched = match_files_to_tables(files, config)
+        log.info("Running validation over %d matched files", sum(map(len, matched.values())))
+        validate_phase(config, store, matched, resume=resume, log=log)
+        result = collect_phase(
+            config, store, raise_on_failure=raise_on_failure, log=log
+        )
+        result.main_log_path = main_log_path
+    except Exception as e:
+        # reference error path (validation.py:240-249): upload the main
+        # log BEFORE re-raising
+        log.error(
+            "Unexpected error. Uploading log to %s before raising error.",
+            main_log_path,
+        )
+        log.error(str(e))
+        runlog.upload_log(buf, main_log_path)
+        runlog.teardown(log, buf)
+        raise
+    else:
+        runlog.upload_log(buf, main_log_path)
+        runlog.teardown(log, buf)
+    return result
 
 
 def validate_phase(
@@ -169,11 +185,15 @@ def validate_phase(
     matched: dict[str, list[str]],
     *,
     resume: bool = False,
+    log=None,
 ) -> None:
     """Validate every matched (table, file) unit, committing one manifest
     per unit (the checkpoint unit; committed units are skipped on
-    resume)."""
+    resume). ``validator-engine-params`` from the run config apply to
+    every unit as defaults under the table's own settings (reference
+    passes them to every validator constructor, validation.py:391-420)."""
     log_root = config.log_base_path
+    engine_params = config.validator_engine_params or {}
     for name, tc in config.tables.items():
         if not matched.get(name):
             continue  # optional table with no files: skip, keep validating
@@ -189,6 +209,8 @@ def validate_phase(
             probe = UnitManifest(table=name, source_path=path, valid=False)
             if resume and store.exists(probe):
                 continue
+            if log:
+                log.info("Linting %s (%s)", name, path)
             t0 = time.monotonic()
             if config.validator_engine == "parquet":
                 # schema-only conformance (reference ParquetValidator path)
@@ -223,7 +245,7 @@ def validate_phase(
             try:
                 ds = read_table_dataset(path, schema, tc.table_params())
                 drift_baselines = None
-                if tc.drift_baseline and os.path.exists(tc.drift_baseline):
+                if tc.drift_baseline and fs.exists(tc.drift_baseline):
                     from data_linter_ray.stages.sketch_stage import load_baselines
 
                     drift_baselines = load_baselines(tc.drift_baseline)
@@ -234,17 +256,27 @@ def validate_phase(
                     ref_tables=ref_tables,
                     allow_missing_cols=tc.allow_missing_cols,
                     allow_unexpected_data=tc.allow_unexpected_data,
-                    row_limit=tc.row_limit,
-                    log_verbosity=tc.log_verbosity,
+                    row_limit=(
+                        tc.row_limit
+                        if tc.row_limit is not None
+                        else engine_params.get("row-limit")
+                    ),
+                    row_sample=engine_params.get("row-sample", "head"),
+                    sample_seed=engine_params.get("sample-seed"),
+                    log_verbosity=(
+                        tc.log_verbosity
+                        if tc.log_verbosity is not None
+                        else engine_params.get("log-verbosity")
+                    ),
                     drift_baselines=drift_baselines,
                     drift_threshold=tc.drift_threshold,
                 )
                 viol_path = None
                 if res.violations is not None and res.counts:
-                    viol_path = os.path.join(
+                    viol_path = fs.join(
                         log_root, "violations", name, probe.key()
                     )
-                    res.violations.write_parquet(viol_path)
+                    fs.write_parquet_uri(res.violations, viol_path)
                 m = UnitManifest(
                     table=name,
                     source_path=path,
@@ -276,6 +308,7 @@ def collect_phase(
     store: ManifestStore,
     *,
     raise_on_failure: bool | None = None,
+    log=None,
 ) -> RunResult:
     """Collect committed manifests, route files pass/fail, write per-table
     logs (reference ``collect_all_status``, validation.py:498-649)."""
@@ -292,7 +325,7 @@ def collect_phase(
             continue
         to_pass = m.valid if not config.all_must_pass else all_passed
         dst_root = config.pass_base_path if to_pass else config.fail_base_path
-        base = os.path.basename(m.source_path)
+        base = _basename(m.source_path)
         if config.timestamp_partition_name:
             # reference hive-style partitioned naming (utils.get_out_path):
             # {base}/{table}/{tpn}={ts}/{file}-{n}-{ts}[.gz]
@@ -311,10 +344,10 @@ def collect_phase(
             # stable idempotent naming (deliberate difference from the
             # reference's always-ts-suffixed names: a resumed run
             # overwrites rather than duplicating outputs)
-            dst = os.path.join(dst_root, m.table, base)
-        archived = _move_file(m.source_path, dst, config.compress_data)
+            dst = fs.join(dst_root, m.table, base)
+        archived = fs.copy_file(m.source_path, dst, compress=config.compress_data)
         if to_pass and config.remove_tables_on_pass:
-            os.unlink(m.source_path)
+            fs.delete_file(m.source_path)
         store.set_archived(m.key(), archived)
     manifests = store.all()
 
@@ -331,16 +364,16 @@ def collect_phase(
             }
         )
     for name, entries in table_logs.items():
-        d = os.path.join(log_root, "tables", name)
-        os.makedirs(d, exist_ok=True)
+        d = fs.join(log_root, "tables", name)
         for i, e in enumerate(entries):
-            with open(os.path.join(d, f"log-{name}-{i}.json"), "w") as f:
-                json.dump(e, f, indent=1)
+            fs.write_text(fs.join(d, f"log-{name}-{i}.json"), json.dumps(e, indent=1))
 
     result = RunResult(
         all_tables_passed=all_passed, manifests=manifests, table_logs=table_logs
     )
     should_raise = config.all_must_pass if raise_on_failure is None else raise_on_failure
     if should_raise and not all_passed:
+        if log:
+            log.error("Tables did not pass linter")
         raise ValueError("Tables did not pass linter")
     return result

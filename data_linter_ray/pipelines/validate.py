@@ -360,6 +360,8 @@ def validate_dataset(
     allow_missing_cols: bool = False,
     allow_unexpected_data: bool = False,
     row_limit: Optional[int] = None,
+    row_sample: str = "head",
+    sample_seed: Optional[int] = None,
     log_verbosity: Optional[int] = None,
     drift_baselines: Optional[dict] = None,
     drift_threshold: float = 0.1,
@@ -394,7 +396,18 @@ def validate_dataset(
         return TableValidationResult(response=response, violations=None)
 
     if row_limit is not None:
-        ds = ds.limit(row_limit)
+        if row_sample == "random":
+            # reference row-limit is a RANDOM sample
+            # (pandas_validator.py:475-478, df.sample(n)). Distributed
+            # equivalent: per-row Bernoulli at an oversampled fraction,
+            # capped to exactly row_limit — no driver materialization,
+            # no shuffle. Deterministic under sample_seed.
+            total = ds.count()
+            if total > row_limit:
+                frac = min(1.0, (row_limit / total) * 1.25)
+                ds = ds.random_sample(frac, seed=sample_seed).limit(row_limit)
+        else:
+            ds = ds.limit(row_limit)
 
     # --- ONE fused, column-pruned map pass for every per-batch check ----
     # (constraint kernels, span checks, span equality, broadcast

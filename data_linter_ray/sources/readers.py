@@ -122,8 +122,16 @@ def read_table_dataset(
     ingest normalization. ``file_format`` defaults from the path suffix."""
     import ray.data
 
+    from data_linter_ray import fs as dlfs
+
     table_params = table_params or {}
     p0 = path if isinstance(path, str) else path[0]
+    # For s3:// paths, hand Ray an explicit pyarrow S3FileSystem so the
+    # endpoint/credential configuration travels (serialized) with the scan
+    # tasks to remote workers — no env dependence worker-side.
+    fs_kwargs: dict = {}
+    if dlfs.is_s3(p0):
+        fs_kwargs["filesystem"] = dlfs.resolve(p0)[0]
     fmt = file_format or (
         "csv"
         if p0.endswith(".csv")
@@ -135,7 +143,7 @@ def read_table_dataset(
     )
 
     if fmt == "parquet":
-        ds = ray.data.read_parquet(path)
+        ds = ray.data.read_parquet(path, **fs_kwargs)
     elif fmt == "lance":
         try:
             ds = ray.data.read_lance(p0)  # requires lance in the env
@@ -146,10 +154,10 @@ def read_table_dataset(
     elif fmt == "csv":
         read_opts, convert_opts = _csv_options(table_params, schema)
         ds = ray.data.read_csv(
-            path, read_options=read_opts, convert_options=convert_opts
+            path, read_options=read_opts, convert_options=convert_opts, **fs_kwargs
         )
     elif fmt == "jsonl":
-        ds = ray.data.read_json(path)
+        ds = ray.data.read_json(path, **fs_kwargs)
     else:
         raise ValueError(f"unsupported file format: {fmt}")
 

@@ -133,10 +133,11 @@ def compute_sketches(
 
 def save_baselines(sketches: dict[str, dict], path: str) -> str:
     """Persist merged sketches (the drift baseline) to one JSON file
-    (payloads base64) — KB-sized, safe anywhere."""
+    (payloads base64) — KB-sized, safe anywhere (local or s3://)."""
     import base64
     import json
-    import os
+
+    from data_linter_ray import fs
 
     out: dict = {}
     for col, entry in sketches.items():
@@ -146,11 +147,7 @@ def save_baselines(sketches: dict[str, dict], path: str) -> str:
         if "hll" in entry:
             e["hll"] = base64.b64encode(entry["hll"].to_bytes()).decode()
         out[col] = e
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(out, f)
-    os.replace(tmp, path)
+    fs.write_text(path, json.dumps(out))
     return path
 
 
@@ -158,8 +155,9 @@ def load_baselines(path: str) -> dict[str, dict]:
     import base64
     import json
 
-    with open(path) as f:
-        raw = json.load(f)
+    from data_linter_ray import fs
+
+    raw = json.loads(fs.read_text(path))
     out: dict[str, dict] = {}
     for col, e in raw.items():
         entry: dict = {}

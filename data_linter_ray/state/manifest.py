@@ -2,10 +2,14 @@
 
 Reference analog: one status JSON per validated file in the temp status
 area (``/root/reference/data_linter/validation.py:450-496``, read back at
-:520-538). Ours adds what the reference lacks (SURVEY.md §4 "checkpoint/
-resume"): atomic write-then-rename commits and re-entrancy — a resumed
-run skips every unit whose manifest already exists, so a killed job
-continues from the last committed unit.
+:520-538) — which in the reference lives on S3. Ours adds what the
+reference lacks (SURVEY.md §4 "checkpoint/resume"): atomic commits
+(write-then-rename locally, single-PUT on S3 — both atomic) and
+re-entrancy — a resumed run skips every unit whose manifest already
+exists, so a killed job continues from the last committed unit.
+
+The store root may be a local directory or an ``s3://`` URI; all I/O
+goes through :mod:`data_linter_ray.fs`.
 
 A "unit" is one (table, file) validation; the manifest records verdict,
 counts, row count, output paths, and timing.
@@ -14,10 +18,10 @@ counts, row count, output paths, and timing.
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 from dataclasses import asdict, dataclass, field
 from typing import Optional
+
+from data_linter_ray import fs
 
 
 @dataclass
@@ -40,14 +44,14 @@ class UnitManifest:
 
 
 class ManifestStore:
-    """Directory of committed unit manifests (atomic rename commits)."""
+    """Directory (local or S3 prefix) of committed unit manifests."""
 
     def __init__(self, root: str):
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        fs.makedirs(root)
 
     def _path(self, key: str) -> str:
-        return os.path.join(self.root, f"{key}.json")
+        return fs.join(self.root, f"{key}.json")
 
     def exists(self, manifest_or_key) -> bool:
         key = (
@@ -55,23 +59,14 @@ class ManifestStore:
             if isinstance(manifest_or_key, str)
             else manifest_or_key.key()
         )
-        return os.path.exists(self._path(key))
+        return fs.exists(self._path(key))
 
     def load(self, key: str) -> UnitManifest:
-        with open(self._path(key)) as f:
-            return UnitManifest(**json.load(f))
+        return UnitManifest(**json.loads(fs.read_text(self._path(key))))
 
     def commit(self, m: UnitManifest) -> str:
-        """Atomic: write to a temp file in the same dir, then rename."""
         final = self._path(m.key())
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(asdict(m), f)
-            os.replace(tmp, final)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        fs.write_text(final, json.dumps(asdict(m)))
         return final
 
     def set_archived(self, key: str, archived_path: str) -> None:
@@ -81,12 +76,13 @@ class ManifestStore:
 
     def all(self) -> list[UnitManifest]:
         out = []
-        for fn in sorted(os.listdir(self.root)):
+        for fn in fs.listdir(self.root):
             if fn.endswith(".json"):
-                with open(os.path.join(self.root, fn)) as f:
-                    out.append(UnitManifest(**json.load(f)))
+                out.append(
+                    UnitManifest(**json.loads(fs.read_text(fs.join(self.root, fn))))
+                )
         return out
 
     def clear(self) -> None:
-        for fn in os.listdir(self.root):
-            os.unlink(os.path.join(self.root, fn))
+        for fn in fs.listdir(self.root):
+            fs.delete_file(fs.join(self.root, fn))

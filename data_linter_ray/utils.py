@@ -36,16 +36,11 @@ def get_table_log_path(basepath: str, table: str, ts: str, filenum: int = 0) -> 
 
 
 def read_all_file_body(path: str) -> str:
-    """Whole-file utf-8 read (reference ``read_all_file_body``,
-    utils.py:180-204 — local branch; object stores via pyarrow.fs)."""
-    if "://" in path:
-        from pyarrow import fs as pafs
+    """Whole-file utf-8 read, local or object store (reference
+    ``read_all_file_body``, utils.py:180-204)."""
+    from data_linter_ray import fs
 
-        filesystem, rel = pafs.FileSystem.from_uri(path)
-        with filesystem.open_input_stream(rel) as f:
-            return f.read().decode("utf-8")
-    with open(path, "rb") as f:
-        return f.read().decode("utf-8")
+    return fs.read_text(path)
 
 
 def generate_iam_config(

@@ -364,3 +364,61 @@ def test_cast_failure_recorded_not_raised(ray_session, tmp_path):
     r = res.manifests[0].response
     assert r["valid"] is False
     assert "parse_data" in r or "overall_validation" in r
+
+
+def test_validator_engine_params_passthrough(ray_session, tmp_path):
+    """``validator-engine-params`` at the top level reach every unit as
+    defaults (reference passes them to each validator constructor,
+    validation.py:391-420): log-verbosity set run-wide → violation value
+    samples appear in the response."""
+    cfg = make_env(
+        tmp_path,
+        {"table1.csv": CSV_FAIL},
+        {"table1": {"metadata": TABLE1_META}},
+        **{"validator-engine-params": {"log-verbosity": 5}},
+    )
+    res = run_validation(cfg)
+    resp = res.manifests[0].response
+    mm = resp["my_int"]["min_max_test"]
+    assert mm["valid"] is False
+    # with log-verbosity wired through, offending values are sampled
+    assert "5" in mm["unexpected_values_sample"], mm
+
+
+def test_validator_engine_params_unknown_key_rejected(tmp_path):
+    from data_linter_ray.config import ConfigError, load_and_validate_config
+
+    cfg = {
+        "land-base-path": "x",
+        "fail-base-path": "y",
+        "log-base-path": "z",
+        "tables": {"t": {}},
+        "validator-engine-params": {"bogus-knob": 1},
+    }
+    with pytest.raises(ConfigError, match="bogus-knob"):
+        load_and_validate_config(cfg)
+
+
+def test_row_limit_random_sample(ray_session, tmp_path):
+    """row-sample=random: reference row-limit semantics
+    (pandas_validator.py:475-478, df.sample) — a random subset of at most
+    row-limit rows is validated, deterministic under sample-seed."""
+    rows = "\n".join(f"{5 if i % 2 else 15},cat,a@b.c" for i in range(200))
+    csv = "my_int,animal,my_email\n" + rows + "\n"
+    cfg = make_env(
+        tmp_path,
+        {"table1.csv": csv},
+        {"table1": {"metadata": TABLE1_META, "row-limit": 50}},
+        **{"validator-engine-params": {"row-sample": "random", "sample-seed": 7}},
+    )
+    res = run_validation(cfg)
+    m = res.manifests[0]
+    assert m.row_count <= 50
+    # odd rows (my_int=5) violate min 10; a uniform sample must catch some
+    # but validate fewer than the full 100 violating rows
+    n_bad = m.counts.get("my_int::min_max_test", 0)
+    assert 0 < n_bad < 100
+    # deterministic under the same seed
+    res2 = run_validation(cfg)
+    assert res2.manifests[0].row_count == m.row_count
+    assert res2.manifests[0].counts == m.counts
