@@ -387,7 +387,12 @@ def q_minhash_dedup(sf_dir: str):
     corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
     cand = D.minhash_lsh_candidates(corpus)
     verified = D.verify_candidates_jaccard(corpus, cand, threshold=0.7)
-    return verified[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return (
+        verified.select_columns(["id_a", "id_b"])
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
 
 
 def q_simhash_dedup(sf_dir: str):

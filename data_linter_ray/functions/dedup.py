@@ -423,6 +423,61 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(ga & gb) / len(ga | gb)
 
 
+#: below this many candidate pairs, the distinct doc-id set is collected
+#: and broadcast to pre-filter the corpus BEFORE shingling (prunes the
+#: expensive pass early); above it, every doc is shingled and the hash
+#: join does the pruning — no driver materialization either way.
+PREFILTER_PAIR_THRESHOLD = 2_000_000
+
+
+def shingle_sets(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    needed_ids=None,
+) -> Dataset:
+    """Per-doc sorted-unique shingle-hash sets → (did, sh: large_binary).
+
+    The set is encoded as little-endian uint64 bytes (Acero hash joins
+    reject list-typed payload columns; binary round-trips zero-copy via
+    ``np.frombuffer``). ``needed_ids`` (an ObjectRef to an arrow array)
+    optionally pre-filters rows before the shingling pass.
+    """
+    import ray
+
+    def to_sets(t: pa.Table) -> pa.Table:
+        if needed_ids is not None:
+            keys = (
+                ray.get(needed_ids)
+                if isinstance(needed_ids, ray.ObjectRef)
+                else needed_ids
+            )
+            t = t.filter(pc.is_in(t[id_col], value_set=keys))
+        th, tp = _token_hashes(t[text_col])
+        sh, sp = _shingle_hashes(th, tp, ngram)
+        n = t.num_rows
+        order = np.lexsort((sh, sp))
+        sh, sp = sh[order], sp[order]
+        if len(sh):
+            first = np.ones(len(sh), dtype=bool)
+            first[1:] = (sh[1:] != sh[:-1]) | (sp[1:] != sp[:-1])
+            sh, sp = sh[first], sp[first]
+        counts = np.bincount(sp, minlength=n) if n else np.zeros(0, np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts * 8, out=offsets[1:])
+        bin_arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(sh.tobytes())],
+        )
+        return pa.table({"did": t[id_col], "sh": bin_arr})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        to_sets, batch_format="pyarrow"
+    )
+
+
 def verify_candidates_jaccard(
     ds: Dataset,
     candidates: Dataset,
@@ -430,36 +485,65 @@ def verify_candidates_jaccard(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     ngram: int = 3,
-):
-    """Join candidate pair ids back to texts (broadcast id→text lookup of
-    only the docs that appear in candidates) and verify exact Jaccard.
+    num_partitions: int = 8,
+) -> Dataset:
+    """Exact n-gram Jaccard verification of candidate pairs, distributed.
 
-    Returns a pandas DataFrame (id_a, id_b, jaccard) for pairs ≥ threshold
-    — candidate sets are assumed small relative to the corpus.
+    corpus → per-doc shingle-hash sets (one vectorized pass) → two hash
+    joins attach set_a / set_b to each (id_a, id_b) pair → one
+    ``map_batches`` computes |A∩B| / |A∪B| per pair via sorted-array
+    intersection. The candidate set is never collected on the driver;
+    only when it is small is its distinct id set broadcast to prune the
+    corpus before shingling (mirrors the referential
+    BROADCAST_ROW_THRESHOLD pattern, stages/referential.py:26).
+
+    Returns a Dataset (id_a, id_b, jaccard) for pairs ≥ threshold.
+    Set semantics match :func:`ngram_jaccard` (both-empty → 1.0) up to
+    64-bit hash collisions.
     """
     import ray
 
-    pairs = candidates.to_pandas()
-    if pairs.empty:
-        return pairs.assign(jaccard=[])
-    needed = np.union1d(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
-    needed_ref = ray.put(pa.array(needed))
+    candidates = candidates.select_columns(["id_a", "id_b"]).materialize()
+    n_pairs = candidates.count()
+    needed_ref = None
+    if 0 < n_pairs <= PREFILTER_PAIR_THRESHOLD:
+        ids = candidates.to_pandas()
+        needed = np.union1d(ids["id_a"].to_numpy(), ids["id_b"].to_numpy())
+        needed_ref = ray.put(pa.array(needed))
+    sets = shingle_sets(ds, text_col, id_col, ngram, needed_ids=needed_ref)
 
-    def lookup(t: pa.Table) -> pa.Table:
-        keys = ray.get(needed_ref) if isinstance(needed_ref, ray.ObjectRef) else needed_ref
-        mask = pc.is_in(t[id_col], value_set=keys)
-        return t.filter(mask)
+    # Ray's hash join drops the right-side key column from the output
+    j1 = candidates.join(
+        sets, "inner", num_partitions, on=("id_a",), right_on=("did",)
+    ).rename_columns({"sh": "sh_a"})
+    j2 = j1.join(
+        sets, "inner", num_partitions, on=("id_b",), right_on=("did",)
+    ).rename_columns({"sh": "sh_b"})
 
-    texts = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(lookup, batch_format="pyarrow")
-        .to_pandas()
-        .set_index(id_col)[text_col]
-        .to_dict()
-    )
-    jac = [
-        ngram_jaccard(texts.get(a, ""), texts.get(b, ""), ngram)
-        for a, b in zip(pairs["id_a"], pairs["id_b"])
-    ]
-    pairs = pairs.assign(jaccard=jac)
-    return pairs[pairs["jaccard"] >= threshold].reset_index(drop=True)
+    def _decode(col: pa.ChunkedArray):
+        """large_binary column → (uint64 word view, per-row word offsets)
+        — zero-copy."""
+        arr = col.combine_chunks()
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        words = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint64)
+        return words, off // 8
+
+    def jac(t: pa.Table) -> pa.Table:
+        aw, ao = _decode(t["sh_a"])
+        bw, bo = _decode(t["sh_b"])
+        out = np.empty(t.num_rows, dtype=np.float64)
+        for i in range(t.num_rows):
+            a = aw[ao[i] : ao[i + 1]]
+            b = bw[bo[i] : bo[i + 1]]
+            union = len(a) + len(b)
+            if union == 0:
+                out[i] = 1.0
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            out[i] = inter / (union - inter)
+        res = pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "jaccard": out})
+        return res.filter(pc.greater_equal(res["jaccard"], threshold))
+
+    return j2.map_batches(jac, batch_format="pyarrow")

