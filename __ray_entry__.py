@@ -256,21 +256,26 @@ def q_verdict_summary(sf_dir: str):
 
 
 def q_span_verdicts(sf_dir: str):
-    """North-rule interleaved pipeline verdict summary (deterministic
-    synthetic input — no SQL oracle; driver records rows-only)."""
+    """North-rule interleaved pipeline verdict summary over the
+    deterministic span fixture (written once as parquet so the DuckDB
+    oracle validates the exact same bytes)."""
     import pandas as pd
 
     from data_linter_ray import synth
 
+    paths = synth.ensure_span_fixture()
     res = validate_dataset(
-        synth.documents_dataset(20_000),
+        ray.data.read_parquet(paths["docs"]),
         synth.documents_schema(),
         id_column="doc_id",
-        ref_tables={"media_catalog.media_ref": synth.media_catalog_dataset()},
+        ref_tables={
+            "media_catalog.media_ref": ray.data.read_parquet(paths["catalog"])
+        },
     )
     rows = [
         {"column": c, "test": t, "n_violations": n}
         for (c, t), n in sorted(res.counts.items())
+        if n
     ]
     return pd.DataFrame(rows)
 
@@ -279,39 +284,13 @@ def q_span_equality(sf_dir: str):
     """Span-sequence equality against a reference copy with seeded edits:
     docs whose doc_id ends in "00" get one span's media_ref swapped —
     exactly those rows must be flagged (content-keyed, so deterministic
-    under any partitioning; rows-only check)."""
+    under any partitioning). Oracle: DuckDB list<struct> comparison over
+    the same fixture parquet."""
     from data_linter_ray import synth
     from data_linter_ray.stages.spans import span_equality_violations
 
-    def add_edited_copy(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        spans = t["spans"].combine_chunks()
-        flat = pc.list_flatten(spans)
-        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-        # rebuild with media_ref edited on first span of every 100th row
-        first_elem = np.empty(len(flat), dtype=bool)
-        if len(flat):
-            first_elem[0] = True
-            first_elem[1:] = parents[1:] != parents[:-1]
-        edit_row = pc.match_substring_regex(
-            t["doc_id"].combine_chunks(), "00$"
-        ).to_numpy(zero_copy_only=False)
-        edit_elem = first_elem & edit_row[parents]
-        media = flat.field("media_ref").to_pylist()
-        for i in np.flatnonzero(edit_elem):
-            media[i] = "media://edited/x"
-        struct = pa.StructArray.from_arrays(
-            [flat.field("kind"), flat.field("text"), pa.array(media, type=pa.string()), flat.field("offset")],
-            fields=list(synth.SPAN_STRUCT),
-        )
-        edited = pa.ListArray.from_arrays(spans.offsets, struct)
-        return t.append_column("spans_reference", edited)
-
-    docs = synth.documents_dataset(5_000).map_batches(
-        add_edited_copy, batch_format="pyarrow"
-    )
-    return span_equality_violations(docs)
+    paths = synth.ensure_span_fixture()
+    return span_equality_violations(ray.data.read_parquet(paths["zipped"]))
 
 
 def _docs(sf_dir: str, cols=None):
@@ -620,9 +599,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_sql() -> str:
+    """DuckDB mirror of functions.text.langid_table: one RE2 stopword
+    count per language, first-max wins in lexicon order, 'und' when no
+    lexicon hits. Both sides use RE2, so counts match exactly."""
+    from data_linter_ray.functions.text import LANG_STOPWORDS, _lang_pattern
+
+    score_cols = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{_lang_pattern(ws)}')) AS s_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = f"CASE WHEN {greatest} = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{la} = {greatest} THEN '{la}'" for la in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return (
+        f"WITH s AS (SELECT doc_id, lang, {score_cols} FROM documents) "
+        f"SELECT doc_id, lang, {case} AS lang_pred FROM s"
+    )
+
+
+def _span_verdicts_sql(docs_path: str, catalog_path: str) -> str:
+    """DuckDB mirror of the interleaved validate pipeline's verdict counts
+    over the span fixture parquet: per-row span-check masks via UNNEST +
+    window lag, element-level referential, distinct-duplicate uniqueness
+    (matching validate.py's one-count-per-duplicated-key convention)."""
+    return f"""
+WITH docs AS (
+  SELECT row_number() OVER () AS rid, doc_id, spans
+  FROM read_parquet('{docs_path}')
+), cat AS (SELECT media_ref FROM read_parquet('{catalog_path}')),
+f AS (
+  SELECT rid,
+         generate_subscripts(spans, 1) AS pos,
+         unnest(spans, recursive := true)
+  FROM docs
+), fw AS (
+  SELECT *, lag("offset") OVER (PARTITION BY rid ORDER BY pos) AS prev_off FROM f
+)
+SELECT * FROM (
+  SELECT 'doc_id' AS "column", 'pattern_test' AS test,
+    (SELECT count(*) FROM docs WHERE doc_id IS NOT NULL
+      AND NOT regexp_matches(doc_id, '^doc-[0-9a-f]{{12}}$')) AS n_violations
+  UNION ALL SELECT 'doc_id', 'unique_test',
+    (SELECT count(*) FROM (SELECT doc_id FROM docs GROUP BY doc_id HAVING count(*) > 1))
+  UNION ALL SELECT 'spans', 'referential_test',
+    (SELECT count(*) FROM f WHERE media_ref IS NOT NULL
+      AND media_ref NOT IN (SELECT media_ref FROM cat))
+  UNION ALL SELECT 'spans', 'span_kind_enum',
+    (SELECT count(DISTINCT rid) FROM f WHERE kind IS NULL
+      OR kind NOT IN ('text','image','audio','video'))
+  UNION ALL SELECT 'spans', 'span_text_presence',
+    (SELECT count(DISTINCT rid) FROM f WHERE kind = 'text' AND text IS NULL)
+  UNION ALL SELECT 'spans', 'span_media_presence',
+    (SELECT count(DISTINCT rid) FROM f WHERE kind IS NOT NULL
+      AND kind <> 'text' AND media_ref IS NULL)
+  UNION ALL SELECT 'spans', 'span_media_pattern',
+    (SELECT count(DISTINCT rid) FROM f WHERE media_ref IS NOT NULL
+      AND NOT regexp_matches(media_ref, '^media://[a-z0-9/]+$'))
+  UNION ALL SELECT 'spans', 'span_offset_min',
+    (SELECT count(DISTINCT rid) FROM f WHERE "offset" < 0)
+  UNION ALL SELECT 'spans', 'span_offset_order',
+    (SELECT count(DISTINCT rid) FROM fw WHERE prev_off IS NOT NULL AND "offset" < prev_off)
+  UNION ALL SELECT 'spans', 'span_count',
+    (SELECT count(*) FROM docs WHERE spans IS NULL OR len(spans) < 1 OR len(spans) > 64)
+) WHERE n_violations > 0
+ORDER BY "column", test
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from data_linter_ray import synth
+
+    fixture = synth.ensure_span_fixture()
     enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
     return {
+        "langid": _langid_sql(),
+        "span_verdicts": _span_verdicts_sql(fixture["docs"], fixture["catalog"]),
+        "span_equality": (
+            "SELECT doc_id AS row_ref, 'spans' AS \"column\", "
+            "'span_sequence_equality' AS test, CAST(NULL AS VARCHAR) AS value "
+            f"FROM read_parquet('{fixture['zipped']}') "
+            "WHERE spans IS DISTINCT FROM spans_reference"
+        ),
         "token_stats": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
             r"len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws, "

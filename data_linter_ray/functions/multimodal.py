@@ -102,17 +102,25 @@ class FeatureExtractor:
     def __init__(self, pixels_col: str = "pixels", dim: int = FEATURE_DIM):
         self.pixels_col = pixels_col
         self.dim = dim
-        # model-load stand-in: a fixed random projection, built ONCE per actor
-        self.projection = np.random.RandomState(42).randn(64, dim).astype(np.float32)
+        # model-load stand-in: projections built ONCE per actor per input
+        # width and cached (never rebuilt per batch)
+        self._proj: dict[int, np.ndarray] = {
+            64: np.random.RandomState(42).randn(64, dim).astype(np.float32)
+        }
+
+    def _projection(self, width: int) -> np.ndarray:
+        if width not in self._proj:
+            self._proj[width] = (
+                np.random.RandomState(42).randn(width, self.dim).astype(np.float32)
+            )
+        return self._proj[width]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.pixels_col].combine_chunks()
-        m = np.stack([np.asarray(x) for x in col.to_pylist()]).astype(np.float32)
-        if m.shape[1] != self.projection.shape[0]:
-            proj = np.random.RandomState(42).randn(m.shape[1], self.dim).astype(np.float32)
-        else:
-            proj = self.projection
-        feats = m @ proj
+        # FixedSizeList<float32> → [n, width] zero-copy reshape
+        width = col.type.list_size
+        m = col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), width)
+        feats = m.astype(np.float32, copy=False) @ self._projection(width)
         flat = pa.array(feats.ravel(), pa.float32())
         return batch.append_column(
             "features", pa.FixedSizeListArray.from_arrays(flat, self.dim)
@@ -180,12 +188,17 @@ def decode_pipeline(
     CPU deadlock the streaming executor (the read can never run).
     """
     batch_size = batch_size or 1024
+    # max_restarts=0: the stages are deterministic and Ray Data's actor
+    # pool replaces dead workers itself; the default (restartable actors
+    # whose constructor args live in the object store) logs a restart-
+    # will-fail error per actor (ray#53727)
     decoded = media.map_batches(
         ImageDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=num_cpus,
+        max_restarts=0,
     )
     return decoded.map_batches(
         FeatureExtractor,
@@ -193,4 +206,5 @@ def decode_pipeline(
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=num_cpus,
+        max_restarts=0,
     )

@@ -175,3 +175,84 @@ def write_fixture(path: str, num_rows: int) -> str:
     """Materialize a deterministic fixture to partitioned parquet."""
     documents_dataset(num_rows).write_parquet(path)
     return path
+
+
+def add_edited_reference(t: pa.Table) -> pa.Table:
+    """Append a ``spans_reference`` copy with seeded edits: docs whose
+    doc_id ends in "00" get their first span's media_ref swapped —
+    content-keyed, so deterministic under any partitioning."""
+    import pyarrow.compute as pc
+
+    spans = t["spans"].combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    first_elem = np.empty(len(flat), dtype=bool)
+    if len(flat):
+        first_elem[0] = True
+        first_elem[1:] = parents[1:] != parents[:-1]
+    edit_row = pc.match_substring_regex(
+        t["doc_id"].combine_chunks(), "00$"
+    ).to_numpy(zero_copy_only=False)
+    edit_elem = first_elem & edit_row[parents]
+    media = flat.field("media_ref").to_pylist()
+    for i in np.flatnonzero(edit_elem):
+        media[i] = "media://edited/x"
+    struct = pa.StructArray.from_arrays(
+        [
+            flat.field("kind"),
+            flat.field("text"),
+            pa.array(media, type=pa.string()),
+            flat.field("offset"),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    edited = pa.ListArray.from_arrays(spans.offsets, struct)
+    return t.append_column("spans_reference", edited)
+
+
+SPAN_FIXTURE_DOCS = 20_000
+SPAN_FIXTURE_ZIPPED = 5_000
+
+
+def ensure_span_fixture(root: str = "/tmp/dlr_fixtures") -> dict[str, str]:
+    """Materialize the deterministic span fixtures ONCE as single parquet
+    files (no Ray needed — plain numpy batch) so the driver's DuckDB
+    oracle can read the exact same bytes the Ray queries validate.
+
+    Returns {"docs": ..., "catalog": ..., "zipped": ...} paths.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = {
+        "docs": os.path.join(root, "span_docs.parquet"),
+        "catalog": os.path.join(root, "media_catalog.parquet"),
+        "zipped": os.path.join(root, "span_zipped.parquet"),
+    }
+    marker = os.path.join(root, "span_fixture.done.json")
+    want = {"docs_n": SPAN_FIXTURE_DOCS, "zipped_n": SPAN_FIXTURE_ZIPPED}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == want and all(
+                    os.path.exists(p) for p in paths.values()
+                ):
+                    return paths
+        except (json.JSONDecodeError, OSError):
+            pass
+    os.makedirs(root, exist_ok=True)
+    docs = make_documents_batch({"id": np.arange(SPAN_FIXTURE_DOCS)})
+    pq.write_table(docs, paths["docs"])
+    catalog = pa.table(
+        {"media_ref": [media_ref_for(i) for i in range(MEDIA_CATALOG_SIZE)]}
+    )
+    pq.write_table(catalog, paths["catalog"])
+    zipped = add_edited_reference(
+        make_documents_batch({"id": np.arange(SPAN_FIXTURE_ZIPPED)})
+    )
+    pq.write_table(zipped, paths["zipped"])
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return paths
