@@ -179,9 +179,10 @@ def single_run(args) -> dict:
         "sf": sf,
         "num_cpus": args.cpus,
         # last recorded `bench.py --scaling` result (see BASELINE.md for
-        # the run log and the N-vs-4N methodology)
-        "scaling_efficiency_recorded": 0.823,
-        "scaling_pair_recorded": "2cpu=349018 docs/s vs 8cpu=1148374 docs/s, 16M docs",
+        # the run log and the N-vs-4N methodology): round-2 median of 3
+        # full runs (0.707 / 0.809 / 0.884)
+        "scaling_efficiency_recorded": 0.809,
+        "scaling_pair_recorded": "median of 3 runs: 2cpu=380399 docs/s vs 8cpu=1231571 docs/s, 16M docs",
     }
 
 

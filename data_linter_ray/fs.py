@@ -152,6 +152,13 @@ def exists(path: str) -> bool:
     return filesystem.get_file_info(rel).type != pafs.FileType.NotFound
 
 
+def mtime(path: str) -> float:
+    """Modification time as epoch seconds (works on local and S3)."""
+    filesystem, rel = resolve(path)
+    info = filesystem.get_file_info(rel)
+    return info.mtime.timestamp() if info.mtime else 0.0
+
+
 def makedirs(path: str) -> None:
     """Create parent directories for local paths; no-op on object stores
     (S3 has no directories)."""

@@ -12,27 +12,28 @@ volume outgrows one process.
 
 from __future__ import annotations
 
-import glob
 import json
-import os
 
 import pandas as pd
 
+from data_linter_ray import fs
 from data_linter_ray.config import load_and_validate_config
 
 
 def load_table_logs(config_or_path, table_name: str = "") -> pd.DataFrame:
-    """One row per (table, file) validation log entry."""
+    """One row per (table, file) validation log entry (log path may be
+    local or ``s3://``)."""
     config = (
         config_or_path
         if not isinstance(config_or_path, (str, dict))
         else load_and_validate_config(config_or_path)
     )
-    root = os.path.join(config.log_base_path, "tables", table_name)
+    root = fs.join(config.log_base_path, "tables", table_name)
     rows = []
-    for fp in sorted(glob.glob(os.path.join(root, "**", "*.json"), recursive=True)):
-        with open(fp) as f:
-            e = json.load(f)
+    for fp in fs.list_files(root, exclude_zero_byte=False):
+        if not fp.endswith(".json"):
+            continue
+        e = json.loads(fs.read_text(fp))
         rows.append(
             {
                 "table-name": e.get("table-name"),
@@ -84,5 +85,5 @@ def get_all_errors_for_file(config_or_path, file_path: str) -> pd.DataFrame:
     if df.empty:
         return df
     hits = df[df["original-path"] == file_path].copy()
-    hits["ts"] = hits["log-path"].map(os.path.getmtime)
+    hits["ts"] = hits["log-path"].map(fs.mtime)
     return hits.sort_values("ts", ascending=False).reset_index(drop=True)

@@ -568,12 +568,20 @@ def validate_dataset(
     )
 
 
+#: driver-safety ceiling for log_verbosity=0 ("all" samples, reference
+#: semantics): the collected sample rows are capped here so a pathological
+#: run can't materialize an unbounded violation set on the driver. Full
+#: violation rows are always available in the sunk parquet regardless.
+SAMPLE_ALL_CAP = 1_000_000
+
+
 def _collect_samples(
     violations: Dataset, n: int
 ) -> dict[tuple[str, str], tuple[list, list]]:
     """Per-(column,test) bounded samples of (row_ref, value).
 
-    n == 0 means "all" (reference semantics) — use with care at scale.
+    n == 0 means "all" (reference semantics), capped at SAMPLE_ALL_CAP
+    rows on the driver.
     """
     import pandas as pd
 
@@ -583,6 +591,8 @@ def _collect_samples(
     sampled = violations.groupby(["column", "test"]).map_groups(
         head, batch_format="pandas"
     )
+    if n == 0:
+        sampled = sampled.limit(SAMPLE_ALL_CAP)
     out: dict[tuple[str, str], tuple[list, list]] = {}
     for row in sampled.take_all():
         key = (row["column"], row["test"])

@@ -210,3 +210,29 @@ def test_write_parquet_uri_distributed(ray_session, moto_s3):
     assert len(parts) >= 2, "distributed write should produce multiple objects"
     back = ray.data.read_parquet(path, filesystem=fs.resolve(path)[0])
     assert sorted(r["x"] for r in back.take_all()) == list(range(1000))
+
+
+def test_log_explorer_reads_s3_logs(ray_session, moto_s3, tmp_path):
+    """A5/J2 summaries work when the log base path is an S3 prefix."""
+    from data_linter_ray import log_explorer
+    from data_linter_ray.config import load_and_validate_config
+    from data_linter_ray.pipelines.run import run_validation
+
+    land, pass_p, fail_p, log_p = _mk_paths("explorer", tmp_path, True, True, True)
+    _plant(land, "table1.csv", CSV_PASS)
+    cfg = load_and_validate_config(
+        {
+            "land-base-path": land,
+            "pass-base-path": pass_p,
+            "fail-base-path": fail_p,
+            "log-base-path": log_p,
+            "tables": {"table1": {"metadata": TABLE1_META}},
+        }
+    )
+    run_validation(cfg)
+    s = log_explorer.summary_of_all_tables(cfg)
+    assert s["overall_valid"] and s["tables"]["table1"]["fail_count"] == 0
+    errs = log_explorer.get_all_errors_for_file(
+        cfg, fs.join(land, "table1.csv")
+    )
+    assert len(errs) == 1 and errs.iloc[0]["valid"]
