@@ -374,6 +374,34 @@ def q_minhash_dedup(sf_dir: str):
     )
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard for every (doc, doc+' zzz') pair over the
+    near-dup corpus — oracle-proves the distributed shingle-set Jaccard
+    kernel against DuckDB trigram list algebra (bit-exact division)."""
+    from data_linter_ray.functions import dedup as D
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 10_000),
+                "text": pc.binary_join_element_wise(
+                    t["text"], pa.array(["zzz"] * t.num_rows), " "
+                ),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
+    pairs = docs.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {"id_a": t["doc_id"], "id_b": pc.add(t["doc_id"], 10_000)}
+        ),
+        batch_format="pyarrow",
+    )
+    return D.verify_candidates_jaccard(corpus, pairs, threshold=0.0)
+
+
 def q_simhash_dedup(sf_dir: str):
     """SimHash near-dup pairs over the same corpus. Rows-only."""
     from data_linter_ray.functions import dedup as D
@@ -576,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
         "simhash_dedup": q_simhash_dedup,
         "knn": q_knn,
         "embedding_near_dups": q_embedding_near_dups,
@@ -676,6 +705,22 @@ def oracle_sql() -> dict[str, str]:
     enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
     return {
         "langid": _langid_sql(),
+        "jaccard_pairs": (
+            "WITH doubled AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents), "
+            "toks AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '') AS tk "
+            "FROM doubled), "
+            "grams AS (SELECT doc_id, CASE WHEN len(tk) >= 3 "
+            "THEN list_distinct(list_transform(generate_series(1, len(tk)-2), "
+            "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) "
+            "ELSE [] END AS g3 FROM toks) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CASE WHEN len(a.g3)=0 AND len(b.g3)=0 THEN 1.0 "
+            "ELSE len(list_intersect(a.g3, b.g3))::DOUBLE "
+            "/ (len(a.g3) + len(b.g3) - len(list_intersect(a.g3, b.g3))) END AS jaccard "
+            "FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 10000"
+        ),
         "span_verdicts": _span_verdicts_sql(fixture["docs"], fixture["catalog"]),
         "span_equality": (
             "SELECT doc_id AS row_ref, 'spans' AS \"column\", "

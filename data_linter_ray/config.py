@@ -147,6 +147,17 @@ class RunConfig:
     @classmethod
     def from_dict(cls, d: dict) -> "RunConfig":
         d = _dashify(d, _TOP_LEVEL_KEYS)
+        if isinstance(d.get("tables"), dict):
+            d = {
+                **d,
+                "tables": {
+                    name: _dashify(td or {}, _TABLE_KEYS)
+                    for name, td in d["tables"].items()
+                },
+            }
+        from data_linter_ray.config_schema import validate_config_shape
+
+        validate_config_shape(d)
         missing = [
             k
             for k in ("land-base-path", "fail-base-path", "log-base-path", "tables")

@@ -152,6 +152,23 @@ def exists(path: str) -> bool:
     return filesystem.get_file_info(rel).type != pafs.FileType.NotFound
 
 
+def size(path: str) -> int:
+    """File size in bytes (local stat or S3 HEAD — the reference sizes
+    land files via S3 HEAD ContentLength for bin-packing,
+    utils.py:233-265)."""
+    filesystem, rel = resolve(path)
+    return filesystem.get_file_info(rel).size or 0
+
+
+def delete_dir(path: str) -> None:
+    """Recursively delete a directory / object prefix (no-op if absent)."""
+    filesystem, rel = resolve(path)
+    try:
+        filesystem.delete_dir(rel.rstrip("/"))
+    except (FileNotFoundError, OSError):
+        pass
+
+
 def mtime(path: str) -> float:
     """Modification time as epoch seconds (works on local and S3)."""
     filesystem, rel = resolve(path)

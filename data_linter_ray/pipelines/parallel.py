@@ -11,17 +11,18 @@ orchestrated that way (e.g. one Airflow task per phase/worker) keep
 working. Semantics preserved: first-fit-decreasing bin packing by file
 byte size; workers with no bin no-op; all workers share the status area;
 closedown routes everything. Improvements over the reference: works on
-local paths (reference raised for non-S3), the FFD loop doesn't drop
-bins (reference bug at validation.py:316-320), and workers are
-re-entrant (committed units are skipped).
+local paths AND s3:// in any combination (reference raised for non-S3
+land paths), the FFD loop doesn't drop bins (reference bug at
+validation.py:316-320), and workers are re-entrant (committed units are
+skipped).
 """
 
 from __future__ import annotations
 
 import json
-import os
 from typing import Union
 
+from data_linter_ray import fs
 from data_linter_ray.config import RunConfig, load_and_validate_config
 from data_linter_ray.pipelines.run import (
     RunResult,
@@ -34,9 +35,7 @@ from data_linter_ray.pipelines.run import (
 
 
 def _temp_configs_root(config: RunConfig) -> str:
-    return os.path.join(
-        config.log_base_path, "data_linter_temporary_fs", "configs"
-    )
+    return fs.join(config.log_base_path, "data_linter_temporary_fs", "configs")
 
 
 def bin_pack_files(
@@ -70,26 +69,21 @@ def para_run_init(
     files = list_land_files(config.land_base_path)
     matched = match_files_to_tables(files, config)
     sized = [
-        (table, path, os.path.getsize(path))
+        (table, path, fs.size(path))
         for table, paths in matched.items()
         for path in paths
     ]
     bins = bin_pack_files(sized, max_bin_count)
 
     root = _temp_configs_root(config)
-    import shutil
-
-    if os.path.exists(root):
-        shutil.rmtree(root)
+    fs.delete_dir(root)
     out_dirs = []
     for i, units in enumerate(bins):
-        d = os.path.join(root, str(i))
-        os.makedirs(d, exist_ok=True)
+        d = fs.join(root, str(i))
         per_table: dict[str, list[str]] = {}
         for table, path in units:
             per_table.setdefault(table, []).append(path)
-        with open(os.path.join(d, "config_0.json"), "w") as f:
-            json.dump({"matched": per_table}, f)
+        fs.write_text(fs.join(d, "config_0.json"), json.dumps({"matched": per_table}))
         out_dirs.append(d)
     return out_dirs
 
@@ -100,15 +94,15 @@ def para_run_validation(bin_index: int, config: Union[str, dict, RunConfig]) -> 
     validation.py:694-695)."""
     if not isinstance(config, RunConfig):
         config = load_and_validate_config(config)
-    d = os.path.join(_temp_configs_root(config), str(bin_index))
-    if not os.path.isdir(d):
+    d = fs.join(_temp_configs_root(config), str(bin_index))
+    names = fs.listdir(d)
+    if not names:
         return
     store = open_status_store(config)
-    for fn in sorted(os.listdir(d)):
+    for fn in names:
         if not fn.endswith(".json"):
             continue
-        with open(os.path.join(d, fn)) as f:
-            matched = json.load(f)["matched"]
+        matched = json.loads(fs.read_text(fs.join(d, fn)))["matched"]
         validate_phase(config, store, matched, resume=True)
 
 
@@ -126,14 +120,10 @@ def para_collect_all_status(
 def para_collect_all_logs(config: Union[str, dict, RunConfig]) -> dict:
     """Phase 4: summarize the run's logs and clear the temp config area
     (reference para_collect_all_logs, validation.py:738-775)."""
-    import shutil
-
     from data_linter_ray.log_explorer import summary_of_all_tables
 
     if not isinstance(config, RunConfig):
         config = load_and_validate_config(config)
     summary = summary_of_all_tables(config)
-    root = _temp_configs_root(config)
-    if os.path.exists(root):
-        shutil.rmtree(root)
+    fs.delete_dir(_temp_configs_root(config))
     return summary

@@ -422,3 +422,29 @@ def test_row_limit_random_sample(ray_session, tmp_path):
     res2 = run_validation(cfg)
     assert res2.manifests[0].row_count == m.row_count
     assert res2.manifests[0].counts == m.counts
+
+
+def test_config_schema_shape_errors(tmp_path):
+    """jsonschema-grade shape validation (reference validates against a
+    draft-07 schema, validation.py:133): type errors inside nested keys
+    surface as ConfigError with a path, not a late TypeError."""
+    from data_linter_ray.config import ConfigError, load_and_validate_config
+
+    base = {
+        "land-base-path": "x",
+        "fail-base-path": "y",
+        "log-base-path": "z",
+        "tables": {"t": {"metadata": {"name": "t", "columns": []}}},
+    }
+    for mutation, frag in [
+        ({"fail-unknown-files": {"exceptions": "not-a-list"}}, "exceptions"),
+        ({"all-must-pass": "yes"}, "all-must-pass"),
+        ({"tables": {"t": {"row-limit": "ten"}}}, "row-limit"),
+        ({"tables": {"t": {"pattern": 42}}}, "pattern"),
+    ]:
+        cfg = {**base, **mutation}
+        with pytest.raises(ConfigError, match=frag):
+            load_and_validate_config(cfg)
+    # valid config still loads (underscore aliases included)
+    ok = load_and_validate_config({**base, "all_must_pass": True})
+    assert ok.all_must_pass

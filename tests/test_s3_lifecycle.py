@@ -236,3 +236,35 @@ def test_log_explorer_reads_s3_logs(ray_session, moto_s3, tmp_path):
         cfg, fs.join(land, "table1.csv")
     )
     assert len(errs) == 1 and errs.iloc[0]["valid"]
+
+
+def test_parallel_mode_all_s3(ray_session, moto_s3, tmp_path):
+    """4-phase parallel API with every base path on S3 — the reference's
+    parallel mode is S3-only (validation.py:254-386); ours runs the same
+    phases over the object store (bin sizes via S3 HEAD)."""
+    from data_linter_ray.config import load_and_validate_config
+    from data_linter_ray.pipelines import parallel as P
+
+    land, pass_p, fail_p, log_p = _mk_paths("para", tmp_path, True, True, True)
+    for i in range(4):
+        _plant(land, f"table1_{i}.csv", CSV_PASS)
+    cfg = load_and_validate_config(
+        {
+            "land-base-path": land,
+            "pass-base-path": pass_p,
+            "fail-base-path": fail_p,
+            "log-base-path": log_p,
+            "remove-tables-on-pass": False,
+            "tables": {"table1": {"metadata": TABLE1_META}},
+        }
+    )
+    bins = P.para_run_init(cfg, max_bin_count=2)
+    assert len(bins) == 2 and all(b.startswith("s3://") for b in bins)
+    for i in range(3):  # worker 2 has no bin → no-op (reference parity)
+        P.para_run_validation(i, cfg)
+    res = P.para_collect_all_status(cfg)
+    assert res.all_tables_passed and len(res.manifests) == 4
+    summary = P.para_collect_all_logs(cfg)
+    assert summary["overall_valid"] and summary["fail_count"] == 0
+    # temp config area cleared
+    assert not fs.list_files(fs.join(log_p, "data_linter_temporary_fs", "configs"))
