@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "quality_stats",
     "exact_dedup",
     "minhash_dedup",
+    "jaccard_pairs",
     "simhash_dedup",
     "knn",
     "embedding_near_dups",

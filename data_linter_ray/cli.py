@@ -2,11 +2,20 @@
 
 Parity with the reference CLI (``/root/reference/data_linter/command_line.py:6-16``).
 Owns the Ray session (library code never calls ray.init).
+
+Cluster launch (the north-rule deployment shape):
+
+    ray job submit --working-dir . -- \\
+        python -m data_linter_ray --config s3://bucket/config.yaml
+
+Under ``ray job submit`` the job runtime sets RAY_ADDRESS, so the CLI
+connects to the submitting cluster; standalone it runs a local session.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -21,7 +30,7 @@ def main(argv=None) -> int:
 
     if not ray.is_initialized():
         ray.init(
-            address="local",
+            address=os.environ.get("RAY_ADDRESS", "local"),
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,

@@ -50,7 +50,125 @@ def media_ref_for(i: int) -> str:
 
 
 def make_documents_batch(batch: dict) -> pa.Table:
-    """map_batches fn over ``ray.data.range(n)`` blocks (numpy format)."""
+    """map_batches fn over ``ray.data.range(n)`` blocks (numpy format).
+
+    Vectorized: spans are built as [n, 8] numpy/arrow planes masked to
+    each row's span count; only the md5 doc-id digests remain per-row
+    (no vectorized md5 exists). Output is byte-identical to the original
+    row-wise generator (``_make_documents_batch_rowwise``, kept for the
+    parity test)."""
+    idx = np.asarray(batch["id"], dtype=np.int64)
+    h = _rng_for(idx)
+    n = len(idx)
+    if n == 0:
+        return DOC_SCHEMA.empty_table()
+    import pyarrow.compute as pc
+
+    # --- doc ids (md5 per row only where needed) ----------------------
+    r = (h % np.uint64(10_000)).astype(np.int64)
+    doc_ids = np.empty(n, dtype=object)
+    hot = r < 50
+    scattered = (r >= 50) & (r < 100)
+    malformed = (r >= 100) & (r < 200)
+    normal = r >= 200
+    for j in np.flatnonzero(hot):
+        doc_ids[j] = f"{HOT_PREFIX}{int(h[j]) % 4:02x}"
+    for j in np.flatnonzero(scattered):
+        src = max(int(idx[j]) - 1, 0)
+        doc_ids[j] = "doc-" + hashlib.md5(str(src).encode()).hexdigest()[:12]
+    for j in np.flatnonzero(malformed):
+        doc_ids[j] = f"DOC_{int(idx[j])}"
+    for j in np.flatnonzero(normal):
+        doc_ids[j] = "doc-" + hashlib.md5(str(int(idx[j])).encode()).hexdigest()[:12]
+
+    # --- spans: [n, 8] planes, masked to each row's span count --------
+    S = 8
+    n_spans = (1 + (h >> np.uint64(8)) % np.uint64(8)).astype(np.int64)
+    bad = r >= 9800
+    bad_mode = (h % np.uint64(3)).astype(np.int64)
+    s_idx = np.arange(S, dtype=np.int64)
+    valid = s_idx[None, :] < n_spans[:, None]  # [n, 8] row-major = flat order
+
+    kv = np.empty((n, S), dtype=np.int64)
+    incr = np.empty((n, S), dtype=np.int64)
+    for s in range(S):
+        kv[:, s] = ((h >> np.uint64(4 * s)) % np.uint64(4)).astype(np.int64)
+        incr[:, s] = 10 + ((h >> np.uint64(3 * s)) % np.uint64(90)).astype(np.int64)
+    offsets_plane = np.zeros((n, S), dtype=np.int64)
+    offsets_plane[:, 1:] = np.cumsum(incr[:, :-1], axis=1)
+
+    is_last_and_bad = bad[:, None] & (s_idx[None, :] == (n_spans - 1)[:, None])
+    # bad_mode 1: negative offset; bad_mode 2 (s>0): out-of-order
+    offsets_plane = np.where(
+        is_last_and_bad & (bad_mode == 1)[:, None], -1, offsets_plane
+    )
+    offsets_plane = np.where(
+        is_last_and_bad & (bad_mode == 2)[:, None] & (s_idx[None, :] > 0),
+        offsets_plane - 7,
+        offsets_plane,
+    )
+
+    mask = valid.ravel()
+    kv_f = kv.ravel()[mask]
+    off_f = offsets_plane.ravel()[mask]
+    row_f = np.repeat(idx, S)[mask]
+    h_f = np.repeat(h, S)[mask]
+    s_f = np.tile(s_idx, n)[mask]
+    bad_kind_f = (is_last_and_bad & (bad_mode == 0)[:, None]).ravel()[mask]
+
+    kind_arr = pc.take(
+        pa.array(KINDS + ["hologram"], type=pa.string()),
+        pa.array(np.where(bad_kind_f, 4, kv_f)),
+    )
+    is_text = (kv_f == 0) & ~bad_kind_f
+
+    # text: "para-{i}-{s}" for text spans, null otherwise (vectorized
+    # string build via arrow join on cast ints)
+    text_all = pc.binary_join_element_wise(
+        pa.scalar("para-"),
+        pc.cast(pa.array(row_f), pa.string()),
+        pa.scalar("-"),
+        pc.cast(pa.array(s_f), pa.string()),
+        pa.scalar(""),
+    )
+    text_arr = pc.if_else(pa.array(is_text), text_all, pa.nulls(len(is_text), pa.string()))
+
+    # media_ref: catalog or missing URI, zero-padded 8-digit id
+    ref_i = ((h_f >> np.uint64(16)) + s_f.astype(np.uint64)).astype(np.uint64)
+    cat_id = (ref_i % np.uint64(MEDIA_CATALOG_SIZE)).astype(np.int64)
+    dangling = (h_f % np.uint64(10_000)) >= np.uint64(9950)
+    pad_cat = pc.utf8_lpad(pc.cast(pa.array(cat_id), pa.string()), 8, "0")
+    # missing refs render the RAW index (may exceed 8 digits — %08d pads
+    # to AT LEAST 8), lpad only when shorter
+    raw = pc.cast(pa.array(ref_i.astype(np.int64)), pa.string())
+    pad_raw = pc.utf8_lpad(raw, 8, "0")
+    ref_all = pc.if_else(
+        pa.array(dangling),
+        pc.binary_join_element_wise(pa.scalar("media://missing/"), pad_raw, pa.scalar("")),
+        pc.binary_join_element_wise(pa.scalar("media://cat/"), pad_cat, pa.scalar("")),
+    )
+    ref_arr = pc.if_else(pa.array(is_text), pa.nulls(len(is_text), pa.string()), ref_all)
+
+    struct_arr = pa.StructArray.from_arrays(
+        [
+            kind_arr.combine_chunks() if isinstance(kind_arr, pa.ChunkedArray) else kind_arr,
+            text_arr,
+            ref_arr,
+            pa.array(off_f.astype(np.int32), type=pa.int32()),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    list_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(n_spans, out=list_offsets[1:])
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int32()), struct_arr)
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, type=pa.string()), spans], schema=DOC_SCHEMA
+    )
+
+
+def _make_documents_batch_rowwise(batch: dict) -> pa.Table:
+    """Original row-wise generator — retained as the parity oracle for
+    the vectorized ``make_documents_batch``."""
     idx = np.asarray(batch["id"], dtype=np.int64)
     h = _rng_for(idx)
     n = len(idx)

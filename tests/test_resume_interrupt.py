@@ -63,3 +63,55 @@ def test_interrupted_run_resumes(ray_session, tmp_path):
     # committed-before units kept their original validation payloads
     for key in mtimes_before:
         assert store.load(key).valid
+
+
+def test_validate_table_checkpointed_resume(ray_session, tmp_path):
+    """North-rule partition checkpointing: a killed table validation
+    resumes from the last committed partition; completed partitions are
+    never recomputed; folded counts are invariant."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_linter_ray import synth
+    from data_linter_ray.pipelines.table import validate_table_checkpointed
+
+    inp = tmp_path / "table"
+    inp.mkdir()
+    for i in range(6):  # 6 fragments -> 3 units of 2
+        pq.write_table(
+            synth.make_documents_batch({"id": np.arange(i * 1000, (i + 1) * 1000)}),
+            inp / f"frag-{i}.parquet",
+        )
+    out = str(tmp_path / "out")
+    full = validate_table_checkpointed(
+        str(inp), synth.documents_schema(), out,
+        id_column="doc_id", fragments_per_unit=2,
+    )
+    assert full.partitions_total == 3 and full.partitions_validated == 3
+    assert full.row_count == 6000 and not full.valid  # seeded violations
+    assert full.counts.get("doc_id::pattern_test", 0) > 0
+
+    # simulate a crash after unit 0: drop two manifests, corrupt their
+    # fragments' bytes on disk is NOT needed — resume must skip unit 0
+    # (committed) and re-validate only the dropped units
+    from data_linter_ray.state.manifest import ManifestStore
+    from data_linter_ray import fs
+
+    store = ManifestStore(fs.join(out, "status"))
+    keys = [m.key() for m in store.all()]
+    for k in keys[1:]:
+        fs.delete_file(fs.join(out, "status", f"{k}.json"))
+    partial = validate_table_checkpointed(
+        str(inp), synth.documents_schema(), out,
+        id_column="doc_id", fragments_per_unit=2,
+    )
+    assert partial.partitions_validated == 2  # only the two dropped units
+    assert partial.counts == full.counts and partial.row_count == 6000
+
+    # fully-committed store: pure no-op resume
+    again = validate_table_checkpointed(
+        str(inp), synth.documents_schema(), out,
+        id_column="doc_id", fragments_per_unit=2,
+    )
+    assert again.partitions_validated == 0
+    assert again.counts == full.counts

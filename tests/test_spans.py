@@ -129,3 +129,17 @@ def test_span_equality_pipeline(ray_session):
 
     same = docs.map_batches(add_ref_copy, batch_format="pyarrow")
     assert sp.span_equality_violations(same).count() == 0
+
+
+def test_synth_vectorized_matches_rowwise():
+    """The vectorized generator is byte-identical to the original
+    row-wise one (fixtures, oracles, and bench inputs depend on it)."""
+    import numpy as np
+
+    from data_linter_ray import synth
+
+    for start, n in [(0, 5_000), (123_457, 3_000)]:
+        b = {"id": np.arange(start, start + n)}
+        assert synth.make_documents_batch(b).equals(
+            synth._make_documents_batch_rowwise(b)
+        )
