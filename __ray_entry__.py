@@ -374,6 +374,32 @@ def q_minhash_dedup(sf_dir: str):
     )
 
 
+def q_events_windowed(sf_dir: str):
+    """Tumbling-window aggregate (1-day windows per event_type): the
+    streaming-window operator class expressed Ray-Data-first — derive
+    the window key vectorized per batch, then one groupby-aggregate
+    (min/max chosen over sum: order-independent, so the hash compare vs
+    SQL is exact)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard for every (doc, doc+' zzz') pair over the
     near-dup corpus — oracle-proves the distributed shingle-set Jaccard
@@ -605,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "events_windowed": q_events_windowed,
         "simhash_dedup": q_simhash_dedup,
         "knn": q_knn,
         "embedding_near_dups": q_embedding_near_dups,
@@ -705,6 +732,11 @@ def oracle_sql() -> dict[str, str]:
     enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
     return {
         "langid": _langid_sql(),
+        "events_windowed": (
+            "SELECT event_type, date_trunc('day', ts) AS day, "
+            "count(*) AS n, min(value) AS min_value, max(value) AS max_value "
+            "FROM events GROUP BY event_type, date_trunc('day', ts)"
+        ),
         "jaccard_pairs": (
             "WITH doubled AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents), "

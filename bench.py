@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "knn",
     "embedding_near_dups",
     "events_summary",
+    "events_windowed",
     "lineitem_verdict",
     "star_ref_check",
     "drift",

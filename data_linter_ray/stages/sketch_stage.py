@@ -22,12 +22,12 @@ import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
-from data_linter_ray.state.sketches import HyperLogLog, TDigest, hash_array
+from data_linter_ray.state.sketches import KLL, HyperLogLog, TDigest, hash_array
 
 SKETCH_SCHEMA = pa.schema(
     [
         ("column", pa.string()),
-        ("kind", pa.string()),  # "tdigest" | "hll"
+        ("kind", pa.string()),  # "tdigest" | "kll" | "hll"
         ("payload", pa.binary()),
         ("n", pa.int64()),
     ]
@@ -40,21 +40,36 @@ class SketchPartials:
     """Actor-pool callable: per batch, one t-digest partial per numeric
     column and one HLL partial per key column."""
 
-    def __init__(self, numeric_cols: list[str], key_cols: list[str], delta: int = 100, hll_p: int = 12):
+    def __init__(
+        self,
+        numeric_cols: list[str],
+        key_cols: list[str],
+        delta: int = 100,
+        hll_p: int = 12,
+        quantile_sketch: str = "tdigest",
+        kll_k: int = 200,
+    ):
         self.numeric_cols = numeric_cols
         self.key_cols = key_cols
         self.delta = delta
         self.hll_p = hll_p
+        if quantile_sketch not in ("tdigest", "kll"):
+            raise ValueError(f"unknown quantile sketch: {quantile_sketch}")
+        self.quantile_sketch = quantile_sketch
+        self.kll_k = kll_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols, kinds, payloads, ns = [], [], [], []
         for c in self.numeric_cols:
             arr = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
-            td = TDigest(self.delta)
-            td.add(arr)
+            if self.quantile_sketch == "kll":
+                sk = KLL(self.kll_k)
+            else:
+                sk = TDigest(self.delta)
+            sk.add(arr)
             cols.append(c)
-            kinds.append("tdigest")
-            payloads.append(td.to_bytes())
+            kinds.append(self.quantile_sketch)
+            payloads.append(sk.to_bytes())
             ns.append(len(arr))
         for c in self.key_cols:
             hll = HyperLogLog(self.hll_p)
@@ -79,14 +94,10 @@ def _merge_group(df):
     import pandas as pd
 
     kind = df["kind"].iloc[0]
-    if kind == "tdigest":
-        acc = TDigest.from_bytes(df["payload"].iloc[0])
-        for b in df["payload"].iloc[1:]:
-            acc.merge(TDigest.from_bytes(b))
-    else:
-        acc = HyperLogLog.from_bytes(df["payload"].iloc[0])
-        for b in df["payload"].iloc[1:]:
-            acc.merge(HyperLogLog.from_bytes(b))
+    cls = {"tdigest": TDigest, "kll": KLL, "hll": HyperLogLog}[kind]
+    acc = cls.from_bytes(df["payload"].iloc[0])
+    for b in df["payload"].iloc[1:]:
+        acc.merge(cls.from_bytes(b))
     return pd.DataFrame(
         {
             "column": [df["column"].iloc[0]],
@@ -104,9 +115,12 @@ def compute_sketches(
     *,
     concurrency=None,
     batch_size: int | None = None,
+    quantile_sketch: str = "tdigest",
 ) -> dict[str, dict]:
     """Run the sketch stage; returns {column: {"tdigest": TDigest}} /
-    {"hll": HyperLogLog} merged results (KB-sized — safe on the driver)."""
+    {"kll": KLL} / {"hll": HyperLogLog} merged results (KB-sized — safe
+    on the driver). ``quantile_sketch`` selects t-digest or KLL for the
+    numeric columns (both named by the north star)."""
     key_cols = key_cols or []
     needed = sorted(set(numeric_cols) | set(key_cols))
     kwargs: dict = {"batch_format": "pyarrow"}
@@ -115,18 +129,17 @@ def compute_sketches(
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     partials = ds.select_columns(needed).map_batches(
-        SketchPartials(numeric_cols, key_cols), **kwargs
+        SketchPartials(numeric_cols, key_cols, quantile_sketch=quantile_sketch),
+        **kwargs,
     )
     merged = partials.groupby(["column", "kind"]).map_groups(
         _merge_group, batch_format="pandas"
     )
     out: dict[str, dict] = {}
+    cls_by_kind = {"tdigest": TDigest, "kll": KLL, "hll": HyperLogLog}
     for row in merged.take_all():
         entry = out.setdefault(row["column"], {})
-        if row["kind"] == "tdigest":
-            entry["tdigest"] = TDigest.from_bytes(row["payload"])
-        else:
-            entry["hll"] = HyperLogLog.from_bytes(row["payload"])
+        entry[row["kind"]] = cls_by_kind[row["kind"]].from_bytes(row["payload"])
         entry[f"n_{row['kind']}"] = row["n"]
     return out
 
@@ -144,6 +157,8 @@ def save_baselines(sketches: dict[str, dict], path: str) -> str:
         e: dict = {}
         if "tdigest" in entry:
             e["tdigest"] = base64.b64encode(entry["tdigest"].to_bytes()).decode()
+        if "kll" in entry:
+            e["kll"] = base64.b64encode(entry["kll"].to_bytes()).decode()
         if "hll" in entry:
             e["hll"] = base64.b64encode(entry["hll"].to_bytes()).decode()
         out[col] = e
@@ -163,6 +178,8 @@ def load_baselines(path: str) -> dict[str, dict]:
         entry: dict = {}
         if "tdigest" in e:
             entry["tdigest"] = TDigest.from_bytes(base64.b64decode(e["tdigest"]))
+        if "kll" in e:
+            entry["kll"] = KLL.from_bytes(base64.b64decode(e["kll"]))
         if "hll" in e:
             entry["hll"] = HyperLogLog.from_bytes(base64.b64decode(e["hll"]))
         out[col] = entry
@@ -182,10 +199,10 @@ class DriftResult:
 
 
 def quantile_drift(
-    current: TDigest,
-    baseline: TDigest,
+    current,
+    baseline,
     quantiles=DEFAULT_QUANTILES,
-) -> float:
+) -> float:  # works on any sketch exposing quantile()/quantiles() (t-digest, KLL)
     """Normalized max quantile shift: max_q |Q_cur(q) − Q_base(q)| / IQR_base."""
     qc = current.quantiles(quantiles)
     qb = baseline.quantiles(quantiles)
@@ -211,24 +228,30 @@ def drift_check(
 ) -> list[DriftResult]:
     """Compare the dataset's sketches to stored baseline sketches."""
     numeric_cols = numeric_cols or [
-        c for c, v in baselines.items() if "tdigest" in v
+        c for c, v in baselines.items() if "tdigest" in v or "kll" in v
     ]
     key_cols = key_cols or [c for c, v in baselines.items() if "hll" in v]
+    wants_kll = any("kll" in v for v in baselines.values())
     current = compute_sketches(
-        ds, numeric_cols, key_cols, concurrency=concurrency
+        ds,
+        numeric_cols,
+        key_cols,
+        concurrency=concurrency,
+        quantile_sketch="kll" if wants_kll else "tdigest",
     )
     results: list[DriftResult] = []
     for col, base in baselines.items():
         cur = current.get(col, {})
-        if "tdigest" in base and "tdigest" in cur:
-            results.append(
-                DriftResult(
-                    col,
-                    "quantile_shift",
-                    quantile_drift(cur["tdigest"], base["tdigest"]),
-                    threshold,
+        for qkind in ("tdigest", "kll"):
+            if qkind in base and qkind in cur:
+                results.append(
+                    DriftResult(
+                        col,
+                        "quantile_shift",
+                        quantile_drift(cur[qkind], base[qkind]),
+                        threshold,
+                    )
                 )
-            )
         if "hll" in base and "hll" in cur:
             results.append(
                 DriftResult(

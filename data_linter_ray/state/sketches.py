@@ -198,3 +198,126 @@ def hash_array(values) -> np.ndarray:
         return pd.util.hash_pandas_object(pd.Series(values), index=False).to_numpy(
             dtype=np.uint64
         )
+
+
+class KLL:
+    """KLL streaming quantile sketch (Karnin, Lang & Liberty, "Optimal
+    Quantile Approximation in Streams", FOCS 2016 — arXiv:1603.05346),
+    implemented from the paper on numpy.
+
+    A hierarchy of compactors: level h holds items each representing
+    2^h input values; when a level overflows its (geometrically
+    shrinking) capacity, it is sorted and a random odd/even half is
+    promoted to level h+1. Normalized rank error is O(1/k) with high
+    probability. Merge = levelwise concatenation + re-compaction —
+    commutative and associative, so partials-as-data stay retry-safe.
+    ``seed`` pins the compaction coin for deterministic tests.
+    """
+
+    C = 2.0 / 3.0  # level-capacity decay from the paper
+
+    def __init__(self, k: int = 200, seed: int | None = None):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._rng = np.random.RandomState(seed)
+
+    # -- internals ------------------------------------------------------
+    def _cap(self, h: int) -> int:
+        H = len(self.levels)
+        return max(2, int(np.ceil(self.k * (self.C ** (H - 1 - h)))))
+
+    def _total_cap(self) -> int:
+        return sum(self._cap(h) for h in range(len(self.levels)))
+
+    def _size(self) -> int:
+        return sum(lv.size for lv in self.levels)
+
+    def _compress(self) -> None:
+        while self._size() > self._total_cap():
+            for h in range(len(self.levels)):
+                if self.levels[h].size > self._cap(h):
+                    lv = np.sort(self.levels[h])
+                    off = int(self._rng.randint(2))
+                    promoted = lv[off::2]
+                    self.levels[h] = np.empty(0, np.float64)
+                    if h + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, np.float64))
+                    self.levels[h + 1] = np.concatenate(
+                        [self.levels[h + 1], promoted]
+                    )
+                    break
+            else:
+                break  # no level over its own cap: grow tolerated
+
+    # -- building -------------------------------------------------------
+    def add(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if values.size == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self.n += values.size
+        self._compress()
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for h, lv in enumerate(other.levels):
+            if lv.size:
+                self.levels[h] = np.concatenate([self.levels[h], lv])
+        self.n += other.n
+        self._compress()
+        return self
+
+    # -- queries --------------------------------------------------------
+    def count(self) -> int:
+        return self.n
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate([lv for lv in self.levels if lv.size] or [np.empty(0)])
+        wts = np.concatenate(
+            [np.full(lv.size, 2.0**h) for h, lv in enumerate(self.levels) if lv.size]
+            or [np.empty(0)]
+        )
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def quantile(self, q: float) -> float:
+        vals, wts = self._weighted()
+        if vals.size == 0:
+            return float("nan")
+        cum = np.cumsum(wts)
+        target = q * cum[-1]
+        return float(vals[np.searchsorted(cum, target, side="left").clip(0, vals.size - 1)])
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.array([self.quantile(q) for q in qs])
+
+    def rank(self, value: float) -> float:
+        """Approximate normalized rank of ``value`` (fraction ≤ value)."""
+        vals, wts = self._weighted()
+        if vals.size == 0:
+            return float("nan")
+        i = np.searchsorted(vals, value, side="right")
+        return float(wts[:i].sum() / wts.sum())
+
+    # -- serialization --------------------------------------------------
+    def to_bytes(self) -> bytes:
+        head = struct.pack("<qqq", self.k, self.n, len(self.levels))
+        sizes = struct.pack(f"<{len(self.levels)}q", *[lv.size for lv in self.levels])
+        body = b"".join(np.ascontiguousarray(lv).tobytes() for lv in self.levels)
+        return head + sizes + body
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KLL":
+        k, n, H = struct.unpack_from("<qqq", b, 0)
+        sizes = struct.unpack_from(f"<{H}q", b, 24)
+        out = cls(k=k)
+        out.n = n
+        out.levels = []
+        off = 24 + 8 * H
+        for s in sizes:
+            out.levels.append(np.frombuffer(b, np.float64, count=s, offset=off).copy())
+            off += 8 * s
+        return out

@@ -5,7 +5,7 @@ stage end-to-end on real testdata."""
 import numpy as np
 import pytest
 
-from data_linter_ray.state.sketches import HyperLogLog, TDigest, hash_array
+from data_linter_ray.state.sketches import KLL, HyperLogLog, TDigest, hash_array
 
 
 def test_tdigest_quantile_accuracy():
@@ -135,3 +135,73 @@ def test_drift_stage_end_to_end(ray_session, sf_dir):
     )
     results = drift_check(shifted, {"value": base["value"]}, threshold=0.05)
     assert any(not r.valid for r in results)
+
+
+def test_kll_rank_accuracy():
+    """KLL normalized rank error stays well within the k=200 bound on a
+    skewed distribution streamed in chunks."""
+    rng = np.random.RandomState(7)
+    data = rng.lognormal(0, 1, 100_000)
+    sk = KLL(k=200, seed=1)
+    for chunk in np.array_split(data, 23):
+        sk.add(chunk)
+    assert sk.count() == len(data)
+    for q in [0.01, 0.25, 0.5, 0.75, 0.99]:
+        true = np.quantile(data, q)
+        assert abs(sk.rank(true) - q) < 0.02, q
+    # retained size is tiny relative to the stream
+    assert sk._size() < 2_000
+
+
+def test_kll_merge_and_roundtrip():
+    rng = np.random.RandomState(11)
+    data = rng.normal(0, 1, 60_000)
+    a, b = KLL(200, seed=2), KLL(200, seed=3)
+    a.add(data[:30_000])
+    b.add(data[30_000:])
+    a.merge(b)
+    assert a.count() == 60_000
+    assert abs(a.rank(float(np.median(data))) - 0.5) < 0.02
+    rt = KLL.from_bytes(a.to_bytes())
+    assert rt.count() == a.count()
+    assert rt.quantile(0.5) == a.quantile(0.5)
+
+
+def test_compute_sketches_kll_and_drift(ray_session, sf_dir):
+    import ray.data
+
+    from data_linter_ray.stages.sketch_stage import (
+        compute_sketches,
+        drift_check,
+        save_baselines,
+        load_baselines,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    sk = compute_sketches(ds, ["value"], ["user_id"], quantile_sketch="kll")
+    assert "kll" in sk["value"] and "hll" in sk["user_id"]
+    est_median = sk["value"]["kll"].quantile(0.5)
+    true_median = ds.to_pandas()["value"].median()
+    spread = sk["value"]["kll"].quantile(0.95) - sk["value"]["kll"].quantile(0.05)
+    assert abs(est_median - true_median) < 0.05 * max(spread, 1.0)
+
+    # KLL baselines round-trip and drive drift_check (self-drift ≈ 0,
+    # shifted data trips the threshold)
+    path = save_baselines(sk, "/tmp/dlr_test_kll_baseline.json")
+    base = load_baselines(path)
+    assert "kll" in base["value"]
+    self_drift = drift_check(ds, {"value": base["value"]}, threshold=0.1)
+    assert self_drift and all(r.valid for r in self_drift)
+
+    import pyarrow.compute as pc
+
+    shifted = ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("value"),
+            "value",
+            pc.add(t["value"], 1000.0),
+        ),
+        batch_format="pyarrow",
+    )
+    drifted = drift_check(shifted, {"value": base["value"]}, threshold=0.1)
+    assert any(not r.valid for r in drifted)
