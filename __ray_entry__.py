@@ -400,6 +400,15 @@ def q_events_windowed(sf_dir: str):
     )
 
 
+def q_fingerprints_modp(sf_dir: str):
+    """0-mod-p rolling-hash document fingerprints (Manber 1994 / Broder
+    shingle sampling): flattened (doc_id, fp) rows, md5-parity hash so
+    the DuckDB oracle is exact."""
+    from data_linter_ray.functions import text as T
+
+    return T.with_modp_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard for every (doc, doc+' zzz') pair over the
     near-dup corpus — oracle-proves the distributed shingle-set Jaccard
@@ -631,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "fingerprints_modp": q_fingerprints_modp,
         "events_windowed": q_events_windowed,
         "simhash_dedup": q_simhash_dedup,
         "knn": q_knn,
@@ -732,6 +742,17 @@ def oracle_sql() -> dict[str, str]:
     enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
     return {
         "langid": _langid_sql(),
+        "fingerprints_modp": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), x -> x <> '') AS tk "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, unnest(CASE WHEN len(tk)>=3 "
+            "THEN list_transform(generate_series(1,len(tk)-2), "
+            "i -> tk[i]||chr(31)||tk[i+1]||chr(31)||tk[i+2]) ELSE [] END) AS g "
+            "FROM toks), "
+            "h AS (SELECT DISTINCT doc_id, md5_number_lower(g) AS hv FROM grams) "
+            "SELECT doc_id, lpad(lower(to_hex(hv)),16,'0') AS fp FROM h WHERE hv % 8 = 0"
+        ),
         "events_windowed": (
             "SELECT event_type, date_trunc('day', ts) AS day, "
             "count(*) AS n, min(value) AS min_value, max(value) AS max_value "

@@ -107,6 +107,7 @@ QUERY_NAMES = [
     "exact_dedup",
     "minhash_dedup",
     "jaccard_pairs",
+    "fingerprints_modp",
     "simhash_dedup",
     "knn",
     "embedding_near_dups",

@@ -134,3 +134,138 @@ def with_fingerprint(ds: Dataset, text_col: str = "text") -> Dataset:
     return ds.map_batches(
         lambda t: fingerprint_table(t, text_col), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash document fingerprints (0-mod-p + winnowing)
+# ---------------------------------------------------------------------------
+
+
+def _gram_strings(text: pa.ChunkedArray | pa.Array, k: int):
+    """token k-gram strings per row → (flat gram list, parent row idx).
+    Grams are chr(31)-joined lowered tokens — the same gram identity the
+    DuckDB oracle constructs."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
+    )
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    words = np.asarray(flat.to_pylist(), dtype=object)[keep]
+    parents = parents[keep]
+    n = len(words)
+    if n < k:
+        return [], np.empty(0, np.int64)
+    same = parents[: n - k + 1] == parents[k - 1 :]
+    grams = [
+        "\x1f".join(words[i : i + k]) for i in np.flatnonzero(same)
+    ]
+    return grams, parents[: n - k + 1][same]
+
+
+def _md5_lower64(grams: list[str]) -> np.ndarray:
+    """uint64 per gram == DuckDB ``md5_number_lower`` (bytes 8..16 of the
+    md5 digest, little-endian) — the oracle-parity hash."""
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = np.frombuffer(hashlib.md5(g.encode()).digest(), "<u8")[1]
+    return out
+
+
+def modp_fingerprint_table(
+    t: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, mod_p: int = 8,
+) -> pa.Table:
+    """0-mod-p rolling fingerprint (Manber, "Finding similar files in a
+    large file system", USENIX 1994; Broder's shingle sampling): keep the
+    distinct k-gram hashes with h ≡ 0 (mod p). Output is flattened
+    (doc_id, fp-hex) rows — one per selected fingerprint."""
+    grams, parents = _gram_strings(t[text_col], k)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    h = _md5_lower64(grams)
+    sel = h % np.uint64(mod_p) == 0
+    hs, ps = h[sel], parents[sel]
+    # distinct per (row, hash)
+    if len(hs):
+        order = np.lexsort((hs, ps))
+        hs, ps = hs[order], ps[order]
+        first = np.ones(len(hs), bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+        hs, ps = hs[first], ps[first]
+    return pa.table(
+        {
+            id_col: pa.array(ids[ps]),
+            "fp": pa.array([f"{v:016x}" for v in hs], pa.string()),
+        }
+    )
+
+
+def winnow_fingerprint_table(
+    t: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, w: int = 4,
+) -> pa.Table:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    local algorithms for document fingerprinting", SIGMOD 2003): in each
+    window of ``w`` consecutive k-gram hashes pick the minimum (rightmost
+    on ties), dedupe selected positions. Vectorized: the window min is a
+    reduce over w shifted views; rightmost-tie via reversed argmin.
+    Output: flattened (doc_id, fp-hex) rows."""
+    grams, parents = _gram_strings(t[text_col], k)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    h = _md5_lower64(grams)
+    n = len(h)
+    sel_pos: list[np.ndarray] = []
+    if n:
+        # windows must not span rows: a window starting at i is valid when
+        # parents[i] == parents[i + w - 1]; rows shorter than w grams keep
+        # their single minimum (standard winnowing boundary handling keeps
+        # at least one fingerprint per document ≥ 1 gram)
+        if n >= w:
+            stack = np.stack([h[s : n - w + 1 + s] for s in range(w)])  # [w, m]
+            # rightmost tie-break: scan windows reversed so argmin finds
+            # the LAST minimal element
+            rev = stack[::-1]
+            offs = (w - 1) - rev.argmin(axis=0)
+            valid = parents[: n - w + 1] == parents[w - 1 :]
+            pos = (np.arange(n - w + 1) + offs)[valid]
+            sel_pos.append(pos)
+        # per-row fallback for rows with 1..w-1 grams: their own min
+        counts = np.bincount(parents)
+        short_rows = np.flatnonzero((counts > 0) & (counts < w))
+        if len(short_rows):
+            starts = np.concatenate([[0], np.cumsum(counts)])
+            for r in short_rows:
+                seg = h[starts[r] : starts[r + 1]]
+                sel_pos.append(np.array([starts[r] + (len(seg) - 1 - seg[::-1].argmin())]))
+    if sel_pos:
+        pos = np.unique(np.concatenate(sel_pos))
+        hs, ps = h[pos], parents[pos]
+        order = np.lexsort((hs, ps))
+        hs, ps = hs[order], ps[order]
+        first = np.ones(len(hs), bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+        hs, ps = hs[first], ps[first]
+    else:
+        hs, ps = np.empty(0, np.uint64), np.empty(0, np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(ids[ps]),
+            "fp": pa.array([f"{v:016x}" for v in hs], pa.string()),
+        }
+    )
+
+
+def with_modp_fingerprints(ds: Dataset, **kw) -> Dataset:
+    cols = [kw.get("id_col", "doc_id"), kw.get("text_col", "text")]
+    return ds.select_columns(cols).map_batches(
+        lambda t, _kw=kw: modp_fingerprint_table(t, **_kw), batch_format="pyarrow"
+    )
+
+
+def with_winnow_fingerprints(ds: Dataset, **kw) -> Dataset:
+    cols = [kw.get("id_col", "doc_id"), kw.get("text_col", "text")]
+    return ds.select_columns(cols).map_batches(
+        lambda t, _kw=kw: winnow_fingerprint_table(t, **_kw), batch_format="pyarrow"
+    )

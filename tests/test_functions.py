@@ -266,3 +266,67 @@ def test_embedding_near_dups_auto_small_is_exact(ray_session, sf_dir):
     ).to_pandas()
     key = lambda df: set(zip(df["id_a"], df["id_b"]))
     assert key(auto) == key(exact)
+
+
+def test_modp_fingerprints_vs_duckdb(docs, sf_dir):
+    import duckdb
+
+    got = (
+        text.with_modp_fingerprints(docs)
+        .to_pandas()
+        .sort_values(["doc_id", "fp"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "WITH toks AS (SELECT doc_id, list_filter("
+        r"regexp_split_to_array(lower(trim(text)), '\W+'), x -> x <> '') AS tk "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')), "
+        "grams AS (SELECT doc_id, unnest(CASE WHEN len(tk)>=3 "
+        "THEN list_transform(generate_series(1,len(tk)-2), "
+        "i -> tk[i]||chr(31)||tk[i+1]||chr(31)||tk[i+2]) ELSE [] END) AS g FROM toks), "
+        "h AS (SELECT DISTINCT doc_id, md5_number_lower(g) AS hv FROM grams) "
+        "SELECT doc_id, lpad(lower(to_hex(hv)),16,'0') AS fp FROM h "
+        "WHERE hv % 8 = 0 ORDER BY doc_id, fp"
+    ).df()
+    assert len(got) == len(exp)
+    assert (got["fp"] == exp["fp"]).all() and (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+
+
+def test_winnow_fingerprints_vs_naive(docs):
+    """Vectorized winnowing == the SIGMOD-2003 definition run naively
+    (rightmost-min per window, deduped positions)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    sub = docs.limit(40).to_pandas()
+    got = (
+        text.with_winnow_fingerprints(ray.data.from_pandas(sub))
+        .to_pandas()
+        .groupby("doc_id")["fp"]
+        .apply(set)
+    )
+
+    def naive(s, k=5, w=4):
+        toks = [x for x in re.split(r"\W+", s.lower().strip()) if x]
+        grams = ["\x1f".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(np.frombuffer(hashlib.md5(g.encode()).digest(), "<u8")[1])
+            for g in grams
+        ]
+        if not hs:
+            return set()
+        sel = set()
+        if len(hs) >= w:
+            for i in range(len(hs) - w + 1):
+                win = hs[i : i + w]
+                m = min(win)
+                sel.add(i + max(j for j, v in enumerate(win) if v == m))
+        else:
+            m = min(hs)
+            sel.add(max(i for i, v in enumerate(hs) if v == m))
+        return {f"{hs[p]:016x}" for p in sel}
+
+    for _, row in sub.iterrows():
+        assert got.get(row["doc_id"], set()) == naive(row["text"]), row["doc_id"]
