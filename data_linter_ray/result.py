@@ -41,6 +41,18 @@ class ValidatorResult:
     def get_result(self, copy: bool = True) -> dict:
         return deepcopy(self.result) if copy else self.result
 
+    @property
+    def metadata(self) -> dict:
+        """Attached table schema dict (reference base.py:29-48 parity —
+        our TableSchema stands in for mojap Metadata; validated on set)."""
+        return self._metadata
+
+    @metadata.setter
+    def metadata(self, meta_dict: dict) -> None:
+        from data_linter_ray.metadata import TableSchema
+
+        self._metadata = TableSchema.from_dict(meta_dict).to_dict()
+
     def init_col(self, colname: str) -> None:
         if colname not in self.result:
             self.result[colname] = {"valid": True}

@@ -53,6 +53,16 @@ class BaseTableValidator:
                 self.response.get_names_of_column_failures(),
             )
 
+    def write_validation_result_to_log(self, log=None):
+        """Reference base.py:136-146 parity: dump the full response dict
+        to the given logger at info level."""
+        import json
+        import logging
+
+        (log or logging.getLogger("root")).info(
+            json.dumps(self.response.get_result(), indent=2, default=str)
+        )
+
 
 class RayValidator(BaseTableValidator):
     """Full-data validator on Ray (the reference PandasValidator role)."""

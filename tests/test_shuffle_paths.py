@@ -158,3 +158,27 @@ def test_date_format_mask_matches_strptime(dts, render_fmt, check_fmt):
     exp = [not ref_ok(v) for v in values]
     got = checks.date_format_mask(col, check_fmt).to_pylist()
     assert got == exp
+
+
+def test_uniqueness_exchange_survives_extreme_skew(ray_session):
+    """One key owning 50% of all rows (the north-rule hot doc_id range):
+    per-block pre-aggregation collapses the hot key to one partial per
+    block BEFORE the exchange, so no partition ever receives the raw hot
+    rows. Counts must still be exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from data_linter_ray.stages.uniqueness import duplicate_keys
+
+    n = 200_000
+    def gen(batch):
+        ids = np.asarray(batch["id"])
+        # half the rows share key 0; the rest are unique
+        keys = np.where(ids % 2 == 0, 0, ids)
+        return pa.table({"k": keys})
+
+    ds = ray.data.range(n, override_num_blocks=16).map_batches(gen, batch_format="numpy")
+    dup = duplicate_keys(ds, "k").to_pandas()
+    assert len(dup) == 1
+    assert dup.iloc[0]["k"] == 0 and dup.iloc[0]["n"] == n // 2
