@@ -203,7 +203,12 @@ def quantile_drift(
     baseline,
     quantiles=DEFAULT_QUANTILES,
 ) -> float:  # works on any sketch exposing quantile()/quantiles() (t-digest, KLL)
-    """Normalized max quantile shift: max_q |Q_cur(q) − Q_base(q)| / IQR_base."""
+    """Normalized max quantile shift: max_q |Q_cur(q) − Q_base(q)| / IQR_base.
+
+    Caveat: on small heavy-tailed columns the 1%/99% quantiles of a
+    randomized KLL sketch carry sampling noise — prefer t-digest (whose
+    centroids concentrate at the tails by design) for tail-sensitive
+    drift, or restrict ``quantiles`` to the dense central range."""
     qc = current.quantiles(quantiles)
     qb = baseline.quantiles(quantiles)
     iqr = baseline.quantile(0.75) - baseline.quantile(0.25)

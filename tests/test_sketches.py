@@ -177,15 +177,24 @@ def test_compute_sketches_kll_and_drift(ray_session, sf_dir):
         load_baselines,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    # dense-tailed column (uniform-ish over [0, 100)): drift at the 1%/99%
+    # quantiles of a randomized sketch is only stable when the tails are
+    # dense — events.value at sf0.001 is 1k heavy-tailed rows, where two
+    # sketches of the SAME data can disagree at Q(0.99) by > threshold
+    def gen(batch):
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        return {"value": ((ids * 2654435761) % 100_000) / 1000.0, "user_id": ids % 997}
+
+    ds = ray.data.range(100_000, override_num_blocks=8).map_batches(
+        gen, batch_format="numpy"
+    )
     sk = compute_sketches(ds, ["value"], ["user_id"], quantile_sketch="kll")
     assert "kll" in sk["value"] and "hll" in sk["user_id"]
-    est_median = sk["value"]["kll"].quantile(0.5)
-    true_median = ds.to_pandas()["value"].median()
-    spread = sk["value"]["kll"].quantile(0.95) - sk["value"]["kll"].quantile(0.05)
-    assert abs(est_median - true_median) < 0.05 * max(spread, 1.0)
+    # KLL's guarantee is on RANK error: the true median must sit at
+    # normalized rank 0.5 ± eps in the merged sketch
+    assert abs(sk["value"]["kll"].rank(50.0) - 0.5) < 0.02
 
-    # KLL baselines round-trip and drive drift_check (self-drift ≈ 0,
+    # KLL baselines round-trip and drive drift_check (self-drift small,
     # shifted data trips the threshold)
     path = save_baselines(sk, "/tmp/dlr_test_kll_baseline.json")
     base = load_baselines(path)
