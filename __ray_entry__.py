@@ -597,7 +597,9 @@ def q_orders_summary(sf_dir: str):
 def q_drift(sf_dir: str):
     """Distribution-drift verdicts: events.value + user_id sketched, then
     checked against their own baseline (distance 0) and against a
-    shifted copy (drift fires). Rows-only — sketches are approximate."""
+    shifted copy (drift fires). Oracle: verdict-level — the sketch-based
+    pass/fail booleans must agree with exact SQL quantiles computing the
+    same drift formula (distances are approximate; verdicts are not)."""
     import pandas as pd
 
     from data_linter_ray.stages.sketch_stage import (
@@ -794,6 +796,21 @@ def oracle_sql() -> dict[str, str]:
     enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
     return {
         "langid": _langid_sql(),
+        "drift": (
+            "WITH s AS (SELECT "
+            "quantile_cont(value,0.01) q1, quantile_cont(value,0.05) q5, "
+            "quantile_cont(value,0.25) q25, quantile_cont(value,0.50) q50, "
+            "quantile_cont(value,0.75) q75, quantile_cont(value,0.95) q95, "
+            "quantile_cont(value,0.99) q99 FROM events) "
+            "SELECT * FROM ("
+            "SELECT 'self' AS \"case\", 'user_id' AS \"column\", "
+            "'cardinality_shift' AS metric, true AS valid "
+            "UNION ALL SELECT 'self', 'value', 'quantile_shift', true "
+            "UNION ALL SELECT 'shifted', 'value', 'quantile_shift', "
+            "(SELECT greatest(abs(q1),abs(q5),abs(q25),abs(q50),abs(q75),abs(q95),abs(q99)) "
+            "/ (q75-q25) <= 0.05 FROM s)"
+            ") ORDER BY \"case\", \"column\", metric"
+        ),
         "fingerprints_modp": (
             "WITH toks AS (SELECT doc_id, list_filter("
             r"regexp_split_to_array(lower(trim(text)), '\W+'), x -> x <> '') AS tk "
