@@ -409,6 +409,42 @@ def q_fingerprints_modp(sf_dir: str):
     return T.with_modp_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_asof_purchases(sf_dir: str):
+    """As-of join: each non-purchase event picks up the same user's
+    latest prior purchase (ts ≤ event ts). Oracle: DuckDB ASOF LEFT
+    JOIN. The right side is deduped per (user_id, ts) so both engines'
+    tie semantics coincide."""
+    from ray.data.aggregate import Max
+
+    from data_linter_ray.functions.timeseries import asof_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    left = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = (
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+                ["user_id", "ts", "value"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("value", alias_name="purchase_value"))
+        .map_batches(
+            lambda t: t.append_column("purchase_ts", t["ts"]),
+            batch_format="pyarrow",
+        )
+    )
+    return asof_join(left, right, on="ts", by="user_id")
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard for every (doc, doc+' zzz') pair over the
     near-dup corpus — oracle-proves the distributed shingle-set Jaccard
@@ -694,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "asof_purchases": q_asof_purchases,
         "fingerprints_modp": q_fingerprints_modp,
         "events_windowed": q_events_windowed,
         "simhash_dedup": q_simhash_dedup,
@@ -796,6 +833,17 @@ def oracle_sql() -> dict[str, str]:
     enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
     return {
         "langid": _langid_sql(),
+        "asof_purchases": (
+            "WITH lefts AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type <> 'purchase'), "
+            "rights AS (SELECT user_id, ts, max(value) AS purchase_value, "
+            "ts AS purchase_ts FROM events WHERE event_type = 'purchase' "
+            "GROUP BY user_id, ts) "
+            "SELECT l.ts, l.user_id, l.event_id, "
+            "r.purchase_value, r.purchase_ts "
+            "FROM lefts l ASOF LEFT JOIN rights r "
+            "ON l.user_id = r.user_id AND r.ts <= l.ts"
+        ),
         "drift": (
             "WITH s AS (SELECT "
             "quantile_cont(value,0.01) q1, quantile_cont(value,0.05) q5, "

@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "embedding_near_dups",
     "events_summary",
     "events_windowed",
+    "asof_purchases",
     "lineitem_verdict",
     "star_ref_check",
     "drift",

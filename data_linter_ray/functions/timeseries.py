@@ -1,0 +1,118 @@
+"""Time-series operators: as-of join.
+
+The as-of join is the brief's canonical "operator Ray Data lacks":
+for each left row, attach the latest right row with the same key whose
+time is ≤ (backward) / ≥ (forward) the left time. Expressed
+Ray-Data-first as a composition (no raw actors):
+
+    pad both sides to a shared schema (typed nulls) → union
+    → coarse hash-partition on the key (``groupby("_part").map_groups``
+    — the repo's standard bounded exchange, one partition per hash
+    bucket, NOT one per key)
+    → inside each partition: ``pandas.merge_asof(..., by=key)`` —
+    a single vectorized merge per partition covering all its keys.
+
+Partitioning assumption (documented per the brief): all rows of one
+key land in one partition — guaranteed by the hash on the key column;
+per-partition memory is bounded by the key-hash fan-out, with skew
+limited to the largest single key's history.
+
+Semantics match ``pandas.merge_asof`` (inclusive bound; ties on the
+right time resolve to the LAST right row) — DuckDB's ASOF JOIN agrees
+when right times are unique per key, which the oracle query ensures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from data_linter_ray.stages.uniqueness import SHUFFLE_PARTITIONS
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    right_suffix: str = "_r",
+    allow_exact_matches: bool = True,
+) -> Dataset:
+    """As-of join ``left`` to ``right`` on time column ``on`` within key
+    ``by``. Returns left rows + the matched right row's payload columns
+    (suffixed); unmatched left rows keep nulls (left-outer semantics)."""
+    def _arrow_types(schema) -> dict:
+        base = schema.base_schema
+        if isinstance(base, pa.Schema):
+            return {n: base.field(n).type for n in base.names}
+        out = {}
+        for n, t in zip(base.names, base.types):  # PandasBlockSchema
+            try:
+                out[n] = pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                out[n] = pa.string()
+        return out
+
+    l_types_all = _arrow_types(left.schema())
+    r_types_all = _arrow_types(right.schema())
+    l_payload = [c for c in l_types_all if c not in (on, by)]
+    r_payload = [c for c in r_types_all if c not in (on, by)]
+    r_out = {c: c + right_suffix if c in l_types_all else c for c in r_payload}
+    l_types = {c: l_types_all[c] for c in l_payload}
+    r_types = {c: r_types_all[c] for c in r_payload}
+
+    def pad(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            h = pd.util.hash_pandas_object(
+                t[by].to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+            cols = {
+                on: t[on],
+                by: t[by],
+                "_part": pa.array((h % SHUFFLE_PARTITIONS).astype(np.int64)),
+                "_side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in l_payload:
+                cols[c] = t[c] if side == 0 else pa.nulls(n, l_types[c])
+            for c in r_payload:
+                cols[r_out[c]] = t[c] if side == 1 else pa.nulls(n, r_types[c])
+            return pa.table(cols)
+
+        return f
+
+    unioned = left.map_batches(pad(0), batch_format="pyarrow").union(
+        right.map_batches(pad(1), batch_format="pyarrow")
+    )
+
+    out_r_cols = [r_out[c] for c in r_payload]
+
+    def join_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        lg = (
+            g[g["_side"] == 0][[on, by] + l_payload]
+            .sort_values(on, kind="stable")
+        )
+        rg = (
+            g[g["_side"] == 1][[on, by] + out_r_cols]
+            .sort_values(on, kind="stable")
+        )
+        out = pd.merge_asof(
+            lg,
+            rg,
+            on=on,
+            by=by,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+        )
+        # the null-padded union NaN-promotes integer left payloads to
+        # float64; restore the source dtype where no real nulls remain
+        for c in l_payload:
+            if pa.types.is_integer(l_types[c]) and not out[c].isna().any():
+                out[c] = out[c].astype(l_types[c].to_pandas_dtype())
+        return out
+
+    return unioned.groupby("_part").map_groups(join_part, batch_format="pandas")

@@ -330,3 +330,44 @@ def test_winnow_fingerprints_vs_naive(docs):
 
     for _, row in sub.iterrows():
         assert got.get(row["doc_id"], set()) == naive(row["text"]), row["doc_id"]
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """Distributed as-of join == pandas merge_asof on a quotes/trades
+    style fixture, both directions, across the hash-partition exchange."""
+    import pandas as pd
+
+    from data_linter_ray.functions.timeseries import asof_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {"ts": rng.randint(0, 1000, 500), "k": rng.randint(0, 7, 500), "lx": np.arange(500)}
+    )
+    right = pd.DataFrame(
+        {
+            "ts": np.repeat(np.arange(0, 1000, 10), 7),
+            "k": np.tile(np.arange(7), 100),
+            "price": rng.rand(700),
+        }
+    )
+    for direction in ["backward", "forward"]:
+        got = (
+            asof_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                on="ts",
+                by="k",
+                direction=direction,
+            )
+            .to_pandas()
+            .sort_values(["k", "ts", "lx"])
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts",
+            by="k",
+            direction=direction,
+        ).sort_values(["k", "ts", "lx"]).reset_index(drop=True)[got.columns]
+        assert got.equals(exp), direction
