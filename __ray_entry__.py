@@ -445,6 +445,47 @@ def q_asof_purchases(sf_dir: str):
     return asof_join(left, right, on="ts", by="user_id")
 
 
+def q_range_events(sf_dir: str):
+    """Range (interval) join: for each purchase, count the same user's
+    non-purchase events in the hour before it (inclusive bounds).
+    Oracle: DuckDB BETWEEN join + group-by."""
+    from ray.data.aggregate import Count
+
+    from data_linter_ray.functions.timeseries import range_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    left = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["event_type"], "purchase")).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def purchases(t: pa.Table) -> pa.Table:
+        p = t.filter(pc.equal(t["event_type"], "purchase"))
+        hour = pa.scalar(3_600_000_000, pa.duration("us"))
+        return pa.table(
+            {
+                "user_id": p["user_id"],
+                "start_ts": pc.subtract(p["ts"], hour),
+                "purchase_ts": p["ts"],
+            }
+        )
+
+    right = ds.map_batches(purchases, batch_format="pyarrow")
+    joined = range_join(
+        left, right,
+        left_time="ts", right_start="start_ts", right_end="purchase_ts",
+        by="user_id",
+    )
+    return (
+        joined.groupby(["user_id", "purchase_ts"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard for every (doc, doc+' zzz') pair over the
     near-dup corpus — oracle-proves the distributed shingle-set Jaccard
@@ -731,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "asof_purchases": q_asof_purchases,
+        "range_events": q_range_events,
         "fingerprints_modp": q_fingerprints_modp,
         "events_windowed": q_events_windowed,
         "simhash_dedup": q_simhash_dedup,
@@ -843,6 +885,15 @@ def oracle_sql() -> dict[str, str]:
             "r.purchase_value, r.purchase_ts "
             "FROM lefts l ASOF LEFT JOIN rights r "
             "ON l.user_id = r.user_id AND r.ts <= l.ts"
+        ),
+        "range_events": (
+            "WITH l AS (SELECT user_id, ts FROM events WHERE event_type <> 'purchase'), "
+            "r AS (SELECT user_id, ts AS purchase_ts, ts - INTERVAL 1 HOUR AS start_ts "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT r.user_id, r.purchase_ts, count(*) AS n_events "
+            "FROM l JOIN r ON l.user_id = r.user_id "
+            "AND l.ts BETWEEN r.start_ts AND r.purchase_ts "
+            "GROUP BY r.user_id, r.purchase_ts"
         ),
         "drift": (
             "WITH s AS (SELECT "

@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "events_summary",
     "events_windowed",
     "asof_purchases",
+    "range_events",
     "lineitem_verdict",
     "star_ref_check",
     "drift",

@@ -1,4 +1,4 @@
-"""Time-series operators: as-of join.
+"""Time-series operators: as-of join and range (interval) join.
 
 The as-of join is the brief's canonical "operator Ray Data lacks":
 for each left row, attach the latest right row with the same key whose
@@ -116,3 +116,89 @@ def asof_join(
         return out
 
     return unioned.groupby("_part").map_groups(join_part, batch_format="pandas")
+
+
+def range_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    by: str,
+    right_suffix: str = "_r",
+) -> Dataset:
+    """Interval (range) join: pair each left row with every right row of
+    the same key whose [start, end] interval contains the left time
+    (inclusive bounds — mirror a SQL BETWEEN join).
+
+    Same composition as :func:`asof_join`: pad → union → coarse key-hash
+    exchange → per-partition vectorized pandas merge-on-key + interval
+    filter. Partitioning assumption: all rows of one key share a
+    partition; per-partition work is Σ_k |L_k|·|R_k| over that
+    partition's keys — bounded for short per-key histories, and hot keys
+    should be salted upstream when a single key's |L|·|R| is large."""
+    l_types_all = {
+        n: t for n, t in _schema_types(left).items()
+    }
+    r_types_all = {
+        n: t for n, t in _schema_types(right).items()
+    }
+    l_payload = [c for c in l_types_all if c != by]
+    r_payload = [c for c in r_types_all if c != by]
+    r_out = {c: c + right_suffix if c in l_types_all else c for c in r_payload}
+
+    def pad(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            h = pd.util.hash_pandas_object(
+                t[by].to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+            cols = {
+                by: t[by],
+                "_part": pa.array((h % SHUFFLE_PARTITIONS).astype(np.int64)),
+                "_side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in l_payload:
+                cols[c] = t[c] if side == 0 else pa.nulls(n, l_types_all[c])
+            for c in r_payload:
+                cols[r_out[c]] = t[c] if side == 1 else pa.nulls(n, r_types_all[c])
+            return pa.table(cols)
+
+        return f
+
+    unioned = left.map_batches(pad(0), batch_format="pyarrow").union(
+        right.map_batches(pad(1), batch_format="pyarrow")
+    )
+    out_r = [r_out[c] for c in r_payload]
+    start_c, end_c = r_out[right_start], r_out[right_end]
+
+    def join_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        lg = g[g["_side"] == 0][[by] + l_payload]
+        rg = g[g["_side"] == 1][[by] + out_r]
+        out = lg.merge(rg, on=by)
+        out = out[
+            (out[start_c] <= out[left_time]) & (out[left_time] <= out[end_c])
+        ]
+        for c in l_payload:
+            if pa.types.is_integer(l_types_all[c]) and not out[c].isna().any():
+                out[c] = out[c].astype(l_types_all[c].to_pandas_dtype())
+        for c in r_payload:
+            if pa.types.is_integer(r_types_all[c]) and not out[r_out[c]].isna().any():
+                out[r_out[c]] = out[r_out[c]].astype(r_types_all[c].to_pandas_dtype())
+        return out.reset_index(drop=True)
+
+    return unioned.groupby("_part").map_groups(join_part, batch_format="pandas")
+
+
+def _schema_types(ds: Dataset) -> dict:
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return {n: base.field(n).type for n in base.names}
+    out = {}
+    for n, t in zip(base.names, base.types):  # PandasBlockSchema
+        try:
+            out[n] = pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            out[n] = pa.string()
+    return out

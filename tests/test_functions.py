@@ -371,3 +371,37 @@ def test_asof_join_matches_pandas(ray_session):
             direction=direction,
         ).sort_values(["k", "ts", "lx"]).reset_index(drop=True)[got.columns]
         assert got.equals(exp), direction
+
+
+def test_range_join_matches_pandas(ray_session):
+    from data_linter_ray.functions.timeseries import range_join
+
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame(
+        {"ts": rng.randint(0, 1000, 400), "k": rng.randint(0, 5, 400), "lx": np.arange(400)}
+    )
+    starts = rng.randint(0, 900, 60)
+    right = pd.DataFrame(
+        {"s": starts, "e": starts + rng.randint(10, 120, 60), "k": rng.randint(0, 5, 60), "rid": np.arange(60)}
+    )
+    got = (
+        range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            left_time="ts",
+            right_start="s",
+            right_end="e",
+            by="k",
+        )
+        .to_pandas()
+        .sort_values(["k", "lx", "rid"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k")
+    exp = exp[(exp["s"] <= exp["ts"]) & (exp["ts"] <= exp["e"])].sort_values(
+        ["k", "lx", "rid"]
+    ).reset_index(drop=True)[got.columns]
+    assert len(got) > 0
+    assert got.equals(exp)
