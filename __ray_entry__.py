@@ -414,8 +414,6 @@ def q_asof_purchases(sf_dir: str):
     latest prior purchase (ts ≤ event ts). Oracle: DuckDB ASOF LEFT
     JOIN. The right side is deduped per (user_id, ts) so both engines'
     tie semantics coincide."""
-    from ray.data.aggregate import Max
-
     from data_linter_ray.functions.timeseries import asof_join
 
     ds = ray.data.read_parquet(
@@ -428,21 +426,27 @@ def q_asof_purchases(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    right = (
-        ds.map_batches(
-            lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
-                ["user_id", "ts", "value"]
-            ),
-            batch_format="pyarrow",
+
+    def purchases(t: pa.Table) -> pa.Table:
+        p = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": p["user_id"],
+                "ts": p["ts"],
+                "purchase_value": p["value"],
+                "purchase_ts": p["ts"],
+            }
         )
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("value", alias_name="purchase_value"))
-        .map_batches(
-            lambda t: t.append_column("purchase_ts", t["ts"]),
-            batch_format="pyarrow",
-        )
+
+    # per-(user, ts) dedupe happens INSIDE the join's partition merge
+    # (co-located by the key hash) — no separate groupby exchange
+    return asof_join(
+        left,
+        ds.map_batches(purchases, batch_format="pyarrow"),
+        on="ts",
+        by="user_id",
+        right_dedupe_agg={"purchase_value": "max", "purchase_ts": "max"},
     )
-    return asof_join(left, right, on="ts", by="user_id")
 
 
 def q_range_events(sf_dir: str):
@@ -475,14 +479,18 @@ def q_range_events(sf_dir: str):
         )
 
     right = ds.map_batches(purchases, batch_format="pyarrow")
-    joined = range_join(
+    # every (user_id, purchase_ts) group's matches are complete within
+    # one partition (the join exchanges by hash(user_id)), so the count
+    # runs in the join's post hook — no second global shuffle
+    def count_per_purchase(df):
+        out = df.groupby(["user_id", "purchase_ts"], as_index=False).size()
+        return out.rename(columns={"size": "n_events"})
+
+    return range_join(
         left, right,
         left_time="ts", right_start="start_ts", right_end="purchase_ts",
         by="user_id",
-    )
-    return (
-        joined.groupby(["user_id", "purchase_ts"])
-        .aggregate(Count(alias_name="n_events"))
+        post=count_per_purchase,
     )
 
 

@@ -41,10 +41,17 @@ def asof_join(
     direction: str = "backward",
     right_suffix: str = "_r",
     allow_exact_matches: bool = True,
+    right_dedupe_agg: dict | None = None,
 ) -> Dataset:
     """As-of join ``left`` to ``right`` on time column ``on`` within key
     ``by``. Returns left rows + the matched right row's payload columns
-    (suffixed); unmatched left rows keep nulls (left-outer semantics)."""
+    (suffixed); unmatched left rows keep nulls (left-outer semantics).
+
+    ``right_dedupe_agg`` (e.g. ``{"price": "max"}``, keys are OUTPUT
+    right column names) dedupes the right side per (by, on) INSIDE the
+    partition merge — all rows of a (by, on) pair co-locate under the
+    key hash, so this is exact and saves the caller a whole
+    groupby-exchange."""
     def _arrow_types(schema) -> dict:
         base = schema.base_schema
         if isinstance(base, pa.Schema):
@@ -96,10 +103,11 @@ def asof_join(
             g[g["_side"] == 0][[on, by] + l_payload]
             .sort_values(on, kind="stable")
         )
-        rg = (
-            g[g["_side"] == 1][[on, by] + out_r_cols]
-            .sort_values(on, kind="stable")
-        )
+        rg = g[g["_side"] == 1][[on, by] + out_r_cols]
+        if right_dedupe_agg:
+            rg = rg.groupby([by, on], as_index=False).agg(right_dedupe_agg)
+            rg = rg[[on, by] + list(right_dedupe_agg)]
+        rg = rg.sort_values(on, kind="stable")
         out = pd.merge_asof(
             lg,
             rg,
@@ -127,6 +135,7 @@ def range_join(
     right_end: str,
     by: str,
     right_suffix: str = "_r",
+    post=None,
 ) -> Dataset:
     """Interval (range) join: pair each left row with every right row of
     the same key whose [start, end] interval contains the left time
@@ -137,7 +146,12 @@ def range_join(
     filter. Partitioning assumption: all rows of one key share a
     partition; per-partition work is Σ_k |L_k|·|R_k| over that
     partition's keys — bounded for short per-key histories, and hot keys
-    should be salted upstream when a single key's |L|·|R| is large."""
+    should be salted upstream when a single key's |L|·|R| is large.
+
+    ``post`` (optional ``DataFrame -> DataFrame``) runs on each
+    partition's joined frame before emission — use it for per-key
+    aggregations (every key's matches are complete within the
+    partition), avoiding a second global shuffle."""
     l_types_all = {
         n: t for n, t in _schema_types(left).items()
     }
@@ -186,7 +200,8 @@ def range_join(
         for c in r_payload:
             if pa.types.is_integer(r_types_all[c]) and not out[r_out[c]].isna().any():
                 out[r_out[c]] = out[r_out[c]].astype(r_types_all[c].to_pandas_dtype())
-        return out.reset_index(drop=True)
+        out = out.reset_index(drop=True)
+        return post(out) if post is not None else out
 
     return unioned.groupby("_part").map_groups(join_part, batch_format="pandas")
 
