@@ -228,3 +228,84 @@ def ivf_near_duplicates(
 
     # a pair can surface from both probe clusters — dedupe
     return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def rp_lsh_near_duplicates(
+    ds: Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    max_bucket: int = 4096,
+) -> Dataset:
+    """Random-hyperplane LSH near-duplicate pairs (Charikar, "Similarity
+    estimation techniques from rounding algorithms", STOC 2002): sign of
+    ``n_planes`` seeded Gaussian projections → ``n_bands`` bucket keys
+    per vector (banded, so any pair whose signatures agree on one band
+    collides) → exact cosine verification within each bucket.
+
+    Unlike the broadcast path there is no corpus-sized object and no
+    O(n²) matmul; unlike IVF there is no k-means training pass — buckets
+    come from data-independent projections, so the same planes partition
+    every batch identically. Candidates only (recall < 1 near the
+    hyperplanes, like any LSH); verified pairs are exact cosine ≥
+    threshold, no false positives.
+    """
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide into n_bands bands")
+    r = n_planes // n_bands
+
+    def emit(t: pa.Table) -> pa.Table:
+        M = _normalize(_stack(t[emb_col]))
+        planes = np.random.RandomState(seed).randn(M.shape[1], n_planes)
+        bits = (M @ planes) > 0  # [n, n_planes]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keys, bands, out_ids = [], [], []
+        emb = t[emb_col].combine_chunks()
+        embs = []
+        for b in range(n_bands):
+            chunk = bits[:, b * r : (b + 1) * r]
+            key = (chunk * (1 << np.arange(r))).sum(axis=1).astype(np.int64)
+            keys.append(key)
+            bands.append(np.full(len(ids), b, dtype=np.int32))
+            out_ids.append(ids)
+            embs.append(emb)
+        return pa.table(
+            {
+                "band": np.concatenate(bands),
+                "key": np.concatenate(keys),
+                "id": np.concatenate(out_ids),
+                emb_col: pa.concat_arrays([e.combine_chunks() if isinstance(e, pa.ChunkedArray) else e for e in embs]),
+            }
+        )
+
+    buckets = ds.select_columns([id_col, emb_col]).map_batches(
+        emit, batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("id").head(max_bucket)
+        ids = g["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        M = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+        S = M @ M.T
+        r_, c_ = np.nonzero(S >= threshold)
+        keep = ids[r_] < ids[c_]
+        return pd.DataFrame({"id_a": ids[r_][keep], "id_b": ids[c_][keep]})
+
+    pairs = buckets.groupby(["band", "key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    from ray.data.aggregate import Count
+
+    # the same pair can surface from several bands — dedupe
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )

@@ -405,3 +405,18 @@ def test_range_join_matches_pandas(ray_session):
     ).reset_index(drop=True)[got.columns]
     assert len(got) > 0
     assert got.equals(exp)
+
+
+def test_rp_lsh_near_duplicates(ray_session, sf_dir):
+    """Random-hyperplane LSH: no false positives (exact cosine verify)
+    and reasonable recall vs the exact broadcast pairs."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    exact = similarity.embedding_near_duplicates(
+        ds, threshold=0.4, mode="broadcast"
+    ).to_pandas()
+    lsh = similarity.rp_lsh_near_duplicates(ds, threshold=0.4).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lsh_pairs <= exact_pairs  # verified → no false positives
+    if exact_pairs:
+        assert len(lsh_pairs) / len(exact_pairs) >= 0.5  # banded recall
