@@ -364,7 +364,9 @@ def q_minhash_dedup(sf_dir: str):
         )
 
     corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
-    cand = D.minhash_lsh_candidates(corpus)
+    # dedupe=False: verify's bounded broadcast path folds the cross-band
+    # pair dedupe, saving the dedicated pair-hash exchange
+    cand = D.minhash_lsh_candidates(corpus, dedupe=False)
     verified = D.verify_candidates_jaccard(corpus, cand, threshold=0.7)
     return (
         verified.select_columns(["id_a", "id_b"])
@@ -453,8 +455,6 @@ def q_range_events(sf_dir: str):
     """Range (interval) join: for each purchase, count the same user's
     non-purchase events in the hour before it (inclusive bounds).
     Oracle: DuckDB BETWEEN join + group-by."""
-    from ray.data.aggregate import Count
-
     from data_linter_ray.functions.timeseries import range_join
 
     ds = ray.data.read_parquet(

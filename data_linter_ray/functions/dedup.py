@@ -283,6 +283,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     ngram: int = 3,
     max_bucket: int = 64,
+    dedupe: bool = True,
 ) -> Dataset:
     """Candidate near-duplicate pairs (id_a < id_b) from banded minhash.
 
@@ -323,6 +324,11 @@ def minhash_lsh_candidates(
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "truncated": truncated})
 
     cand = _bucketed_pairs(buckets, ["band", "bucket"], max_bucket, pair_fn)
+    if not dedupe:
+        # caller folds the cross-band dedupe into its own exchange (e.g.
+        # verify_candidates_jaccard's bounded broadcast path) — saves a
+        # whole pair-hash exchange
+        return cand
     return _dedupe_pairs(cand, agg={"truncated": "max"})
 
 
@@ -522,6 +528,11 @@ def verify_candidates_jaccard(
     Returns a Dataset (id_a, id_b, jaccard) for pairs ≥ threshold.
     Set semantics match :func:`ngram_jaccard` (both-empty → 1.0) up to
     64-bit hash collisions.
+
+    Non-deduped candidates (``minhash_lsh_candidates(dedupe=False)``)
+    are deduped here for free on the bounded broadcast path; above
+    PREFILTER_PAIR_THRESHOLD the join path preserves input multiplicity,
+    so keep upstream dedupe on at that scale.
     """
     import ray
 
@@ -530,6 +541,14 @@ def verify_candidates_jaccard(
     needed_ref = None
     if 0 < n_pairs <= PREFILTER_PAIR_THRESHOLD:
         ids = candidates.to_pandas()
+        deduped = ids.drop_duplicates(["id_a", "id_b"])
+        if len(deduped) < len(ids):
+            # candidates arrived non-deduped (minhash_lsh_candidates
+            # dedupe=False): fold the dedupe here — bounded by the
+            # prefilter threshold, replaces a whole pair-hash exchange
+            import ray.data as _rd
+
+            candidates = _rd.from_pandas(deduped.reset_index(drop=True))
         needed = np.union1d(ids["id_a"].to_numpy(), ids["id_b"].to_numpy())
         needed_ref = ray.put(pa.array(needed))
     sets = shingle_sets(ds, text_col, id_col, ngram, needed_ids=needed_ref)
