@@ -494,6 +494,20 @@ def q_range_events(sf_dir: str):
     )
 
 
+def q_session_stats(sf_dir: str):
+    """Session windows (30-minute gap) per user over the events stream —
+    gaps-and-islands, vectorized inside each key-hash partition. Oracle:
+    DuckDB lag/cumsum window SQL."""
+    import pandas as pd
+
+    from data_linter_ray.functions.timeseries import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize(
+        ds, time_col="ts", by="user_id", gap=pd.Timedelta(minutes=30)
+    )
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard for every (doc, doc+' zzz') pair over the
     near-dup corpus — oracle-proves the distributed shingle-set Jaccard
@@ -781,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "asof_purchases": q_asof_purchases,
         "range_events": q_range_events,
+        "session_stats": q_session_stats,
         "fingerprints_modp": q_fingerprints_modp,
         "events_windowed": q_events_windowed,
         "simhash_dedup": q_simhash_dedup,
@@ -902,6 +917,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM l JOIN r ON l.user_id = r.user_id "
             "AND l.ts BETWEEN r.start_ts AND r.purchase_ts "
             "GROUP BY r.user_id, r.purchase_ts"
+        ),
+        "session_stats": (
+            "WITH o AS (SELECT user_id, ts, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk "
+            "FROM events), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+            "count(*) AS n_rows FROM s GROUP BY user_id, sid"
         ),
         "drift": (
             "WITH s AS (SELECT "

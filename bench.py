@@ -115,6 +115,7 @@ QUERY_NAMES = [
     "events_windowed",
     "asof_purchases",
     "range_events",
+    "session_stats",
     "lineitem_verdict",
     "star_ref_check",
     "drift",

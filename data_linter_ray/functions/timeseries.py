@@ -217,3 +217,51 @@ def _schema_types(ds: Dataset) -> dict:
         except (pa.ArrowNotImplementedError, TypeError):
             out[n] = pa.string()
     return out
+
+
+def sessionize(
+    ds: Dataset,
+    *,
+    time_col: str,
+    by: str,
+    gap,
+    agg: dict | None = None,
+) -> Dataset:
+    """Session windows (gap-based): consecutive same-key rows whose time
+    gap exceeds ``gap`` start a new session — the classic
+    gaps-and-islands computation, distributed by the usual coarse
+    key-hash exchange with all per-key work vectorized inside the
+    partition (sort + diff + cumsum; no Python per row).
+
+    Returns one row per session: (by, session_start, session_end,
+    n_rows) plus any extra pandas-style ``agg`` outputs
+    ({out_col: (src_col, fn)}).
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t[by].to_pandas(), index=False
+        ).to_numpy(dtype=np.uint64)
+        return t.append_column(
+            "_part", pa.array((h % SHUFFLE_PARTITIONS).astype(np.int64))
+        )
+
+    def islands(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([by, time_col], kind="stable")
+        new_key = g[by].ne(g[by].shift())
+        gap_break = g[time_col].diff() > gap
+        sid = (new_key | gap_break).cumsum()
+        spec = {
+            "session_start": (time_col, "min"),
+            "session_end": (time_col, "max"),
+            "n_rows": (time_col, "size"),
+            **(agg or {}),
+        }
+        out = g.groupby([g[by], sid]).agg(**spec).reset_index(level=0)
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(islands, batch_format="pandas")
+    )

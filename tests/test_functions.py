@@ -420,3 +420,34 @@ def test_rp_lsh_near_duplicates(ray_session, sf_dir):
     assert lsh_pairs <= exact_pairs  # verified → no false positives
     if exact_pairs:
         assert len(lsh_pairs) / len(exact_pairs) >= 0.5  # banded recall
+
+
+def test_sessionize_matches_pandas(ray_session):
+    import pandas as pd
+
+    from data_linter_ray.functions.timeseries import sessionize
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "ts": rng.randint(0, 100_000, 2000),
+            "k": rng.randint(0, 11, 2000),
+        }
+    )
+    got = (
+        sessionize(ray.data.from_pandas(df), time_col="ts", by="k", gap=500)
+        .to_pandas()
+        .sort_values(["k", "session_start"])
+        .reset_index(drop=True)
+    )
+    # naive reference: per key, sort, split on gaps > 500
+    rows = []
+    for k, sub in df.groupby("k"):
+        ts = np.sort(sub["ts"].to_numpy())
+        brk = np.flatnonzero(np.diff(ts) > 500) + 1
+        for seg in np.split(ts, brk):
+            rows.append({"k": k, "session_start": seg[0], "session_end": seg[-1], "n_rows": len(seg)})
+    exp = pd.DataFrame(rows).sort_values(["k", "session_start"]).reset_index(drop=True)
+    assert got[["k", "session_start", "session_end", "n_rows"]].astype("int64").equals(
+        exp.astype("int64")
+    )
