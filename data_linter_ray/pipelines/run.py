@@ -202,8 +202,13 @@ def validate_phase(
         if tc.ref_tables:
             import ray.data
 
+            def _read_ref(p: str):
+                if fs.is_s3(p):
+                    return ray.data.read_parquet(p, filesystem=fs.resolve(p)[0])
+                return ray.data.read_parquet(p)
+
             ref_tables = {
-                key: ray.data.read_parquet(path) for key, path in tc.ref_tables.items()
+                key: _read_ref(path) for key, path in tc.ref_tables.items()
             }
         for path in matched[name]:
             probe = UnitManifest(table=name, source_path=path, valid=False)

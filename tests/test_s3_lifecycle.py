@@ -268,3 +268,46 @@ def test_parallel_mode_all_s3(ray_session, moto_s3, tmp_path):
     assert summary["overall_valid"] and summary["fail_count"] == 0
     # temp config area cleared
     assert not fs.list_files(fs.join(log_p, "data_linter_temporary_fs", "configs"))
+
+
+def test_ref_tables_on_s3(ray_session, moto_s3, tmp_path):
+    """ref-tables paths in a run config may be s3:// — the referential
+    dimension is read through the endpoint-aware filesystem."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import io
+
+    from data_linter_ray.pipelines.run import run_validation
+
+    # upload a dimension table to S3
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"ref_id": [1, 2, 3]}), buf)
+    fs.write_bytes("s3://land/dims/dim.parquet", buf.getvalue())
+
+    land, pass_p, fail_p, log_p = _mk_paths("reftbl", tmp_path, False, False, False)
+    meta = {
+        "name": "t1",
+        "columns": [
+            {"name": "fk", "type": "int64", "references": "dim.ref_id"},
+        ],
+    }
+    fs.makedirs(land)
+    import pandas as pd
+
+    pq.write_table(pa.table({"fk": [1, 2, 9]}), land + "t1.parquet")
+    cfg = {
+        "land-base-path": land,
+        "pass-base-path": pass_p,
+        "fail-base-path": fail_p,
+        "log-base-path": log_p,
+        "tables": {
+            "t1": {
+                "metadata": meta,
+                "ref-tables": {"dim.ref_id": "s3://land/dims/dim.parquet"},
+            }
+        },
+    }
+    res = run_validation(cfg)
+    assert not res.all_tables_passed
+    m = res.manifests[0]
+    assert m.counts.get("fk::referential_test") == 1  # fk=9 dangling
