@@ -508,6 +508,22 @@ def q_session_stats(sf_dir: str):
     )
 
 
+def q_profile(sf_dir: str):
+    """One-pass column-stats profile of the events table (n, nulls,
+    min/max folded in native type). The HLL approx_distinct field is
+    excluded here (approximate by construction — asserted within
+    tolerance in pytest instead); the exact fields oracle against plain
+    SQL aggregates."""
+    from data_linter_ray.functions.profile import profile_dataset
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    out = profile_dataset(ds, ["event_id", "user_id", "event_type", "ts"])
+    return out.select(["column", "n", "n_null", "min_str", "max_str"])
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard for every (doc, doc+' zzz') pair over the
     near-dup corpus — oracle-proves the distributed shingle-set Jaccard
@@ -796,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchases": q_asof_purchases,
         "range_events": q_range_events,
         "session_stats": q_session_stats,
+        "profile": q_profile,
         "fingerprints_modp": q_fingerprints_modp,
         "events_windowed": q_events_windowed,
         "simhash_dedup": q_simhash_dedup,
@@ -927,6 +944,18 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
             "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
             "count(*) AS n_rows FROM s GROUP BY user_id, sid"
+        ),
+        "profile": (
+            "SELECT 'event_id' AS \"column\", count(*) AS n, "
+            "count(*) - count(event_id) AS n_null, "
+            "CAST(min(event_id) AS VARCHAR) AS min_str, "
+            "CAST(max(event_id) AS VARCHAR) AS max_str FROM events "
+            "UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), "
+            "CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events "
+            "UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type), "
+            "min(event_type), max(event_type) FROM events "
+            "UNION ALL SELECT 'ts', count(*), count(*) - count(ts), "
+            "CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR) FROM events"
         ),
         "drift": (
             "WITH s AS (SELECT "

@@ -116,6 +116,7 @@ QUERY_NAMES = [
     "asof_purchases",
     "range_events",
     "session_stats",
+    "profile",
     "lineitem_verdict",
     "star_ref_check",
     "drift",

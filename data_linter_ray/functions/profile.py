@@ -1,0 +1,131 @@
+"""One-pass column-stats profiler (the north star's "column stats").
+
+``profile_dataset`` computes, in a SINGLE fused scan: per-column row
+count, null count, min, max (exact) and an approximate distinct count
+(HyperLogLog). Per-batch partials are emitted as data (retry-safe, the
+same pattern as the sketch stage) and folded on the driver — one row of
+a few scalars per (batch, column), so the fold is KB-scale regardless
+of input size. Partial min/max travel in NATIVE type (int / float /
+string / timestamp-as-us lanes) so folding compares correctly; the
+final render stringifies for the heterogeneous result table.
+
+Exact distinct would need an all-to-all exchange; the HLL estimate is
+±~1.6% at p=12, which is the scale-appropriate default for profiling.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from data_linter_ray.state.sketches import HyperLogLog, hash_array
+
+
+def _lane(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "num"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    return "str"
+
+
+def _profile_batch(t: pa.Table, columns: list[str], hll_p: int) -> pa.Table:
+    rows: dict[str, list] = {
+        "column": [], "n": [], "n_null": [],
+        "min_int": [], "max_int": [], "min_num": [], "max_num": [],
+        "min_s": [], "max_s": [], "hll": [],
+    }
+    for c in columns:
+        arr = t[c]
+        lane = _lane(arr.type)
+        mm = pc.min_max(arr)
+        lo = mm["min"].as_py() if mm["min"].is_valid else None
+        hi = mm["max"].as_py() if mm["max"].is_valid else None
+        if lane == "ts" and lo is not None:
+            # timestamps fold in the int lane (epoch µs)
+            lo, hi = int(lo.timestamp() * 1e6), int(hi.timestamp() * 1e6)
+            lane = "int"
+        rows["column"].append(c)
+        rows["n"].append(t.num_rows)
+        rows["n_null"].append(arr.null_count)
+        rows["min_int"].append(lo if lane == "int" else None)
+        rows["max_int"].append(hi if lane == "int" else None)
+        rows["min_num"].append(lo if lane == "num" else None)
+        rows["max_num"].append(hi if lane == "num" else None)
+        rows["min_s"].append(str(lo) if lane == "str" and lo is not None else None)
+        rows["max_s"].append(str(hi) if lane == "str" and hi is not None else None)
+        hll = HyperLogLog(hll_p)
+        hll.add_hashes(hash_array(arr.drop_null()))
+        rows["hll"].append(hll.to_bytes())
+    return pa.table(
+        {
+            "column": pa.array(rows["column"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "n_null": pa.array(rows["n_null"], pa.int64()),
+            "min_int": pa.array(rows["min_int"], pa.int64()),
+            "max_int": pa.array(rows["max_int"], pa.int64()),
+            "min_num": pa.array(rows["min_num"], pa.float64()),
+            "max_num": pa.array(rows["max_num"], pa.float64()),
+            "min_s": pa.array(rows["min_s"], pa.string()),
+            "max_s": pa.array(rows["max_s"], pa.string()),
+            "hll": pa.array(rows["hll"], pa.binary()),
+        }
+    )
+
+
+def profile_dataset(
+    ds: Dataset, columns: list[str] | None = None, hll_p: int = 12
+) -> pa.Table:
+    """→ arrow table (column, n, n_null, min_str, max_str,
+    approx_distinct), one row per column. min/max are rendered as
+    strings in the result (heterogeneous column types in one table) but
+    folded in native type."""
+    columns = columns or ds.schema().names
+    types = {c: ds.schema().base_schema.field(c).type for c in columns}
+    partials = ds.select_columns(columns).map_batches(
+        lambda t: _profile_batch(t, columns, hll_p), batch_format="pyarrow"
+    )
+    acc: dict[str, dict] = {
+        c: {"n": 0, "n_null": 0, "min": None, "max": None, "hll": HyperLogLog(hll_p)}
+        for c in columns
+    }
+    for row in partials.take_all():
+        e = acc[row["column"]]
+        e["n"] += row["n"]
+        e["n_null"] += row["n_null"]
+        lo = next((row[k] for k in ("min_int", "min_num", "min_s") if row[k] is not None), None)
+        hi = next((row[k] for k in ("max_int", "max_num", "max_s") if row[k] is not None), None)
+        if lo is not None:
+            e["min"] = lo if e["min"] is None else min(e["min"], lo)
+        if hi is not None:
+            e["max"] = hi if e["max"] is None else max(e["max"], hi)
+        e["hll"].merge(HyperLogLog.from_bytes(row["hll"]))
+
+    def render(c: str, v) -> str | None:
+        if v is None:
+            return None
+        if pa.types.is_timestamp(types[c]):
+            import datetime as _dt
+
+            return str(
+                _dt.datetime.fromtimestamp(v / 1e6, tz=_dt.timezone.utc).replace(
+                    tzinfo=None
+                )
+            )
+        return str(v)
+
+    return pa.table(
+        {
+            "column": pa.array(columns, pa.string()),
+            "n": pa.array([acc[c]["n"] for c in columns], pa.int64()),
+            "n_null": pa.array([acc[c]["n_null"] for c in columns], pa.int64()),
+            "min_str": pa.array([render(c, acc[c]["min"]) for c in columns], pa.string()),
+            "max_str": pa.array([render(c, acc[c]["max"]) for c in columns], pa.string()),
+            "approx_distinct": pa.array(
+                [round(acc[c]["hll"].estimate()) for c in columns], pa.int64()
+            ),
+        }
+    )

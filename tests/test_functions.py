@@ -451,3 +451,26 @@ def test_sessionize_matches_pandas(ray_session):
     assert got[["k", "session_start", "session_end", "n_rows"]].astype("int64").equals(
         exp.astype("int64")
     )
+
+
+def test_profile_dataset(ray_session, sf_dir):
+    """One-pass profile: exact n/nulls/min/max (native-type folding) and
+    HLL distinct within tolerance of the exact count."""
+    import duckdb
+
+    from data_linter_ray.functions.profile import profile_dataset
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = profile_dataset(ds, ["event_id", "user_id", "value", "event_type"]).to_pandas().set_index("column")
+    exact = duckdb.sql(
+        "SELECT count(*) AS n, count(DISTINCT user_id) AS du, "
+        "min(value) AS mv, max(value) AS xv, min(user_id) AS mu "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).df().iloc[0]
+    assert (out["n"] == exact["n"]).all()
+    assert out.loc["value", "min_str"] == str(exact["mv"])
+    assert out.loc["value", "max_str"] == str(exact["xv"])
+    # native-type folding: numeric min, not lexicographic
+    assert out.loc["user_id", "min_str"] == str(int(exact["mu"]))
+    est = out.loc["user_id", "approx_distinct"]
+    assert abs(est - exact["du"]) / exact["du"] < 0.05
