@@ -524,6 +524,17 @@ def q_profile(sf_dir: str):
     return out.select(["column", "n", "n_null", "min_str", "max_str"])
 
 
+def q_clean_documents(sf_dir: str):
+    """Row-level quarantine: the CLEAN rows of documents under its lint
+    schema (pattern/length/min row-local checks). Oracle: the same
+    predicates as SQL WHERE."""
+    from data_linter_ray.stages.quarantine import split_valid_rows
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text", "n_chars"])
+    valid, _invalid = split_valid_rows(ds, _documents_schema())
+    return valid.select_columns(["doc_id"])
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard for every (doc, doc+' zzz') pair over the
     near-dup corpus — oracle-proves the distributed shingle-set Jaccard
@@ -813,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_events": q_range_events,
         "session_stats": q_session_stats,
         "profile": q_profile,
+        "clean_documents": q_clean_documents,
         "fingerprints_modp": q_fingerprints_modp,
         "events_windowed": q_events_windowed,
         "simhash_dedup": q_simhash_dedup,
@@ -956,6 +968,12 @@ def oracle_sql() -> dict[str, str]:
             "min(event_type), max(event_type) FROM events "
             "UNION ALL SELECT 'ts', count(*), count(*) - count(ts), "
             "CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR) FROM events"
+        ),
+        "clean_documents": (
+            "SELECT doc_id FROM documents WHERE doc_id IS NOT NULL "
+            "AND (lang IS NULL OR regexp_matches(lang, '^(?:en|es|de|fr)$')) "
+            f"AND length(text) BETWEEN {TEXT_MIN_LEN} AND {TEXT_MAX_LEN} "
+            "AND n_chars >= 1"
         ),
         "drift": (
             "WITH s AS (SELECT "

@@ -117,6 +117,7 @@ QUERY_NAMES = [
     "range_events",
     "session_stats",
     "profile",
+    "clean_documents",
     "lineitem_verdict",
     "star_ref_check",
     "drift",
