@@ -391,6 +391,16 @@ def q_events_windowed(sf_dir: str):
     def add_window(t: pa.Table) -> pa.Table:
         return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
 
+    def norm_day(t: pa.Table) -> pa.Table:
+        # the aggregate narrows the midnight-only key to timestamp[s];
+        # DuckDB's date_trunc stays [us] — restore dtype parity for the
+        # driver's hash compare
+        return t.set_column(
+            t.schema.get_field_index("day"),
+            "day",
+            pc.cast(t["day"], pa.timestamp("us")),
+        )
+
     return (
         ds.map_batches(add_window, batch_format="pyarrow")
         .groupby(["event_type", "day"])
@@ -399,6 +409,7 @@ def q_events_windowed(sf_dir: str):
             Min("value", alias_name="min_value"),
             Max("value", alias_name="max_value"),
         )
+        .map_batches(norm_day, batch_format="pyarrow")
     )
 
 
