@@ -115,3 +115,38 @@ def test_validate_table_checkpointed_resume(ray_session, tmp_path):
     )
     assert again.partitions_validated == 0
     assert again.counts == full.counts
+
+
+def test_table_checkpoint_incremental_append(ray_session, tmp_path):
+    """Appending new fragments to a fully-validated table: a resumed run
+    validates ONLY the new partitions (incremental validation)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_linter_ray import synth
+    from data_linter_ray.pipelines.table import validate_table_checkpointed
+
+    inp = tmp_path / "table"
+    inp.mkdir()
+    for i in range(2):
+        pq.write_table(
+            synth.make_documents_batch({"id": np.arange(i * 500, (i + 1) * 500)}),
+            inp / f"frag-{i}.parquet",
+        )
+    out = str(tmp_path / "out")
+    first = validate_table_checkpointed(
+        str(inp), synth.documents_schema(), out, id_column="doc_id", fragments_per_unit=1
+    )
+    assert first.partitions_validated == 2 and first.row_count == 1000
+
+    # append two new fragments
+    for i in range(2, 4):
+        pq.write_table(
+            synth.make_documents_batch({"id": np.arange(i * 500, (i + 1) * 500)}),
+            inp / f"frag-{i}.parquet",
+        )
+    second = validate_table_checkpointed(
+        str(inp), synth.documents_schema(), out, id_column="doc_id", fragments_per_unit=1
+    )
+    assert second.partitions_validated == 2  # only the new fragments
+    assert second.partitions_total == 4 and second.row_count == 2000
