@@ -42,6 +42,7 @@ def asof_join(
     right_suffix: str = "_r",
     allow_exact_matches: bool = True,
     right_dedupe_agg: dict | None = None,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """As-of join ``left`` to ``right`` on time column ``on`` within key
     ``by``. Returns left rows + the matched right row's payload columns
@@ -51,7 +52,12 @@ def asof_join(
     right column names) dedupes the right side per (by, on) INSIDE the
     partition merge — all rows of a (by, on) pair co-locate under the
     key hash, so this is exact and saves the caller a whole
-    groupby-exchange."""
+    groupby-exchange.
+
+    ``num_partitions`` sizes the exchange (default SHUFFLE_PARTITIONS —
+    sized for a single node). These operators carry FULL rows through
+    the exchange, so per-partition memory ≈ (|left|+|right|) / P: at
+    cluster scale set P ≈ total_bytes / 1 GB."""
     def _arrow_types(schema) -> dict:
         base = schema.base_schema
         if isinstance(base, pa.Schema):
@@ -71,6 +77,7 @@ def asof_join(
     r_out = {c: c + right_suffix if c in l_types_all else c for c in r_payload}
     l_types = {c: l_types_all[c] for c in l_payload}
     r_types = {c: r_types_all[c] for c in r_payload}
+    P = num_partitions or SHUFFLE_PARTITIONS
 
     def pad(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -81,7 +88,7 @@ def asof_join(
             cols = {
                 on: t[on],
                 by: t[by],
-                "_part": pa.array((h % SHUFFLE_PARTITIONS).astype(np.int64)),
+                "_part": pa.array((h % P).astype(np.int64)),
                 "_side": pa.array(np.full(n, side, dtype=np.int8)),
             }
             for c in l_payload:
@@ -136,6 +143,7 @@ def range_join(
     by: str,
     right_suffix: str = "_r",
     post=None,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Interval (range) join: pair each left row with every right row of
     the same key whose [start, end] interval contains the left time
@@ -161,6 +169,7 @@ def range_join(
     l_payload = [c for c in l_types_all if c != by]
     r_payload = [c for c in r_types_all if c != by]
     r_out = {c: c + right_suffix if c in l_types_all else c for c in r_payload}
+    P = num_partitions or SHUFFLE_PARTITIONS
 
     def pad(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -170,7 +179,7 @@ def range_join(
             ).to_numpy(dtype=np.uint64)
             cols = {
                 by: t[by],
-                "_part": pa.array((h % SHUFFLE_PARTITIONS).astype(np.int64)),
+                "_part": pa.array((h % P).astype(np.int64)),
                 "_side": pa.array(np.full(n, side, dtype=np.int8)),
             }
             for c in l_payload:
@@ -226,6 +235,7 @@ def sessionize(
     by: str,
     gap,
     agg: dict | None = None,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Session windows (gap-based): consecutive same-key rows whose time
     gap exceeds ``gap`` start a new session — the classic
@@ -238,13 +248,13 @@ def sessionize(
     ({out_col: (src_col, fn)}).
     """
 
+    P = num_partitions or SHUFFLE_PARTITIONS
+
     def add_part(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
             t[by].to_pandas(), index=False
         ).to_numpy(dtype=np.uint64)
-        return t.append_column(
-            "_part", pa.array((h % SHUFFLE_PARTITIONS).astype(np.int64))
-        )
+        return t.append_column("_part", pa.array((h % P).astype(np.int64)))
 
     def islands(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values([by, time_col], kind="stable")

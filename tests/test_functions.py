@@ -474,3 +474,22 @@ def test_profile_dataset(ray_session, sf_dir):
     assert out.loc["user_id", "min_str"] == str(int(exact["mu"]))
     est = out.loc["user_id", "approx_distinct"]
     assert abs(est - exact["du"]) / exact["du"] < 0.05
+
+
+def test_asof_join_num_partitions(ray_session):
+    """Results are invariant to the exchange width (the scale knob)."""
+    import pandas as pd
+
+    from data_linter_ray.functions.timeseries import asof_join
+
+    rng = np.random.RandomState(4)
+    left = pd.DataFrame({"ts": rng.randint(0, 500, 200), "k": rng.randint(0, 5, 200), "lx": np.arange(200)})
+    right = pd.DataFrame({"ts": np.arange(0, 500, 25).repeat(5), "k": np.tile(np.arange(5), 20), "p": np.arange(100)})
+    outs = []
+    for P in (4, 64):
+        outs.append(
+            asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                      on="ts", by="k", num_partitions=P)
+            .to_pandas().sort_values(["k", "ts", "lx"]).reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
