@@ -128,6 +128,14 @@ def asof_join(
         for c in l_payload:
             if pa.types.is_integer(l_types[c]) and not out[c].isna().any():
                 out[c] = out[c].astype(l_types[c].to_pandas_dtype())
+        # right payloads are nullable under left-outer semantics: pin
+        # integer sources to float64 so every partition (including ones
+        # with empty sides) emits the SAME schema — mixed block schemas
+        # are a silent hazard downstream
+        for c in r_payload:
+            oc = r_out[c]
+            if oc in out.columns and pa.types.is_integer(r_types[c]):
+                out[oc] = out[oc].astype("float64")
         return out
 
     return unioned.groupby("_part").map_groups(join_part, batch_format="pandas")

@@ -493,3 +493,51 @@ def test_asof_join_num_partitions(ray_session):
             .to_pandas().sort_values(["k", "ts", "lx"]).reset_index(drop=True)
         )
     assert outs[0].equals(outs[1])
+
+
+def test_asof_join_property(ray_session):
+    """Property test: random small frames (incl. empty sides, duplicate
+    left times, singleton keys) always match pandas merge_asof."""
+    import pandas as pd
+
+    from data_linter_ray.functions.timeseries import asof_join
+
+    rng = np.random.RandomState(12)
+    for trial in range(8):
+        nl, nr = rng.randint(0, 40), rng.randint(0, 40)
+        left = pd.DataFrame(
+            {"ts": rng.randint(0, 50, nl), "k": rng.randint(0, 3, nl), "lx": np.arange(nl)}
+        )
+        right = pd.DataFrame(
+            {
+                "ts": np.sort(rng.choice(50, size=nr, replace=False)) if nr else np.array([], dtype=int),
+                "k": rng.randint(0, 3, nr),
+                "p": np.arange(nr),
+            }
+        )
+        if nl == 0:
+            continue  # ray from_pandas on empty frame: degenerate, skip
+        got = (
+            asof_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right if nr else right.astype({"ts": "int64", "k": "int64", "p": "int64"})),
+                on="ts",
+                by="k",
+            )
+            .to_pandas()
+            .sort_values(["k", "ts", "lx"])
+            .reset_index(drop=True)
+        ) if nr else None
+        if got is None:
+            continue
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts",
+            by="k",
+        ).sort_values(["k", "ts", "lx"]).reset_index(drop=True)[got.columns]
+        # documented contract: right payload ints are pinned to float64
+        # (nullable under left-outer semantics) even when every row
+        # matched — pandas keeps int64 in that case
+        exp["p"] = exp["p"].astype("float64")
+        assert got.equals(exp), f"trial {trial}"
