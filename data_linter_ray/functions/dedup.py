@@ -26,8 +26,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from data_linter_ray.exchange import exchange_width
 from data_linter_ray.state.sketches import hash_array
-from data_linter_ray.stages.uniqueness import SHUFFLE_PARTITIONS
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -61,19 +61,18 @@ def exact_dedup(
     bottleneck at high-cardinality keys."""
     extra = [c for c in (keep_cols or []) if c not in (text_col, id_col)]
     pruned = ds.select_columns(sorted({text_col, id_col, *extra}))
+    P = exchange_width(ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = t["_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column(
-            "_bucket", pa.array((h % SHUFFLE_PARTITIONS).astype(np.int64))
-        )
+        return t.append_column("_bucket", pa.array((h % P).astype(np.int64)))
 
     local = (
         pruned.map_batches(
             _local_survivors(text_col, id_col, extra), batch_format="pyarrow"
         )
         .map_batches(add_bucket, batch_format="pyarrow")
-        .repartition(SHUFFLE_PARTITIONS)
+        .repartition(P)
         .materialize()
     )
 
@@ -98,7 +97,7 @@ def exact_duplicate_groups(ds: Dataset, text_col: str = "text", id_col: str = "d
 
     hashed = ds.select_columns([text_col, id_col]).map_batches(
         add_hash, batch_format="pyarrow"
-    ).repartition(SHUFFLE_PARTITIONS)
+    ).repartition(exchange_width(ds))
     agg = hashed.groupby("_h").aggregate(
         Count(alias_name="n"), Min(id_col, alias_name="survivor_id")
     )
@@ -113,6 +112,7 @@ def _bucketed_pairs(
     key_cols: list[str],
     max_bucket: int,
     pair_fn,
+    width: int | None = None,
 ) -> Dataset:
     """Generate within-bucket pairs WITHOUT one Ray group per bucket.
 
@@ -126,6 +126,7 @@ def _bucketed_pairs(
     ``pair_fn(sub: pd.DataFrame) -> pd.DataFrame`` builds pairs for ONE
     real bucket (already capped to ``max_bucket`` rows).
     """
+    P = width or exchange_width(buckets)
 
     def add_part(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -134,7 +135,7 @@ def _bucketed_pairs(
             h ^= _splitmix(
                 pd.util.hash_pandas_object(df[c], index=False).to_numpy(np.uint64)
             )
-        df["_part"] = (h % SHUFFLE_PARTITIONS).astype(np.int64)
+        df["_part"] = (h % P).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -152,19 +153,20 @@ def _bucketed_pairs(
 
     return (
         buckets.map_batches(add_part, batch_format="pyarrow")
-        .repartition(SHUFFLE_PARTITIONS)
+        .repartition(P)
         .materialize()  # fast-path the Sort behind groupby (see uniqueness.py)
         .groupby("_part")
         .map_groups(pairs_in_partition, batch_format="pandas")
     )
 
 
-def _dedupe_pairs(cand: Dataset, agg: dict) -> Dataset:
+def _dedupe_pairs(cand: Dataset, agg: dict, width: int | None = None) -> Dataset:
     """Dedupe (id_a, id_b) pairs found via multiple buckets: per-batch
     local dedupe, then a bucketed exchange keyed on a pair hash (same
     two-level pattern as the uniqueness check)."""
 
     cols = list(agg)
+    P = width or exchange_width(cand)
 
     def local(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
@@ -173,7 +175,7 @@ def _dedupe_pairs(cand: Dataset, agg: dict) -> Dataset:
             pd.util.hash_pandas_object(df["id_a"], index=False).to_numpy(np.uint64)
             ^ pd.util.hash_pandas_object(df["id_b"], index=False).to_numpy(np.uint64)
         )
-        df["_bucket"] = (h % SHUFFLE_PARTITIONS).astype(np.int64)
+        df["_bucket"] = (h % P).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -181,7 +183,7 @@ def _dedupe_pairs(cand: Dataset, agg: dict) -> Dataset:
 
     return (
         cand.map_batches(local, batch_format="pyarrow")
-        .repartition(SHUFFLE_PARTITIONS)
+        .repartition(P)
         .materialize()
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
@@ -308,6 +310,7 @@ def minhash_lsh_candidates(
     buckets = ds.select_columns([id_col, text_col]).map_batches(
         emit_buckets, batch_format="pyarrow"
     )
+    P = exchange_width(ds)
 
     def pair_fn(sub: pd.DataFrame, truncated: bool) -> pd.DataFrame:
         ids = sub["id"].to_numpy()
@@ -322,13 +325,13 @@ def minhash_lsh_candidates(
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "truncated": truncated})
 
-    cand = _bucketed_pairs(buckets, ["band", "bucket"], max_bucket, pair_fn)
+    cand = _bucketed_pairs(buckets, ["band", "bucket"], max_bucket, pair_fn, width=P)
     if not dedupe:
         # caller folds the cross-band dedupe into its own exchange (e.g.
         # verify_candidates_jaccard's bounded broadcast path) — saves a
         # whole pair-hash exchange
         return cand
-    return _dedupe_pairs(cand, agg={"truncated": "max"})
+    return _dedupe_pairs(cand, agg={"truncated": "max"}, width=P)
 
 
 # ---------------------------------------------------------------------------
@@ -409,8 +412,9 @@ def simhash_near_duplicates(
         ok = d <= max_hamming
         return pd.DataFrame({"id_a": ids[ia][ok], "id_b": ids[ib][ok], "hamming": d[ok]})
 
-    cand = _bucketed_pairs(buckets, ["chunk", "key"], max_bucket, pair_fn)
-    return _dedupe_pairs(cand, agg={"hamming": "min"})
+    P = exchange_width(ds)
+    cand = _bucketed_pairs(buckets, ["chunk", "key"], max_bucket, pair_fn, width=P)
+    return _dedupe_pairs(cand, agg={"hamming": "min"}, width=P)
 
 
 # ---------------------------------------------------------------------------
@@ -444,6 +448,44 @@ PREFILTER_PAIR_THRESHOLD = 2_000_000
 #: in the object store) instead of two hash joins — shuffle-actor
 #: startup dominates small verify workloads.
 BROADCAST_SETS_THRESHOLD = 100_000
+
+
+def _jaccard_for_pairs(
+    a_words: np.ndarray,
+    a_offs: np.ndarray,
+    ia: np.ndarray,
+    b_words: np.ndarray,
+    b_offs: np.ndarray,
+    ib: np.ndarray,
+) -> np.ndarray:
+    """Jaccard for n pairs over sorted-unique uint64 sets, fully
+    vectorized: concatenate both sides' (pair_id, value) streams, one
+    lexsort, count adjacent duplicates per pair (each side's values are
+    unique per set, so a shared value appears exactly twice). Replaces
+    the per-pair ``np.intersect1d`` Python loop."""
+    n = len(ia)
+    if n == 0:
+        return np.empty(0, np.float64)
+    la = (a_offs[ia + 1] - a_offs[ia]).astype(np.int64)
+    lb = (b_offs[ib + 1] - b_offs[ib]).astype(np.int64)
+    pid_a = np.repeat(np.arange(n, dtype=np.int64), la)
+    pid_b = np.repeat(np.arange(n, dtype=np.int64), lb)
+    # gather each pair's set elements: start offset repeated + in-set rank
+    idx_a = np.repeat(a_offs[ia], la) + (
+        np.arange(la.sum(), dtype=np.int64) - np.repeat(np.cumsum(la) - la, la)
+    )
+    idx_b = np.repeat(b_offs[ib], lb) + (
+        np.arange(lb.sum(), dtype=np.int64) - np.repeat(np.cumsum(lb) - lb, lb)
+    )
+    pids = np.concatenate([pid_a, pid_b])
+    vals = np.concatenate([a_words[idx_a], b_words[idx_b]])
+    order = np.lexsort((vals, pids))
+    pids, vals = pids[order], vals[order]
+    dup = (pids[1:] == pids[:-1]) & (vals[1:] == vals[:-1])
+    inter = np.bincount(pids[1:][dup], minlength=n).astype(np.float64)
+    union = (la + lb).astype(np.float64) - inter
+    out = np.where(union == 0, 1.0, inter / np.maximum(union, 1.0))
+    return out
 
 
 def _decode_binary_sets(col: pa.ChunkedArray):
@@ -529,9 +571,10 @@ def verify_candidates_jaccard(
     64-bit hash collisions.
 
     Non-deduped candidates (``minhash_lsh_candidates(dedupe=False)``)
-    are deduped here for free on the bounded broadcast path; above
-    PREFILTER_PAIR_THRESHOLD the join path preserves input multiplicity,
-    so keep upstream dedupe on at that scale.
+    are deduped here on both paths: the bounded broadcast path dedupes
+    before verification; the join path dedupes the (already
+    thresholded, hence few) verified pairs with one pair-keyed
+    exchange.
     """
     import ray
 
@@ -567,22 +610,25 @@ def verify_candidates_jaccard(
             lut = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
             import pandas as pd
 
-            index = pd.Index(lut["did"].to_numpy(zero_copy_only=False))
+            dids = lut["did"].to_numpy(zero_copy_only=False)
             words, offs = _decode_binary_sets(lut["sh"])
+            # duplicate corpus ids would make pd.Index.get_indexer raise —
+            # keep-first, matching the scale path's first-match behavior
+            uniq = ~pd.Index(dids).duplicated(keep="first")
+            if not uniq.all():
+                pos = np.flatnonzero(uniq)
+                index = pd.Index(dids[pos])
+                lut_map = pos
+            else:
+                index = pd.Index(dids)
+                lut_map = None
             ia = index.get_indexer(t["id_a"].to_numpy(zero_copy_only=False))
             ib = index.get_indexer(t["id_b"].to_numpy(zero_copy_only=False))
             keep = (ia >= 0) & (ib >= 0)  # inner-join semantics
             ia, ib = ia[keep], ib[keep]
-            out = np.empty(len(ia), dtype=np.float64)
-            for i in range(len(ia)):
-                a = words[offs[ia[i]] : offs[ia[i] + 1]]
-                b = words[offs[ib[i]] : offs[ib[i] + 1]]
-                union = len(a) + len(b)
-                if union == 0:
-                    out[i] = 1.0
-                    continue
-                inter = np.intersect1d(a, b, assume_unique=True).size
-                out[i] = inter / (union - inter)
+            if lut_map is not None:
+                ia, ib = lut_map[ia], lut_map[ib]
+            out = _jaccard_for_pairs(words, offs, ia, words, offs, ib)
             res = pa.table(
                 {
                     "id_a": t["id_a"].filter(pa.array(keep)) if not keep.all() else t["id_a"],
@@ -606,17 +652,13 @@ def verify_candidates_jaccard(
     def jac(t: pa.Table) -> pa.Table:
         aw, ao = _decode_binary_sets(t["sh_a"])
         bw, bo = _decode_binary_sets(t["sh_b"])
-        out = np.empty(t.num_rows, dtype=np.float64)
-        for i in range(t.num_rows):
-            a = aw[ao[i] : ao[i + 1]]
-            b = bw[bo[i] : bo[i + 1]]
-            union = len(a) + len(b)
-            if union == 0:
-                out[i] = 1.0
-                continue
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            out[i] = inter / (union - inter)
+        rows = np.arange(t.num_rows, dtype=np.int64)
+        out = _jaccard_for_pairs(aw, ao, rows, bw, bo, rows)
         res = pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "jaccard": out})
         return res.filter(pc.greater_equal(res["jaccard"], threshold))
 
-    return j2.map_batches(jac, batch_format="pyarrow")
+    verified = j2.map_batches(jac, batch_format="pyarrow")
+    # the hash joins preserve candidate multiplicity (a non-deduped
+    # candidate stream would emit duplicate verified pairs) — one cheap
+    # pair-keyed exchange over the already-thresholded survivors
+    return _dedupe_pairs(verified, agg={"jaccard": "max"})

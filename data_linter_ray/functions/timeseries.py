@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
-from data_linter_ray.stages.uniqueness import SHUFFLE_PARTITIONS
+from data_linter_ray.exchange import exchange_width
 
 
 def asof_join(
@@ -54,10 +54,10 @@ def asof_join(
     key hash, so this is exact and saves the caller a whole
     groupby-exchange.
 
-    ``num_partitions`` sizes the exchange (default SHUFFLE_PARTITIONS —
-    sized for a single node). These operators carry FULL rows through
-    the exchange, so per-partition memory ≈ (|left|+|right|) / P: at
-    cluster scale set P ≈ total_bytes / 1 GB."""
+    ``num_partitions`` sizes the exchange; the default derives from the
+    inputs' file sizes (``exchange.exchange_width``: ≈ decoded bytes /
+    1 GiB, floored at 32). These operators carry FULL rows through the
+    exchange, so per-partition memory ≈ (|left|+|right|) / P."""
     def _arrow_types(schema) -> dict:
         base = schema.base_schema
         if isinstance(base, pa.Schema):
@@ -77,7 +77,7 @@ def asof_join(
     r_out = {c: c + right_suffix if c in l_types_all else c for c in r_payload}
     l_types = {c: l_types_all[c] for c in l_payload}
     r_types = {c: r_types_all[c] for c in r_payload}
-    P = num_partitions or SHUFFLE_PARTITIONS
+    P = num_partitions or exchange_width(left, right)
 
     def pad(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -124,10 +124,13 @@ def asof_join(
             allow_exact_matches=allow_exact_matches,
         )
         # the null-padded union NaN-promotes integer left payloads to
-        # float64; restore the source dtype where no real nulls remain
+        # float64; restore via pandas' NULLABLE Int64 so every partition
+        # emits the same Arrow type (int64) whether or not its slice of
+        # the source column happens to contain nulls — a per-partition
+        # data-dependent cast would mix block schemas
         for c in l_payload:
-            if pa.types.is_integer(l_types[c]) and not out[c].isna().any():
-                out[c] = out[c].astype(l_types[c].to_pandas_dtype())
+            if pa.types.is_integer(l_types[c]):
+                out[c] = out[c].astype("Int64")
         # right payloads are nullable under left-outer semantics: pin
         # integer sources to float64 so every partition (including ones
         # with empty sides) emits the SAME schema — mixed block schemas
@@ -136,9 +139,60 @@ def asof_join(
             oc = r_out[c]
             if oc in out.columns and pa.types.is_integer(r_types[c]):
                 out[oc] = out[oc].astype("float64")
-        return out
+        # emit Arrow (Int64 → int64): every partition then carries ONE
+        # plain-arrow schema, and to_pandas round-trips to numpy dtypes
+        # (metadata stripped — it would resurrect the pandas Int64 dtype)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return unioned.groupby("_part").map_groups(join_part, batch_format="pandas")
+
+
+#: per-partition intermediate-row budget for the plain merge fast path;
+#: above it the time-bucketed merge bounds the per-key cross product
+RANGE_JOIN_CROSS_LIMIT = 1 << 22
+
+
+def _time_view(a: np.ndarray) -> np.ndarray:
+    """datetime64 → int64 ns (exact); numeric stays as-is — the bucket
+    arithmetic domain."""
+    if np.issubdtype(a.dtype, np.datetime64):
+        return a.astype("datetime64[ns]").astype(np.int64)
+    return a
+
+
+def _bucketed_interval_merge(
+    lg: "pd.DataFrame",
+    rg: "pd.DataFrame",
+    by: str,
+    left_time: str,
+    start_c: str,
+    end_c: str,
+) -> "pd.DataFrame":
+    """Hot-key-safe candidate merge: salt both sides by TIME BUCKET of
+    width W = the partition's max interval duration, so each right
+    interval replicates into ≤ 2 buckets and each left row joins only
+    its own bucket's intervals. Per-bucket intermediate size is
+    |L_bucket|·|R_bucket| — bounded by time spread instead of the full
+    |L_k|·|R_k| per-key cross product. Candidates still pass the exact
+    interval filter downstream; a pair can meet only in the left row's
+    single bucket, so no duplicates are introduced."""
+    lt = _time_view(lg[left_time].to_numpy())
+    rs = _time_view(rg[start_c].to_numpy())
+    re_ = _time_view(rg[end_c].to_numpy())
+    w = (re_ - rs).max()
+    W = w if w > 0 else 1
+    if np.issubdtype(lt.dtype, np.integer):
+        lb = np.floor_divide(lt, W)
+        rb1, rb2 = np.floor_divide(rs, W), np.floor_divide(re_, W)
+    else:
+        lb = np.floor(lt / W)
+        rb1, rb2 = np.floor(rs / W), np.floor(re_ / W)
+    lg2 = lg.assign(_tb=lb)
+    spill = rb2 != rb1
+    rg2 = pd.concat(
+        [rg.assign(_tb=rb1), rg[spill].assign(_tb=rb2[spill])], ignore_index=True
+    )
+    return lg2.merge(rg2, on=[by, "_tb"]).drop(columns="_tb")
 
 
 def range_join(
@@ -152,17 +206,22 @@ def range_join(
     right_suffix: str = "_r",
     post=None,
     num_partitions: int | None = None,
+    cross_limit: int = RANGE_JOIN_CROSS_LIMIT,
 ) -> Dataset:
     """Interval (range) join: pair each left row with every right row of
     the same key whose [start, end] interval contains the left time
     (inclusive bounds — mirror a SQL BETWEEN join).
 
     Same composition as :func:`asof_join`: pad → union → coarse key-hash
-    exchange → per-partition vectorized pandas merge-on-key + interval
-    filter. Partitioning assumption: all rows of one key share a
-    partition; per-partition work is Σ_k |L_k|·|R_k| over that
-    partition's keys — bounded for short per-key histories, and hot keys
-    should be salted upstream when a single key's |L|·|R| is large.
+    exchange → per-partition vectorized pandas merge + interval filter.
+    Partitioning assumption: all rows of one key share a partition. The
+    per-key Σ|L_k|·|R_k| cross-product hazard is bounded: each partition
+    estimates its blowup from the two sides' key histograms and, above
+    ``cross_limit`` intermediate rows, switches to a time-bucketed merge
+    (bucket width = max interval duration, right intervals replicated
+    into ≤2 buckets) so a hot key costs |L_b|·|R_b| per time bucket, not
+    |L_k|·|R_k|. Degenerate case: if a hot key's intervals all overlap
+    one bucket the output itself is that large — inherent to the query.
 
     ``post`` (optional ``DataFrame -> DataFrame``) runs on each
     partition's joined frame before emission — use it for per-key
@@ -177,7 +236,7 @@ def range_join(
     l_payload = [c for c in l_types_all if c != by]
     r_payload = [c for c in r_types_all if c != by]
     r_out = {c: c + right_suffix if c in l_types_all else c for c in r_payload}
-    P = num_partitions or SHUFFLE_PARTITIONS
+    P = num_partitions or exchange_width(left, right)
 
     def pad(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -207,18 +266,33 @@ def range_join(
     def join_part(g: "pd.DataFrame") -> "pd.DataFrame":
         lg = g[g["_side"] == 0][[by] + l_payload]
         rg = g[g["_side"] == 1][[by] + out_r]
-        out = lg.merge(rg, on=by)
+        if len(lg) and len(rg):
+            # estimate the per-key cross product from the key histograms;
+            # fast-path the plain merge when it is small
+            est = int((lg[by].value_counts() * rg[by].value_counts()).sum())
+        else:
+            est = 0
+        if est <= cross_limit:
+            out = lg.merge(rg, on=by)
+        else:
+            out = _bucketed_interval_merge(lg, rg, by, left_time, start_c, end_c)
         out = out[
             (out[start_c] <= out[left_time]) & (out[left_time] <= out[end_c])
         ]
+        # the interval join is inner (the filter above), so no nulls are
+        # introduced — but the padded union still NaN-promoted int
+        # payloads; nullable Int64 restores int64 Arrow blocks with ONE
+        # schema across partitions regardless of source nulls
         for c in l_payload:
-            if pa.types.is_integer(l_types_all[c]) and not out[c].isna().any():
-                out[c] = out[c].astype(l_types_all[c].to_pandas_dtype())
+            if pa.types.is_integer(l_types_all[c]):
+                out[c] = out[c].astype("Int64")
         for c in r_payload:
-            if pa.types.is_integer(r_types_all[c]) and not out[r_out[c]].isna().any():
-                out[r_out[c]] = out[r_out[c]].astype(r_types_all[c].to_pandas_dtype())
+            if pa.types.is_integer(r_types_all[c]):
+                out[r_out[c]] = out[r_out[c]].astype("Int64")
         out = out.reset_index(drop=True)
-        return post(out) if post is not None else out
+        res = post(out) if post is not None else out
+        # as in asof_join: plain-arrow blocks, one schema per run
+        return pa.Table.from_pandas(res, preserve_index=False).replace_schema_metadata(None)
 
     return unioned.groupby("_part").map_groups(join_part, batch_format="pandas")
 
@@ -256,7 +330,7 @@ def sessionize(
     ({out_col: (src_col, fn)}).
     """
 
-    P = num_partitions or SHUFFLE_PARTITIONS
+    P = num_partitions or exchange_width(ds)
 
     def add_part(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(

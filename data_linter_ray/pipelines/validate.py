@@ -279,9 +279,9 @@ def _uniqueness_from_preagg(
     import ray
     import ray.data as rd
 
-    from data_linter_ray.stages.uniqueness import SHUFFLE_PARTITIONS
+    from data_linter_ray.exchange import exchange_width
 
-    P = SHUFFLE_PARTITIONS
+    P = exchange_width(mat)
     split_task = ray.remote(_split_preagg_block)
     detect_task = ray.remote(_detect_bucket)
     report_task = ray.remote(_report_block)

@@ -133,7 +133,7 @@ def referential_violations_shuffle(
             names=["key", "n_fk", "has_pk", "_bucket"],
         )
 
-    from data_linter_ray.stages.uniqueness import SHUFFLE_PARTITIONS
+    from data_linter_ray.exchange import exchange_width
 
     tagged = (
         ds.select_columns([fk])
@@ -141,7 +141,7 @@ def referential_violations_shuffle(
         .union(
             ref_ds.select_columns([pk]).map_batches(pk_partials, batch_format="pyarrow")
         )
-        .repartition(SHUFFLE_PARTITIONS)
+        .repartition(exchange_width(ds, ref_ds))
         .materialize()  # fast-path the Sort behind groupby (see uniqueness.py)
     )
 

@@ -20,15 +20,17 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from data_linter_ray.checks import UNIQUE_TEST
+from data_linter_ray.exchange import MIN_PARTITIONS, exchange_width
 from data_linter_ray.stages.checker import VIOLATION_SCHEMA, _stringify
 
 
 DEFAULT_BUCKETS = 64
 # pre-aggregated (key, n) rows are tiny — coalesce before the exchange so
 # the sort-partition machinery handles a few fat blocks instead of one
-# per input block (measured 5× faster). On a multi-node cluster size this
-# to ~1M pre-agg rows per block.
-SHUFFLE_PARTITIONS = 32
+# per input block (measured 5× faster). Exchange width now derives from
+# input size (exchange.exchange_width); this name stays as the floor
+# alias for back-compat.
+SHUFFLE_PARTITIONS = MIN_PARTITIONS
 
 
 def _local_counts(key: str, num_buckets: int):
@@ -63,7 +65,7 @@ def duplicate_keys(ds: Dataset, key: str, num_buckets: int = DEFAULT_BUCKETS) ->
     (batch, key) in the exchange, so skew is bounded by block count."""
     pre = ds.select_columns([key]).map_batches(
         _local_counts(key, num_buckets), batch_format="pyarrow"
-    ).repartition(SHUFFLE_PARTITIONS).materialize()
+    ).repartition(exchange_width(ds)).materialize()
     # ^ materialized: Ray's Sort (inside groupby) degrades ~10x when
     # streamed behind another operator; a materialized, coalesced input
     # keeps the exchange at its measured-fast path

@@ -182,3 +182,90 @@ def test_uniqueness_exchange_survives_extreme_skew(ray_session):
     dup = duplicate_keys(ds, "k").to_pandas()
     assert len(dup) == 1
     assert dup.iloc[0]["k"] == 0 and dup.iloc[0]["n"] == n // 2
+
+
+def test_range_join_hot_key_bounded(ray_session):
+    """VERDICT r02 #1: one key holding 1e5 left x 1e3 right rows must
+    complete without materializing the 1e8-row per-key cross product —
+    the partition switches to the time-bucketed merge (cross_limit
+    forced low) and the aggregate matches a searchsorted reference."""
+    import pandas as pd
+
+    import ray.data
+    from data_linter_ray.functions.timeseries import range_join
+
+    rng = np.random.RandomState(7)
+    n_l, n_r = 100_000, 1_000
+    lt = np.sort(rng.randint(0, 10_000_000, n_l))
+    left = pd.DataFrame({"k": 0, "ts": lt})
+    rs = np.sort(rng.randint(0, 10_000_000, n_r))
+    right = pd.DataFrame({"k": 0, "s": rs, "e": rs + 3_600})
+
+    def count_per_interval(df):
+        out = df.groupby(["k", "s"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    got = (
+        range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            left_time="ts",
+            right_start="s",
+            right_end="e",
+            by="k",
+            post=count_per_interval,
+            cross_limit=1_000_000,  # force the bucketed path (est = 1e8)
+        )
+        .to_pandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    # reference counts via searchsorted (no cross product)
+    lo = np.searchsorted(lt, rs, side="left")
+    hi = np.searchsorted(lt, rs + 3_600, side="right")
+    exp_n = hi - lo
+    nz = exp_n > 0
+    assert (got["s"].to_numpy() == rs[nz]).all()
+    assert (got["n"].to_numpy() == exp_n[nz]).all()
+
+
+def test_exchange_width_env_override_invariant(ray_session, monkeypatch, sf_dir):
+    """VERDICT r02 #9: the exchange width is a knob, not a semantic —
+    verdicts are identical at width 4 and width 64."""
+    from data_linter_ray.exchange import ENV_VAR, exchange_width
+    from data_linter_ray.stages.uniqueness import duplicate_keys
+
+    outs = []
+    for width in ("4", "64"):
+        monkeypatch.setenv(ENV_VAR, width)
+        assert exchange_width() == int(width)
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        outs.append(
+            duplicate_keys(ds, "user_id").to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+    monkeypatch.delenv(ENV_VAR)
+    assert len(outs[0]) > 0
+    assert outs[0].equals(outs[1])
+
+
+def test_exchange_width_derives_from_input_bytes(tmp_path, ray_session):
+    """Width grows with file-backed input size and floors at
+    MIN_PARTITIONS for small/derived inputs."""
+    import pyarrow.parquet as pq
+
+    from data_linter_ray import exchange
+
+    t = pa.table({"x": np.arange(1000, dtype=np.int64)})
+    pq.write_table(t, tmp_path / "small.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "small.parquet"))
+    assert exchange.exchange_width(ds) == exchange.MIN_PARTITIONS
+    # derived datasets have no provenance -> floor
+    assert exchange.exchange_width(ds.map_batches(lambda b: b)) == exchange.MIN_PARTITIONS
+    # pretend the target is tiny so the file-size derivation is visible
+    old = exchange.TARGET_PARTITION_BYTES
+    try:
+        exchange.TARGET_PARTITION_BYTES = 64
+        assert exchange.exchange_width(ds) > exchange.MIN_PARTITIONS
+        assert exchange.exchange_width(ds, override=7) == 7
+    finally:
+        exchange.TARGET_PARTITION_BYTES = old
