@@ -174,17 +174,54 @@ def _md5_lower64(grams: list[str]) -> np.ndarray:
     return out
 
 
+def _gram_hashes(text, k: int, hash: str):
+    """→ (uint64 gram hashes, parent row indices) under either hash mode.
+
+    ``hash="md5"`` is the oracle-parity path (DuckDB md5_number_lower on
+    the chr(31)-joined gram string) — per-gram Python, kept ONLY so the
+    driver's SQL oracle can reproduce it bit-exactly. ``hash="fast"`` is
+    the production path: the same vectorized uint64 token-hash → shingle
+    rolling-hash pipeline the dedup operators use (dedup.py
+    _token_hashes/_shingle_hashes) — zero per-element Python."""
+    if hash == "fast":
+        from data_linter_ray.functions.dedup import _shingle_hashes, _token_hashes
+
+        th, tp = _token_hashes(text)
+        return _shingle_hashes(th, tp, k)
+    if hash != "md5":
+        raise ValueError(f"unknown hash mode: {hash!r} (use 'md5' or 'fast')")
+    grams, parents = _gram_strings(text, k)
+    return _md5_lower64(grams), parents
+
+
+_HEX_LUT = np.array([f"{i:02x}".encode() for i in range(256)], dtype="S2")
+
+
+def _hex16(vals: np.ndarray) -> pa.Array:
+    """Vectorized 16-char lower-hex rendering of uint64 values (the
+    per-value f-string loop was the last Python in this path)."""
+    if len(vals) == 0:
+        return pa.array([], pa.string())
+    b = np.ascontiguousarray(vals.astype(">u8")).view(np.uint8).reshape(-1, 8)
+    hx = np.ascontiguousarray(_HEX_LUT[b]).view("S16").ravel()
+    return pa.array(hx.astype("U16"), pa.string())
+
+
 def modp_fingerprint_table(
     t: pa.Table, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 3, mod_p: int = 8,
+    k: int = 3, mod_p: int = 8, hash: str = "md5",
 ) -> pa.Table:
     """0-mod-p rolling fingerprint (Manber, "Finding similar files in a
     large file system", USENIX 1994; Broder's shingle sampling): keep the
     distinct k-gram hashes with h ≡ 0 (mod p). Output is flattened
-    (doc_id, fp-hex) rows — one per selected fingerprint."""
-    grams, parents = _gram_strings(t[text_col], k)
+    (doc_id, fp-hex) rows — one per selected fingerprint.
+
+    ``hash="fast"`` swaps the per-gram md5 for the vectorized uint64
+    shingle pipeline (see :func:`_gram_hashes`) — same selection
+    semantics, different hash family, ~30× cheaper; use it everywhere
+    except the md5-parity oracle query."""
     ids = t[id_col].to_numpy(zero_copy_only=False)
-    h = _md5_lower64(grams)
+    h, parents = _gram_hashes(t[text_col], k, hash)
     sel = h % np.uint64(mod_p) == 0
     hs, ps = h[sel], parents[sel]
     # distinct per (row, hash)
@@ -194,27 +231,22 @@ def modp_fingerprint_table(
         first = np.ones(len(hs), bool)
         first[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
         hs, ps = hs[first], ps[first]
-    return pa.table(
-        {
-            id_col: pa.array(ids[ps]),
-            "fp": pa.array([f"{v:016x}" for v in hs], pa.string()),
-        }
-    )
+    return pa.table({id_col: pa.array(ids[ps]), "fp": _hex16(hs)})
 
 
 def winnow_fingerprint_table(
     t: pa.Table, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 5, w: int = 4,
+    k: int = 5, w: int = 4, hash: str = "md5",
 ) -> pa.Table:
     """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
     local algorithms for document fingerprinting", SIGMOD 2003): in each
     window of ``w`` consecutive k-gram hashes pick the minimum (rightmost
     on ties), dedupe selected positions. Vectorized: the window min is a
     reduce over w shifted views; rightmost-tie via reversed argmin.
-    Output: flattened (doc_id, fp-hex) rows."""
-    grams, parents = _gram_strings(t[text_col], k)
+    Output: flattened (doc_id, fp-hex) rows. ``hash`` as in
+    :func:`modp_fingerprint_table`."""
     ids = t[id_col].to_numpy(zero_copy_only=False)
-    h = _md5_lower64(grams)
+    h, parents = _gram_hashes(t[text_col], k, hash)
     n = len(h)
     sel_pos: list[np.ndarray] = []
     if n:
@@ -249,12 +281,7 @@ def winnow_fingerprint_table(
         hs, ps = hs[first], ps[first]
     else:
         hs, ps = np.empty(0, np.uint64), np.empty(0, np.int64)
-    return pa.table(
-        {
-            id_col: pa.array(ids[ps]),
-            "fp": pa.array([f"{v:016x}" for v in hs], pa.string()),
-        }
-    )
+    return pa.table({id_col: pa.array(ids[ps]), "fp": _hex16(hs)})
 
 
 def with_modp_fingerprints(ds: Dataset, **kw) -> Dataset:

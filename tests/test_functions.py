@@ -541,3 +541,63 @@ def test_asof_join_property(ray_session):
         # matched — pandas keeps int64 in that case
         exp["p"] = exp["p"].astype("float64")
         assert got.equals(exp), f"trial {trial}"
+
+
+def test_modp_fast_mode_matches_scalar_reference(docs):
+    """hash="fast" (production path, zero per-gram Python) == a scalar
+    re-composition of the same primitives (token hash -> FNV roll ->
+    splitmix), selection semantics identical to the md5 mode."""
+    import re
+
+    import pyarrow as pa
+
+    from data_linter_ray.functions.dedup import _splitmix
+    from data_linter_ray.state.sketches import hash_array
+
+    sub = docs.limit(30).to_pandas()
+    got = (
+        text.with_modp_fingerprints(ray.data.from_pandas(sub), hash="fast")
+        .to_pandas()
+        .groupby("doc_id")["fp"]
+        .apply(set)
+    )
+
+    def naive(s, k=3, p=8):
+        toks = [x for x in re.split(r"\W+", s.lower().strip()) if x]
+        if len(toks) < k:
+            return set()
+        th = hash_array(pa.array(toks, pa.string()))
+        A = np.uint64(0x100000001B3)
+        out = set()
+        with np.errstate(over="ignore"):
+            for i in range(len(toks) - k + 1):
+                g = np.uint64(0)
+                for j in range(k):
+                    g = g * A + th[i + j]
+                h = int(_splitmix(np.array([g], dtype=np.uint64))[0])
+                if h % p == 0:
+                    out.add(f"{h:016x}")
+        return out
+
+    for _, row in sub.iterrows():
+        assert got.get(row["doc_id"], set()) == naive(row["text"]), row["doc_id"]
+
+
+def test_winnow_fast_mode_runs_and_dedupes(docs):
+    """Winnowing in fast mode: selected fingerprints are a subset of the
+    doc's gram hashes, distinct per doc, and every doc with >= k tokens
+    yields at least one fingerprint."""
+    sub = docs.limit(20).to_pandas()
+    out = (
+        text.with_winnow_fingerprints(ray.data.from_pandas(sub), hash="fast")
+        .to_pandas()
+    )
+    assert out["fp"].str.fullmatch("[0-9a-f]{16}").all()
+    assert not out.duplicated(["doc_id", "fp"]).any()
+    n_tokens = sub["text"].str.lower().str.strip().str.split(r"\W+").map(
+        lambda t: len([x for x in t if x])
+    )
+    covered = set(out["doc_id"])
+    for did, n in zip(sub["doc_id"], n_tokens):
+        if n >= 5:
+            assert did in covered
