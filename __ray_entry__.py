@@ -1033,6 +1033,35 @@ def oracle_sql() -> dict[str, str]:
             "/ (len(a.g3) + len(b.g3) - len(list_intersect(a.g3, b.g3))) END AS jaccard "
             "FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 10000"
         ),
+        # minhash_dedup: at this corpus (doc vs doc+' zzz', Jaccard ≈
+        # 0.97, plus synthetic near-dup groups ≥ 0.8) 16-band/64-perm
+        # LSH recall is 1.0, so the LSH+verify output equals the full
+        # trigram-Jaccard ≥ 0.7 pair set — which IS SQL-expressible:
+        # candidates = pairs sharing ≥1 trigram (pairs below threshold
+        # with no shared gram are impossible; both-empty-gram docs carry
+        # no shingles and are excluded by LSH too), then the proven
+        # jaccard_pairs list algebra verifies each.
+        "minhash_dedup": (
+            "WITH doubled AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents), "
+            "toks AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '') AS tk "
+            "FROM doubled), "
+            "grams AS (SELECT doc_id, CASE WHEN len(tk) >= 3 "
+            "THEN list_distinct(list_transform(generate_series(1, len(tk)-2), "
+            "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) "
+            "ELSE [] END AS g3 FROM toks), "
+            "g AS (SELECT doc_id, unnest(g3) AS gr FROM grams), "
+            "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b FROM cand "
+            "JOIN grams ga ON ga.doc_id = cand.id_a "
+            "JOIN grams gb ON gb.doc_id = cand.id_b "
+            "WHERE len(list_intersect(ga.g3, gb.g3))::DOUBLE "
+            "/ (len(ga.g3) + len(gb.g3) - len(list_intersect(ga.g3, gb.g3))) "
+            ">= 0.7 ORDER BY id_a, id_b"
+        ),
         "span_verdicts": _span_verdicts_sql(fixture["docs"], fixture["catalog"]),
         "span_equality": (
             "SELECT doc_id AS row_ref, 'spans' AS \"column\", "
@@ -1070,7 +1099,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rank <= 10"
         ),
         "embedding_near_dups": (
-            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "CAST(false AS BOOLEAN) AS truncated "
             "FROM embeddings a CROSS JOIN embeddings b "
             "WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"

@@ -199,8 +199,20 @@ def read_text(path: str) -> str:
     return read_bytes(path).decode("utf-8")
 
 
+def _check_writable_scheme(path: str) -> None:
+    """Write-side schemes are local or s3:// only — any other URI
+    (gs://, file://, …) must fail loudly instead of silently writing a
+    literal ``./gs:/…`` local directory tree."""
+    if is_uri(path) and not is_s3(path):
+        raise NotImplementedError(
+            f"unsupported URI scheme for writes: {path!r} (only local paths "
+            "and s3:// are supported)"
+        )
+
+
 def write_bytes(path: str, data: bytes) -> None:
     """Atomic single-object write: temp+rename locally, one PUT on S3."""
+    _check_writable_scheme(path)
     if is_s3(path):
         bucket, key = _bucket_key(path)
         _boto_client().put_object(Bucket=bucket, Key=key, Body=data)
@@ -237,6 +249,7 @@ def copy_file(src: str, dst: str, *, compress: bool = False) -> str:
     ``compress_data``, utils.py:28-59,133-150). Streams through a bounded
     buffer; S3 destinations use boto3 ``upload_fileobj`` (multipart for
     large files, atomic completion)."""
+    _check_writable_scheme(dst)
     if compress and not dst.endswith(".gz"):
         dst += ".gz"
 

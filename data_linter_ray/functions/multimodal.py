@@ -2,11 +2,13 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata
 (kind, media_ref) — the engine's Ray-side plumbing (schemas, actor-pool
-signatures, batch sizing, output layout) is real and tested; the codec
-step itself is stubbed: the image/audio libraries are not in this
-container, so decoding uses PIL/soundfile when importable and otherwise
-a clearly-marked deterministic fake decoder (or ``NotImplementedError``
-in strict mode).
+signatures, batch sizing, output layout) is real and tested. The codec
+layer is real for PNG: a pure-stdlib decoder (zlib + struct; 8-bit
+gray/RGB/gray+alpha/RGBA, all five PNG filters, non-interlaced) runs in
+this container with no extra dependencies; PIL is preferred when
+importable (wider format support). Non-decodable payloads fall back to
+a clearly-marked deterministic fake (or raise ``NotImplementedError``
+in strict mode) — the audio/video codecs remain stubs.
 
 Stages are callable CLASSES for ``map_batches(..., concurrency=N)``
 actor pools: codec/init work happens once per actor in ``__init__``,
@@ -17,6 +19,8 @@ payloads (bytes-based batching; see ``suggested_batch_size``).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -47,49 +51,168 @@ def _fake_decode(payload: bytes, out_pixels: int = 64) -> np.ndarray:
     return rng.rand(out_pixels).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# pure-stdlib PNG codec (real, in-container)
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → sample channels
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a PNG (stdlib ``zlib`` + ``struct`` only) → uint8
+    ``[h, w, channels]``.
+
+    Supports 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
+    RGBA), non-interlaced — the shapes produced by virtually every
+    screenshot/thumbnail pipeline. Filter reconstruction is per-scanline
+    (filters Up/None vectorized; Sub/Average/Paeth need the sequential
+    per-pixel recurrence the spec defines). Raises ``ValueError`` on
+    non-PNG or unsupported variants.
+    """
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = color_type = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth: {bit_depth}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type: {color_type}")
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("malformed PNG: wrong decompressed size")
+    bpp = channels  # bytes per pixel at 8-bit depth
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = int(raw[y * (stride + 1)])
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int32)
+        if f == 0:  # None
+            rec = line
+        elif f == 2:  # Up — vectorized
+            rec = (line + prev) & 0xFF
+        elif f == 1:  # Sub
+            rec = line
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            rec = line
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = line
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte: {f}")
+        out[y] = rec
+        prev = rec.astype(np.int32, copy=False)
+    return out.reshape(height, width, channels)
+
+
+def _to_grayscale(img: np.ndarray) -> np.ndarray:
+    """uint8 [h, w, c] → float32 [h, w] in [0, 1] (ITU-R 601 luma)."""
+    c = img.shape[2]
+    if c == 1:
+        g = img[:, :, 0].astype(np.float32)
+    elif c == 2:  # gray + alpha
+        g = img[:, :, 0].astype(np.float32)
+    else:  # RGB / RGBA
+        rgb = img[:, :, :3].astype(np.float32)
+        g = rgb @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    return g / 255.0
+
+
+def _resize_nearest(img: np.ndarray, size: tuple) -> np.ndarray:
+    """float32 [h, w] → [size] by nearest-neighbor index sampling."""
+    h, w = img.shape
+    rows = (np.arange(size[1]) * h // size[1]).clip(0, h - 1)
+    cols = (np.arange(size[0]) * w // size[0]).clip(0, w - 1)
+    return img[np.ix_(rows, cols)]
+
+
 class ImageDecoder:
     """Actor-pool stage: binary payload → decoded pixel array column.
 
-    ``strict=True`` raises NotImplementedError when no real codec is
-    available (production posture); default falls back to the
-    deterministic fake so pipelines stay testable in this container.
+    Codec dispatch is per payload: PNG payloads (magic-byte sniff) are
+    REALLY decoded — via PIL when importable, else the pure-stdlib
+    :func:`png_decode` — then grayscaled and resized to ``size``.
+    Non-PNG payloads fall back to the deterministic fake decoder, or
+    raise ``NotImplementedError`` when ``strict=True`` (production
+    posture: no silent fakes).
     """
 
     def __init__(self, payload_col: str = "payload", strict: bool = False, size: tuple = (8, 8)):
         self.payload_col = payload_col
         self.size = size
-        self.codec = None
+        self.strict = strict
         try:  # pragma: no cover - PIL absent in this container
             from PIL import Image  # noqa: F401
 
             self.codec = "pil"
         except ImportError:
-            if strict:
-                raise NotImplementedError(
-                    "no image codec available (PIL not installed); "
-                    "install pillow or use strict=False for the fake decoder"
+            self.codec = "png-pure"
+
+    def _decode_one(self, p: bytes, n_px: int) -> np.ndarray:
+        if p[:8] == PNG_MAGIC:
+            if self.codec == "pil":  # pragma: no cover
+                import io
+
+                from PIL import Image
+
+                return (
+                    np.asarray(
+                        Image.open(io.BytesIO(p)).convert("L").resize(self.size),
+                        dtype=np.float32,
+                    ).ravel()
+                    / 255.0
                 )
-            self.codec = "fake"
+            return _resize_nearest(_to_grayscale(png_decode(p)), self.size).ravel()
+        if self.strict:
+            raise NotImplementedError(
+                "payload is not a PNG and strict=True: no codec for this "
+                "format in-container (install pillow for wider support)"
+            )
+        return _fake_decode(p, n_px)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         n_px = self.size[0] * self.size[1]
-        if self.codec == "pil":  # pragma: no cover
-            import io
-
-            from PIL import Image
-
-            arrays = [
-                np.asarray(
-                    Image.open(io.BytesIO(p)).convert("L").resize(self.size),
-                    dtype=np.float32,
-                ).ravel()
-                / 255.0
-                for p in payloads
-            ]
-        else:
-            arrays = [_fake_decode(p, n_px) for p in payloads]
-        flat = np.concatenate(arrays) if arrays else np.empty(0, np.float32)
+        arrays = [self._decode_one(p, n_px) for p in payloads]
+        flat = (
+            np.concatenate(arrays).astype(np.float32, copy=False)
+            if arrays
+            else np.empty(0, np.float32)
+        )
         pixels = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), n_px)
         return batch.append_column("pixels", pixels)
 
@@ -125,6 +248,29 @@ class FeatureExtractor:
         return batch.append_column(
             "features", pa.FixedSizeListArray.from_arrays(flat, self.dim)
         )
+
+
+class DecodeAndFeature:
+    """Fused actor-pool stage: decode + feature-extract in ONE actor.
+
+    One pool instead of two halves the actor cold-start cost and drops
+    an object-store hop for the (wide) pixels column — the right shape
+    when no other stage consumes raw pixels. Output is identical to
+    ``ImageDecoder`` → ``FeatureExtractor``.
+    """
+
+    def __init__(
+        self,
+        payload_col: str = "payload",
+        strict: bool = False,
+        size: tuple = (8, 8),
+        dim: int = FEATURE_DIM,
+    ):
+        self._decode = ImageDecoder(payload_col=payload_col, strict=strict, size=size)
+        self._feat = FeatureExtractor(dim=dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._feat(self._decode(batch))
 
 
 class FrameSampler:
@@ -180,10 +326,17 @@ def decode_pipeline(
     concurrency: int = 4,
     batch_size: int | None = None,
     num_cpus: float = 0.5,
+    fused: bool = True,
 ) -> Dataset:
-    """media table → decode (actor pool) → features (actor pool).
+    """media table → decode → features.
 
-    Size ``concurrency × num_cpus`` per stage so the two pools plus the
+    ``fused=True`` (default) runs both steps in ONE actor pool
+    (:class:`DecodeAndFeature`) — half the pool cold-start, no
+    object-store hop for the wide pixels column. ``fused=False`` keeps
+    the two-pool layout for pipelines that tap the pixels column
+    between the stages.
+
+    Size ``concurrency × num_cpus`` per stage so the pool(s) plus the
     upstream read tasks fit the node — actor pools that reserve every
     CPU deadlock the streaming executor (the read can never run).
     """
@@ -192,6 +345,15 @@ def decode_pipeline(
     # pool replaces dead workers itself; the default (restartable actors
     # whose constructor args live in the object store) logs a restart-
     # will-fail error per actor (ray#53727)
+    if fused:
+        return media.map_batches(
+            DecodeAndFeature,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus,
+            max_restarts=0,
+        )
     decoded = media.map_batches(
         ImageDecoder,
         batch_format="pyarrow",

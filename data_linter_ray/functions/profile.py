@@ -41,13 +41,26 @@ def _profile_batch(t: pa.Table, columns: list[str], hll_p: int) -> pa.Table:
     for c in columns:
         arr = t[c]
         lane = _lane(arr.type)
-        mm = pc.min_max(arr)
-        lo = mm["min"].as_py() if mm["min"].is_valid else None
-        hi = mm["max"].as_py() if mm["max"].is_valid else None
-        if lane == "ts" and lo is not None:
-            # timestamps fold in the int lane (epoch µs)
-            lo, hi = int(lo.timestamp() * 1e6), int(hi.timestamp() * 1e6)
+        if lane == "ts":
+            # timestamps fold in the int lane (epoch µs). Cast to int64
+            # BEFORE min_max so no datetime round-trip occurs — naive
+            # datetime.timestamp() interprets values in the host's LOCAL
+            # timezone, shifting results on any non-UTC host.
+            unit = arr.type.unit
+            factor = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+            mm = pc.min_max(arr.cast(pa.int64()))
+            lo = mm["min"].as_py() if mm["min"].is_valid else None
+            hi = mm["max"].as_py() if mm["max"].is_valid else None
+            if lo is not None:
+                if unit == "ns":
+                    lo, hi = lo // 1_000, hi // 1_000
+                else:
+                    lo, hi = lo * factor, hi * factor
             lane = "int"
+        else:
+            mm = pc.min_max(arr)
+            lo = mm["min"].as_py() if mm["min"].is_valid else None
+            hi = mm["max"].as_py() if mm["max"].is_valid else None
         rows["column"].append(c)
         rows["n"].append(t.num_rows)
         rows["n_null"].append(arr.null_count)

@@ -13,12 +13,16 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
 import ray
+
+logger = logging.getLogger(__name__)
 
 
 def _stack(col) -> np.ndarray:
@@ -110,8 +114,11 @@ def embedding_near_duplicates(
     emb_col: str = "embedding",
     mode: str = "auto",
     n_clusters: int = 64,
+    n_probe: int = 2,
 ) -> Dataset:
-    """All pairs (id_a < id_b) with cosine ≥ threshold.
+    """All pairs (id_a < id_b) with cosine ≥ threshold, plus a
+    ``truncated`` flag (always False on the exact broadcast path; True on
+    the IVF path for pairs from a size-capped cluster).
 
     ``mode``: "broadcast" = exact all-pairs (corpus matrix in the object
     store, per-batch matmul — single-node-feasible baseline);
@@ -132,6 +139,7 @@ def embedding_near_duplicates(
             n_clusters=n_clusters,
             id_col=id_col,
             emb_col=emb_col,
+            n_probe=n_probe,
         )
     full = ds.select_columns([id_col, emb_col]).to_pandas()
     ids_all = full[id_col].to_numpy()
@@ -145,7 +153,13 @@ def embedding_near_duplicates(
         S = M @ MA.T
         r, c = np.nonzero(S >= threshold)
         keep = ids[r] < ia[c]
-        return pa.table({"id_a": ids[r][keep], "id_b": ia[c][keep]})
+        return pa.table(
+            {
+                "id_a": ids[r][keep],
+                "id_b": ia[c][keep],
+                "truncated": np.zeros(int(keep.sum()), dtype=bool),
+            }
+        )
 
     return ds.select_columns([id_col, emb_col]).map_batches(
         pairs, batch_format="pyarrow"
@@ -179,6 +193,43 @@ def kmeans_lite(
     return C
 
 
+def _capped_bucket_pairs(
+    g: pd.DataFrame, ids_col: str, emb_col: str, threshold: float, max_bucket: int
+) -> pd.DataFrame:
+    """All-pairs cosine ≥ threshold within ONE bucket, size-capped.
+
+    Buckets beyond ``max_bucket`` rows are truncated (deterministically:
+    sorted by id, head) — NEVER silently: the dropped-row count is
+    logged and every emitted pair carries ``truncated=True`` so
+    downstream consumers see the coverage cap (same contract as the
+    minhash ``truncated`` flag, dedup.py)."""
+    truncated = len(g) > max_bucket
+    if truncated:
+        logger.warning(
+            "near-dup bucket truncated: %d of %d rows dropped (max_bucket=%d)",
+            len(g) - max_bucket,
+            len(g),
+            max_bucket,
+        )
+    g = g.sort_values(ids_col, kind="stable").head(max_bucket)
+    ids = g[ids_col].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "truncated": pd.Series([], dtype=bool),
+            }
+        )
+    M = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+    S = M @ M.T
+    r, c = np.nonzero(S >= threshold)
+    keep = ids[r] < ids[c]
+    return pd.DataFrame(
+        {"id_a": ids[r][keep], "id_b": ids[c][keep], "truncated": truncated}
+    )
+
+
 def ivf_near_duplicates(
     ds: Dataset,
     threshold: float = 0.95,
@@ -186,11 +237,18 @@ def ivf_near_duplicates(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     max_bucket: int = 4096,
+    n_probe: int = 2,
 ) -> Dataset:
     """Scale path: bucket vectors by nearest centroid (groupby, no corpus
     broadcast), then all-pairs within each bucket. Misses cross-cluster
-    pairs near boundaries — the standard IVF recall trade-off; raise
-    n_probe by duplicating rows into their top-2 clusters."""
+    pairs near boundaries — the standard IVF recall trade-off; raising
+    ``n_probe`` duplicates each row into its top-``n_probe`` clusters,
+    trading shuffle volume for boundary recall. Pairs from a size-capped
+    cluster carry ``truncated=True`` (no silent coverage caps)."""
+    from data_linter_ray.functions.dedup import _dedupe_pairs
+
+    if n_probe < 1 or n_probe > n_clusters:
+        raise ValueError(f"n_probe must be in [1, n_clusters], got {n_probe}")
     C = kmeans_lite(ds, n_clusters=n_clusters, emb_col=emb_col)
     c_ref = ray.put(C)
 
@@ -198,14 +256,15 @@ def ivf_near_duplicates(
         cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
         M = _normalize(_stack(t[emb_col]))
         S = M @ cm.T
-        top2 = np.argsort(-S, axis=1)[:, :2]
+        k = min(n_probe, S.shape[1])
+        topk = np.argsort(-S, axis=1)[:, :k]
         ids = t[id_col].to_numpy(zero_copy_only=False)
         emb = t[emb_col].combine_chunks()
         out = pa.table(
             {
-                "cluster": np.concatenate([top2[:, 0], top2[:, 1]]).astype(np.int32),
-                id_col: np.tile(ids, 2),
-                emb_col: pa.concat_arrays([emb, emb]),
+                "cluster": topk.T.reshape(-1).astype(np.int32),
+                id_col: np.tile(ids, k),
+                emb_col: pa.concat_arrays([emb] * k),
             }
         )
         return out
@@ -215,19 +274,12 @@ def ivf_near_duplicates(
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        M = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
-        S = M @ M.T
-        r, c = np.nonzero(S >= threshold)
-        keep = ids[r] < ids[c]
-        return pd.DataFrame({"id_a": ids[r][keep], "id_b": ids[c][keep]})
+        return _capped_bucket_pairs(g, id_col, emb_col, threshold, max_bucket)
 
     pairs = assigned.groupby("cluster").map_groups(bucket_pairs, batch_format="pandas")
-    from ray.data.aggregate import Count
-
-    # a pair can surface from both probe clusters — dedupe
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    # a pair can surface from several probe clusters — two-level
+    # pair-hash exchange (never one Ray group per pair)
+    return _dedupe_pairs(pairs, agg={"truncated": "max"})
 
 
 def rp_lsh_near_duplicates(
@@ -251,8 +303,10 @@ def rp_lsh_near_duplicates(
     come from data-independent projections, so the same planes partition
     every batch identically. Candidates only (recall < 1 near the
     hyperplanes, like any LSH); verified pairs are exact cosine ≥
-    threshold, no false positives.
+    threshold, no false positives. Pairs from a size-capped bucket carry
+    ``truncated=True`` (no silent coverage caps).
     """
+    from data_linter_ray.functions.dedup import _dedupe_pairs
     if n_planes % n_bands:
         raise ValueError("n_planes must divide into n_bands bands")
     r = n_planes // n_bands
@@ -286,26 +340,11 @@ def rp_lsh_near_duplicates(
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("id").head(max_bucket)
-        ids = g["id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
-            )
-        M = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
-        S = M @ M.T
-        r_, c_ = np.nonzero(S >= threshold)
-        keep = ids[r_] < ids[c_]
-        return pd.DataFrame({"id_a": ids[r_][keep], "id_b": ids[c_][keep]})
+        return _capped_bucket_pairs(g, "id", emb_col, threshold, max_bucket)
 
     pairs = buckets.groupby(["band", "key"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    from ray.data.aggregate import Count
-
-    # the same pair can surface from several bands — dedupe
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    # the same pair can surface from several bands — two-level
+    # pair-hash exchange (never one Ray group per pair)
+    return _dedupe_pairs(pairs, agg={"truncated": "max"})

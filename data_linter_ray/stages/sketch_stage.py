@@ -93,6 +93,18 @@ def _merge_group(df):
     """map_groups fn: fold all partials of one (column, kind) group."""
     import pandas as pd
 
+    if len(df) == 0:
+        # pin the empty-group output schema — an untyped empty block
+        # downgrades the downstream dataset schema to <empty> (mixed
+        # block schemas warning) and can bite later consumers
+        return pd.DataFrame(
+            {
+                "column": pd.Series([], dtype=object),
+                "kind": pd.Series([], dtype=object),
+                "payload": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
     kind = df["kind"].iloc[0]
     cls = {"tdigest": TDigest, "kll": KLL, "hll": HyperLogLog}[kind]
     acc = cls.from_bytes(df["payload"].iloc[0])

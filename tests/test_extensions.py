@@ -52,6 +52,137 @@ def test_suggested_batch_size():
     assert suggested_batch_size(10**9) == 1  # giant payloads → row-at-a-time
 
 
+# ---------------- PNG codec (pure-stdlib, real) --------------------------
+
+
+def _png_encode(img, filters=None):
+    """Test-side PNG encoder (spec-direct, independent of the decoder):
+    applies the requested per-scanline filter (default 0/None) then
+    zlib-compresses. img: uint8 [h, w, c] with c in {1, 2, 3, 4}."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = img.reshape(h, w * c).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        line = flat[y]
+        if f == 0:
+            enc = line
+        elif f == 1:  # Sub
+            left = np.zeros_like(line)
+            left[c:] = line[:-c]
+            enc = (line - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.zeros_like(line)
+            left[c:] = line[:-c]
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            left = np.zeros_like(line)
+            left[c:] = line[:-c]
+            upleft = np.zeros_like(prev)
+            upleft[c:] = prev[:-c]
+            p = left + prev - upleft
+            pa_, pb_, pc_ = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, prev, upleft)
+            )
+            enc = (line - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_decode_roundtrip(channels, filt):
+    import numpy as np
+
+    from data_linter_ray.functions.multimodal import png_decode
+
+    rng = np.random.RandomState(7 * channels + filt)
+    img = rng.randint(0, 256, size=(11, 13, channels), dtype=np.uint8)
+    data = _png_encode(img, filters=[filt] * 11)
+    out = png_decode(data)
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+def test_png_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from data_linter_ray.functions.multimodal import png_decode
+
+    with _pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+
+
+def test_image_decoder_real_png_path(ray_session):
+    """PNG payloads go through the REAL pure-stdlib codec: a flat-gray
+    PNG must decode to exactly its gray level (a fake/hashed decoder
+    cannot produce this)."""
+    import numpy as np
+
+    from data_linter_ray.functions import multimodal as mm
+
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    png = _png_encode(img)
+    media = ray.data.from_items(
+        [{"media_ref": f"media://png/{i}", "kind": "image", "payload": png} for i in range(40)]
+    )
+    out = mm.decode_pipeline(media, concurrency=2, batch_size=16).to_pandas()
+    px = np.asarray(out["pixels"].iloc[0])
+    assert px.shape == (64,)
+    assert np.allclose(px, 128.0 / 255.0)
+    # strict mode: PNG decodes fine, non-PNG raises
+    dec = mm.ImageDecoder(strict=True)
+    ok = dec(pa.table({"payload": pa.array([png], pa.binary())}))
+    assert len(ok["pixels"]) == 1
+    with pytest.raises(NotImplementedError):
+        dec(pa.table({"payload": pa.array([b"JFIF-ish"], pa.binary())}))
+
+
+def test_decode_pipeline_fused_matches_two_stage(ray_session):
+    import numpy as np
+
+    from data_linter_ray.functions import multimodal as mm
+
+    media = mm.synth_media_dataset(200, payload_bytes=256)
+    fused = mm.decode_pipeline(media, concurrency=2, batch_size=64, fused=True).to_pandas()
+    two = mm.decode_pipeline(media, concurrency=2, batch_size=64, fused=False).to_pandas()
+    fused = fused.sort_values("media_ref").reset_index(drop=True)
+    two = two.sort_values("media_ref").reset_index(drop=True)
+    assert list(fused.columns) == list(two.columns)
+    for i in (0, 99, 199):
+        assert np.allclose(
+            np.asarray(fused["features"].iloc[i]), np.asarray(two["features"].iloc[i])
+        )
+
+
 # ---------------- parquet schema conformance ----------------------------
 
 BASE = TableSchema(

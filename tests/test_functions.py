@@ -220,6 +220,57 @@ def test_ivf_near_duplicates_recall(ray_session, sf_dir):
         assert len(ivf_pairs) / len(exact_pairs) >= 0.5  # 2-probe recall
 
 
+def test_near_dup_truncated_flag(ray_session):
+    """Oversized IVF clusters / LSH buckets must NOT cap silently: every
+    emitted pair carries the ``truncated`` flag (True when its bucket
+    was size-capped), mirroring the minhash contract."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(8).astype(np.float64)
+    # 60 near-identical vectors → one hot cluster / one hot LSH bucket
+    rows = [
+        {"vec_id": i, "embedding": (base + rng.randn(8) * 0.01).tolist()}
+        for i in range(60)
+    ]
+    ds = rd.from_items(rows)
+    ivf = similarity.ivf_near_duplicates(
+        ds, threshold=0.9, n_clusters=2, max_bucket=16
+    ).to_pandas()
+    assert "truncated" in ivf.columns
+    assert len(ivf) > 0 and ivf["truncated"].all()
+    lsh = similarity.rp_lsh_near_duplicates(
+        ds, threshold=0.9, max_bucket=16
+    ).to_pandas()
+    assert "truncated" in lsh.columns
+    assert len(lsh) > 0 and lsh["truncated"].all()
+    # an un-capped run reports truncated=False everywhere
+    ok = similarity.ivf_near_duplicates(
+        ds, threshold=0.9, n_clusters=2, max_bucket=4096
+    ).to_pandas()
+    assert not ok["truncated"].any()
+    assert len(ok) >= len(ivf)
+
+
+def test_ivf_n_probe_knob(ray_session, sf_dir):
+    """n_probe=1 must be a subset of n_probe=3 (more probes → more
+    boundary candidates), and both subsets of exact."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    exact = similarity.embedding_near_duplicates(ds, threshold=0.4).to_pandas()
+    p1 = similarity.ivf_near_duplicates(
+        ds, threshold=0.4, n_clusters=8, n_probe=1
+    ).to_pandas()
+    p3 = similarity.ivf_near_duplicates(
+        ds, threshold=0.4, n_clusters=8, n_probe=3
+    ).to_pandas()
+    s1 = set(zip(p1["id_a"], p1["id_b"]))
+    s3 = set(zip(p3["id_a"], p3["id_b"]))
+    se = set(zip(exact["id_a"], exact["id_b"]))
+    assert s1 <= s3 <= se
+    with pytest.raises(ValueError):
+        similarity.ivf_near_duplicates(ds, n_clusters=8, n_probe=0)
+
+
 def test_embedding_near_dups_auto_routes_to_ivf(ray_session, sf_dir, monkeypatch):
     """Above BROADCAST_CORPUS_THRESHOLD, mode='auto' takes the IVF path —
     no driver-side corpus materialization, no O(n²) matmul. Exercised on

@@ -54,8 +54,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = {n for n in os.environ.get("CHECK_ONLY", "").split(",") if n}
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         got = normalize(to_pandas(fn(sf)))
         if name not in oracles:
             print(f"  {name}: rows={len(got)} (no oracle — rows-only)")
