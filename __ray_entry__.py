@@ -788,16 +788,17 @@ def q_drift(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: synthetic binary payloads → decode (actor
-    pool) → feature extraction; returns per-media feature checksums.
-    Rows-only (the codec is the documented deterministic stub)."""
+    """Multimodal pipeline over REAL image payloads: synthetic 16×16
+    grayscale PNGs → pure-stdlib PNG decode + feature extraction in one
+    fused actor pool; returns per-media feature checksums. Rows-only
+    (codec output is deterministic but not SQL-expressible)."""
     import numpy as np
     import pandas as pd
 
     from data_linter_ray.functions import multimodal as mm
 
     out = mm.decode_pipeline(
-        mm.synth_media_dataset(2000, payload_bytes=512), concurrency=2, num_cpus=0.5
+        mm.synth_media_dataset(2000, fmt="png"), concurrency=2, num_cpus=0.5
     ).to_pandas()
     out["feature_sum"] = out["features"].map(lambda v: float(np.asarray(v).sum()))
     return (

@@ -139,6 +139,36 @@ def png_decode(data: bytes) -> np.ndarray:
     return out.reshape(height, width, channels)
 
 
+def png_encode(img: np.ndarray) -> bytes:
+    """Encode uint8 ``[h, w]`` or ``[h, w, c]`` (c in 1/2/3/4) as a PNG
+    (stdlib only, filter 0 per scanline — the filter step is a plain
+    vectorized byte interleave). The decoder side-door for synthesizing
+    real PNG payloads in tests/benches and for small thumbnail sinks."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = img.reshape(h, w * c).astype(np.uint8)
+    raw = np.zeros((h, w * c + 1), dtype=np.uint8)
+    raw[:, 1:] = flat  # filter byte 0 per scanline
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _to_grayscale(img: np.ndarray) -> np.ndarray:
     """uint8 [h, w, c] → float32 [h, w] in [0, 1] (ITU-R 601 luma)."""
     c = img.shape[2]
@@ -300,21 +330,41 @@ class FrameSampler:
         )
 
 
-def synth_media_dataset(n: int, kind: str = "image", payload_bytes: int = 256) -> Dataset:
-    """Deterministic synthetic media table (binary payloads)."""
+def synth_media_dataset(
+    n: int, kind: str = "image", payload_bytes: int = 256, fmt: str = "raw"
+) -> Dataset:
+    """Deterministic synthetic media table (binary payloads).
+
+    ``fmt="raw"`` emits opaque hash-derived bytes (exercises the fake
+    decoder); ``fmt="png"`` emits REAL 16×16 grayscale PNGs (unique,
+    id-derived pixels) so the pipeline runs the real codec end-to-end.
+    """
+
     import ray.data
 
     def gen(batch: dict) -> pa.Table:
         ids = np.asarray(batch["id"], dtype=np.int64)
-        rng_bytes = [
-            hashlib.sha256(f"media-{kind}-{i}".encode()).digest() * (payload_bytes // 32 + 1)
-            for i in ids
-        ]
+        if fmt == "png":
+            payloads = []
+            for i in ids:
+                seed = hashlib.sha256(f"media-{kind}-{i}".encode()).digest()
+                px = np.frombuffer(
+                    (seed * 8)[: 16 * 16], dtype=np.uint8
+                ).reshape(16, 16)
+                payloads.append(png_encode(px))
+        else:
+            payloads = [
+                (
+                    hashlib.sha256(f"media-{kind}-{i}".encode()).digest()
+                    * (payload_bytes // 32 + 1)
+                )[:payload_bytes]
+                for i in ids
+            ]
         return pa.table(
             {
                 "media_ref": pa.array([f"media://cat/{i % 10_000:08d}" for i in ids]),
                 "kind": pa.array([kind] * len(ids)),
-                "payload": pa.array([b[:payload_bytes] for b in rng_bytes], pa.binary()),
+                "payload": pa.array(payloads, pa.binary()),
             }
         )
 

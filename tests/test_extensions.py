@@ -166,6 +166,36 @@ def test_image_decoder_real_png_path(ray_session):
         dec(pa.table({"payload": pa.array([b"JFIF-ish"], pa.binary())}))
 
 
+def test_synth_png_media_runs_real_codec(ray_session):
+    """fmt='png' payloads are real PNGs; the pipeline decodes them with
+    the pure-stdlib codec and the pixels equal the known id-derived
+    image (resized), not a hash-fake."""
+    import hashlib
+
+    import numpy as np
+
+    from data_linter_ray.functions import multimodal as mm
+
+    out = (
+        mm.decode_pipeline(
+            mm.synth_media_dataset(30, fmt="png"), concurrency=2, batch_size=10
+        )
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 30
+    # reconstruct media id 0's expected decoded+resized pixels
+    seed = hashlib.sha256(b"media-image-0").digest()
+    px = np.frombuffer((seed * 8)[: 16 * 16], dtype=np.uint8).reshape(16, 16)
+    expected = mm._resize_nearest(px.astype(np.float32)[:, :] / 255.0, (8, 8)).ravel()
+    got = np.asarray(out["pixels"].iloc[0])
+    assert np.allclose(got, expected)
+    # prod encoder ↔ decoder roundtrip
+    rgb = np.arange(10 * 7 * 3, dtype=np.uint8).reshape(10, 7, 3)
+    assert (mm.png_decode(mm.png_encode(rgb)) == rgb).all()
+
+
 def test_decode_pipeline_fused_matches_two_stage(ray_session):
     import numpy as np
 
