@@ -376,6 +376,37 @@ def q_minhash_dedup(sf_dir: str):
     )
 
 
+def q_dedup_groups(sf_dir: str):
+    """Near-dup GROUP assignment — the dedup completion step: minhash
+    LSH candidates → exact Jaccard verify → connected components over
+    the verified pairs (hash-min label propagation / union-find).
+    Returns (doc_id, component_id = min id in the component); survivors
+    are the rows with doc_id == component_id."""
+    from data_linter_ray.functions import dedup as D
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 10_000),
+                "text": pc.binary_join_element_wise(
+                    t["text"], pa.array(["zzz"] * t.num_rows), " "
+                ),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
+    cand = D.minhash_lsh_candidates(corpus, dedupe=False)
+    verified = D.verify_candidates_jaccard(corpus, cand, threshold=0.7)
+    return (
+        D.dedup_components(verified)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_windowed(sf_dir: str):
     """Tumbling-window aggregate (1-day windows per event_type): the
     streaming-window operator class expressed Ray-Data-first — derive
@@ -831,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_groups": q_dedup_groups,
         "jaccard_pairs": q_jaccard_pairs,
         "asof_purchases": q_asof_purchases,
         "range_events": q_range_events,
@@ -930,6 +962,37 @@ SELECT * FROM (
 ) WHERE n_violations > 0
 ORDER BY "column", test
 """
+
+
+# shared CTE body: the doubled near-dup corpus → distinct trigram sets →
+# shared-gram candidate pairs → exact trigram-Jaccard ≥ 0.7 (`verified`).
+# Used by the minhash_dedup and dedup_groups oracles — at this corpus
+# (doc vs doc+' zzz' ≈ 0.97 plus synthetic near-dup groups ≥ 0.8)
+# 16-band/64-perm LSH recall is 1.0, so the engine's LSH+verify output
+# equals this SQL-expressible set; pairs below threshold with no shared
+# trigram are impossible, and both-empty-gram docs carry no shingles on
+# either side.
+_MINHASH_PAIRS_CTE = (
+    "doubled AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents), "
+    "toks AS (SELECT doc_id, list_filter("
+    r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '') AS tk "
+    "FROM doubled), "
+    "grams AS (SELECT doc_id, CASE WHEN len(tk) >= 3 "
+    "THEN list_distinct(list_transform(generate_series(1, len(tk)-2), "
+    "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) "
+    "ELSE [] END AS g3 FROM toks), "
+    "g AS (SELECT doc_id, unnest(g3) AS gr FROM grams), "
+    "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "verified AS (SELECT id_a, id_b FROM cand "
+    "JOIN grams ga ON ga.doc_id = cand.id_a "
+    "JOIN grams gb ON gb.doc_id = cand.id_b "
+    "WHERE len(list_intersect(ga.g3, gb.g3))::DOUBLE "
+    "/ (len(ga.g3) + len(gb.g3) - len(list_intersect(ga.g3, gb.g3))) "
+    ">= 0.7)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1043,25 +1106,22 @@ def oracle_sql() -> dict[str, str]:
         # no shingles and are excluded by LSH too), then the proven
         # jaccard_pairs list algebra verifies each.
         "minhash_dedup": (
-            "WITH doubled AS (SELECT doc_id, text FROM documents "
-            "UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents), "
-            "toks AS (SELECT doc_id, list_filter("
-            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '') AS tk "
-            "FROM doubled), "
-            "grams AS (SELECT doc_id, CASE WHEN len(tk) >= 3 "
-            "THEN list_distinct(list_transform(generate_series(1, len(tk)-2), "
-            "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) "
-            "ELSE [] END AS g3 FROM toks), "
-            "g AS (SELECT doc_id, unnest(g3) AS gr FROM grams), "
-            "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
-            "FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id "
-            "GROUP BY 1, 2) "
-            "SELECT id_a, id_b FROM cand "
-            "JOIN grams ga ON ga.doc_id = cand.id_a "
-            "JOIN grams gb ON gb.doc_id = cand.id_b "
-            "WHERE len(list_intersect(ga.g3, gb.g3))::DOUBLE "
-            "/ (len(ga.g3) + len(gb.g3) - len(list_intersect(ga.g3, gb.g3))) "
-            ">= 0.7 ORDER BY id_a, id_b"
+            f"WITH {_MINHASH_PAIRS_CTE} "
+            "SELECT id_a, id_b FROM verified ORDER BY id_a, id_b"
+        ),
+        # dedup_groups: connected components over the same verified pair
+        # set — min reachable id per node via a recursive closure (the
+        # pair graph at sf0.01 is small and shallow, so the closure is
+        # cheap for the oracle; the engine side uses union-find /
+        # hash-min label propagation).
+        "dedup_groups": (
+            f"WITH RECURSIVE {_MINHASH_PAIRS_CTE}, "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM verified "
+            "UNION SELECT id_b, id_a FROM verified), "
+            "reach(node, r) AS (SELECT a, a FROM edges "
+            "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b) "
+            "SELECT node AS doc_id, min(r) AS component_id "
+            "FROM reach GROUP BY node ORDER BY doc_id"
         ),
         "span_verdicts": _span_verdicts_sql(fixture["docs"], fixture["catalog"]),
         "span_equality": (

@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "quality_stats",
     "exact_dedup",
     "minhash_dedup",
+    "dedup_groups",
     "jaccard_pairs",
     "fingerprints_modp",
     "simhash_dedup",

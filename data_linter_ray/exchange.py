@@ -52,6 +52,25 @@ def exchange_width(*datasets, override: int | None = None, floor: int | None = N
     return max(lo, math.ceil(total / TARGET_PARTITION_BYTES))
 
 
+def join_width(*datasets, override: int | None = None) -> int:
+    """Partition count for Ray Data's HASH JOIN (``Dataset.join``).
+
+    Unlike the manual task-based exchanges, the hash join schedules one
+    aggregator ACTOR per partition — a width beyond the cluster's CPU
+    count deadlocks the streaming executor (the pool can never acquire
+    its actors). Width = data-derived :func:`exchange_width` capped at
+    the cluster CPU count."""
+    if override:
+        return int(override)
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(exchange_width(*datasets), cpus))
+
+
 def _estimated_bytes(ds) -> int:
     # materialized datasets know their exact in-memory size for free
     if type(ds).__name__ == "MaterializedDataset":

@@ -418,6 +418,140 @@ def simhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# connected components over near-dup pairs (dedup-group assignment)
+# ---------------------------------------------------------------------------
+
+#: at or below this many pairs, components are solved with a driver-side
+#: union-find over JUST the pair list (near-dup pairs are a tiny
+#: fraction of the corpus — collecting pairs is bounded; the corpus is
+#: never collected). Above it, the iterative hash-min label propagation
+#: runs fully distributed.
+DRIVER_UNION_FIND_THRESHOLD = 5_000_000
+
+
+def _union_find_components(a: np.ndarray, b: np.ndarray):
+    """Driver-side union-find with path halving → (nodes, component_id
+    = min id in component). Vector inputs, near-linear."""
+    if len(a) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for x, y in zip(ia, ib):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by min root keeps roots stable-ish; exact min label
+            # is finalized in the pass below
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(int(i)) for i in range(len(nodes))], dtype=np.int64)
+    # component id = min ORIGINAL id in the component
+    order = np.argsort(roots, kind="stable")
+    rs = roots[order]
+    starts = np.flatnonzero(np.concatenate([[True], rs[1:] != rs[:-1]]))
+    comp_min = np.minimum.reduceat(nodes[order], starts)
+    comp_of_root = dict(zip(rs[starts].tolist(), comp_min.tolist()))
+    return nodes, np.array([comp_of_root[r] for r in roots.tolist()], dtype=nodes.dtype)
+
+
+def dedup_components(
+    pairs: Dataset,
+    mode: str = "auto",
+    max_iters: int = 50,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Near-dup pairs → (doc_id, component_id) with component_id = min
+    doc id in the connected component. The standard dedup completion
+    step: pick ``doc_id == component_id`` rows as survivors.
+
+    ``mode="driver"``: union-find over the collected PAIR list (bounded
+    by the pair count — the corpus is never collected).
+    ``mode="distributed"``: iterative hash-min label propagation
+    (labels(v) ← min over v ∪ neighbors, a shuffle join per round;
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow). Fixpoint is detected with one cheap sum aggregate (labels
+    only ever decrease). ``mode="auto"`` picks by pair count vs
+    ``DRIVER_UNION_FIND_THRESHOLD``.
+    """
+    import ray.data as rd
+
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode: {mode}")
+    pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if mode == "auto":
+        mode = (
+            "driver"
+            if pairs.count() <= DRIVER_UNION_FIND_THRESHOLD
+            else "distributed"
+        )
+    if mode == "driver":
+        df = pairs.to_pandas()
+        nodes, comp = _union_find_components(
+            df["id_a"].to_numpy(), df["id_b"].to_numpy()
+        )
+        return rd.from_arrow(
+            pa.table({"doc_id": nodes, "component_id": comp})
+        )
+
+    from data_linter_ray.exchange import join_width
+
+    P = num_partitions or join_width(pairs)
+    # symmetric edge list (src, dst)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["id_b"].combine_chunks(), t["id_a"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"], "label": t["src"]})
+
+    from ray.data.aggregate import Min, Sum
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    for _ in range(max_iters):
+        # neighbor candidates: for each edge (src,dst), dst can adopt
+        # label(src)
+        cand = edges.join(
+            labels, "inner", P, on=("src",), right_on=("node",)
+        ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
+        labels = (
+            labels.union(cand)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:  # labels are non-increasing → fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.rename_columns({"node": "doc_id", "label": "component_id"})
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram jaccard verification
 # ---------------------------------------------------------------------------
 
@@ -554,7 +688,7 @@ def verify_candidates_jaccard(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     ngram: int = 3,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Exact n-gram Jaccard verification of candidate pairs, distributed.
 
@@ -642,6 +776,9 @@ def verify_candidates_jaccard(
 
     # scale path: two hash joins attach each side's set, then one
     # vectorized pass. (Ray's hash join drops the right-side key column.)
+    from data_linter_ray.exchange import join_width
+
+    num_partitions = num_partitions or join_width(candidates)
     j1 = candidates.join(
         sets, "inner", num_partitions, on=("id_a",), right_on=("did",)
     ).rename_columns({"sh": "sh_a"})

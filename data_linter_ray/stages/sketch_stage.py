@@ -144,8 +144,15 @@ def compute_sketches(
         SketchPartials(numeric_cols, key_cols, quantile_sketch=quantile_sketch),
         **kwargs,
     )
-    merged = partials.groupby(["column", "kind"]).map_groups(
-        _merge_group, batch_format="pandas"
+    # partials are KB-sized rows (one per batch × column): collapse to a
+    # single partition before the merge groupby so the sort never emits
+    # empty partitions (the executor logs an empty-schema warning per
+    # empty map_groups block and downgrades the dataset schema). At 100
+    # TB the partial count is n_batches × n_cols — still MB-scale.
+    merged = (
+        partials.repartition(1)
+        .groupby(["column", "kind"])
+        .map_groups(_merge_group, batch_format="pandas")
     )
     out: dict[str, dict] = {}
     cls_by_kind = {"tdigest": TDigest, "kll": KLL, "hll": HyperLogLog}

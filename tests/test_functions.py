@@ -220,6 +220,39 @@ def test_ivf_near_duplicates_recall(ray_session, sf_dir):
         assert len(ivf_pairs) / len(exact_pairs) >= 0.5  # 2-probe recall
 
 
+def test_dedup_components_driver_vs_distributed(ray_session):
+    """Both component paths agree: component_id = min id in the
+    connected component, nodes = ids appearing in ≥1 pair."""
+    import ray.data as rd
+
+    pairs = rd.from_items(
+        [
+            {"id_a": 1, "id_b": 2},
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 10, "id_b": 11},
+            {"id_a": 20, "id_b": 21},
+            {"id_a": 21, "id_b": 22},
+            {"id_a": 22, "id_b": 23},
+            {"id_a": 1, "id_b": 2},  # duplicate pair must be harmless
+        ]
+    )
+    exp = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+    for mode in ("driver", "distributed"):
+        got = dedup.dedup_components(pairs, mode=mode).to_pandas()
+        assert dict(zip(got["doc_id"], got["component_id"])) == exp, mode
+
+
+def test_dedup_components_chain_converges(ray_session):
+    """A diameter-9 chain needs several hash-min rounds — exercises the
+    iterative fixpoint (labels stop decreasing), not just one join."""
+    import ray.data as rd
+
+    pairs = rd.from_items([{"id_a": i, "id_b": i + 1} for i in range(9)])
+    got = dedup.dedup_components(pairs, mode="distributed").to_pandas()
+    assert set(got["component_id"]) == {0}
+    assert len(got) == 10
+
+
 def test_near_dup_truncated_flag(ray_session):
     """Oversized IVF clusters / LSH buckets must NOT cap silently: every
     emitted pair carries the ``truncated`` flag (True when its bucket
