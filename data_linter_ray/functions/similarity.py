@@ -18,6 +18,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 import ray
@@ -282,6 +283,110 @@ def ivf_near_duplicates(
     return _dedupe_pairs(pairs, agg={"truncated": "max"})
 
 
+#: at or below this many distinct candidate doc ids, their embeddings
+#: are collected into one broadcast lookup (d≈32 float64 → ~256 B/row)
+#: for cosine verification; above it, two hash joins attach each side's
+#: embedding — no driver materialization either way.
+BROADCAST_EMB_THRESHOLD = 200_000
+
+
+def verify_candidates_cosine(
+    ds: Dataset,
+    candidates: Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exact cosine verification of candidate (id_a, id_b) pairs.
+
+    Mirrors dedup's ``verify_candidates_jaccard`` shape: only the
+    candidate ID LIST is ever collected (bounded by the candidate
+    count); small candidate sets use a broadcast (id → embedding)
+    lookup, large ones two hash joins sized by ``join_width``. Extra
+    candidate columns (e.g. ``truncated``) pass through unchanged."""
+    from data_linter_ray.exchange import join_width
+
+    candidates = candidates.materialize()
+    extra = [c for c in candidates.schema().names if c not in ("id_a", "id_b")]
+    ids_df = candidates.select_columns(["id_a", "id_b"]).to_pandas()
+    needed = np.union1d(ids_df["id_a"].to_numpy(), ids_df["id_b"].to_numpy())
+    if len(needed) == 0:
+        return candidates
+
+    if len(needed) <= BROADCAST_EMB_THRESHOLD:
+        needed_arr = pa.array(needed)
+        sub = (
+            ds.select_columns([id_col, emb_col])
+            .map_batches(
+                lambda t: t.filter(pc.is_in(t[id_col], value_set=needed_arr)),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        # keep-first on duplicate ids, matching the join path's behavior
+        sub = sub.drop_duplicates(id_col, keep="first")
+        lut_ids = sub[id_col].to_numpy()
+        M = _normalize(np.stack(sub[emb_col].to_numpy()).astype(np.float64))
+        ref = ray.put((lut_ids, M))
+
+        def verify(t: pa.Table) -> pa.Table:
+            li, lm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            index = pd.Index(li)
+            ia = index.get_indexer(t["id_a"].to_numpy(zero_copy_only=False))
+            ib = index.get_indexer(t["id_b"].to_numpy(zero_copy_only=False))
+            keep = (ia >= 0) & (ib >= 0)
+            sims = np.full(t.num_rows, -1.0)
+            sims[keep] = np.einsum("ij,ij->i", lm[ia[keep]], lm[ib[keep]])
+            return t.filter(pa.array(sims >= threshold))
+
+        return candidates.map_batches(verify, batch_format="pyarrow")
+
+    P = num_partitions or join_width(candidates)
+
+    # Acero hash joins reject list-typed payload columns (same
+    # constraint dedup's shingle sets hit) — ship each NORMALIZED
+    # embedding as its raw float64 bytes (large_binary round-trips
+    # zero-copy via np.frombuffer)
+    def encode(t: pa.Table) -> pa.Table:
+        M = _normalize(_stack(t[emb_col]))
+        n, d = M.shape
+        offs = (np.arange(n + 1, dtype=np.int64) * d * 8).tobytes()
+        bin_arr = pa.Array.from_buffers(
+            pa.large_binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(M.tobytes())]
+        )
+        return pa.table({id_col: t[id_col], "_embbin": bin_arr})
+
+    emb = ds.select_columns([id_col, emb_col]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+    j1 = candidates.join(
+        emb, "inner", P, on=("id_a",), right_on=(id_col,)
+    ).rename_columns({"_embbin": "_emb_a"})
+    j2 = j1.join(
+        emb, "inner", P, on=("id_b",), right_on=(id_col,)
+    ).rename_columns({"_embbin": "_emb_b"})
+
+    def _decode(col: pa.ChunkedArray) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        flat = np.frombuffer(arr.buffers()[2] or b"", dtype=np.float64)
+        d = (offs[1] - offs[0]) // 8 if len(arr) else 1
+        return flat[offs[0] // 8 : offs[-1] // 8].reshape(len(arr), int(d))
+
+    def verify_joined(t: pa.Table) -> pa.Table:
+        A = _decode(t["_emb_a"])
+        B = _decode(t["_emb_b"])
+        sims = np.einsum("ij,ij->i", A, B)
+        out = t.drop_columns(["_emb_a", "_emb_b"])
+        return out.filter(pa.array(sims >= threshold))
+
+    verified = j2.map_batches(verify_joined, batch_format="pyarrow")
+    return verified.select_columns(["id_a", "id_b"] + extra)
+
+
 def rp_lsh_near_duplicates(
     ds: Dataset,
     threshold: float = 0.95,
@@ -296,17 +401,22 @@ def rp_lsh_near_duplicates(
     estimation techniques from rounding algorithms", STOC 2002): sign of
     ``n_planes`` seeded Gaussian projections → ``n_bands`` bucket keys
     per vector (banded, so any pair whose signatures agree on one band
-    collides) → exact cosine verification within each bucket.
+    collides) → candidate pairs → exact cosine verification.
 
-    Unlike the broadcast path there is no corpus-sized object and no
-    O(n²) matmul; unlike IVF there is no k-means training pass — buckets
-    come from data-independent projections, so the same planes partition
-    every batch identically. Candidates only (recall < 1 near the
-    hyperplanes, like any LSH); verified pairs are exact cosine ≥
-    threshold, no false positives. Pairs from a size-capped bucket carry
-    ``truncated=True`` (no silent coverage caps).
+    Scale shape (candidates-then-verify, the minhash split): the band
+    shuffle carries ONLY (band, key, id) — embeddings never ride the
+    exchange — and buckets are coarse-partitioned via the shared
+    ``_bucketed_pairs`` machinery (never one Ray group per bucket).
+    Verification re-attaches embeddings through a bounded broadcast or
+    two hash joins (:func:`verify_candidates_cosine`). No k-means
+    training pass (buckets come from data-independent projections).
+    Candidates only (recall < 1 near the hyperplanes, like any LSH);
+    verified pairs are exact cosine ≥ threshold, no false positives.
+    Pairs from a size-capped bucket carry ``truncated=True`` (no silent
+    coverage caps).
     """
-    from data_linter_ray.functions.dedup import _dedupe_pairs
+    from data_linter_ray.functions.dedup import _bucketed_pairs, _dedupe_pairs
+
     if n_planes % n_bands:
         raise ValueError("n_planes must divide into n_bands bands")
     r = n_planes // n_bands
@@ -317,21 +427,17 @@ def rp_lsh_near_duplicates(
         bits = (M @ planes) > 0  # [n, n_planes]
         ids = t[id_col].to_numpy(zero_copy_only=False)
         keys, bands, out_ids = [], [], []
-        emb = t[emb_col].combine_chunks()
-        embs = []
         for b in range(n_bands):
             chunk = bits[:, b * r : (b + 1) * r]
             key = (chunk * (1 << np.arange(r))).sum(axis=1).astype(np.int64)
             keys.append(key)
             bands.append(np.full(len(ids), b, dtype=np.int32))
             out_ids.append(ids)
-            embs.append(emb)
         return pa.table(
             {
                 "band": np.concatenate(bands),
                 "key": np.concatenate(keys),
                 "id": np.concatenate(out_ids),
-                emb_col: pa.concat_arrays([e.combine_chunks() if isinstance(e, pa.ChunkedArray) else e for e in embs]),
             }
         )
 
@@ -339,12 +445,27 @@ def rp_lsh_near_duplicates(
         emit, batch_format="pyarrow"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _capped_bucket_pairs(g, "id", emb_col, threshold, max_bucket)
+    def pair_fn(sub: pd.DataFrame, truncated: bool) -> pd.DataFrame:
+        if truncated:
+            logger.warning(
+                "rp-lsh bucket truncated at %d rows (max_bucket)", max_bucket
+            )
+        ids = sub["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "truncated": pd.Series([], dtype=bool),
+                }
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "truncated": truncated}
+        )
 
-    pairs = buckets.groupby(["band", "key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    cand = _bucketed_pairs(buckets, ["band", "key"], max_bucket, pair_fn)
+    deduped = _dedupe_pairs(cand, agg={"truncated": "max"})
+    return verify_candidates_cosine(
+        ds, deduped, threshold=threshold, id_col=id_col, emb_col=emb_col
     )
-    # the same pair can surface from several bands — two-level
-    # pair-hash exchange (never one Ray group per pair)
-    return _dedupe_pairs(pairs, agg={"truncated": "max"})

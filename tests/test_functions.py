@@ -285,6 +285,19 @@ def test_near_dup_truncated_flag(ray_session):
     assert len(ok) >= len(ivf)
 
 
+def test_verify_candidates_cosine_join_path_parity(ray_session, sf_dir, monkeypatch):
+    """Above BROADCAST_EMB_THRESHOLD the verifier switches to two hash
+    joins — same verified pair set as the broadcast path."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    broad = similarity.rp_lsh_near_duplicates(ds, threshold=0.4).to_pandas()
+    monkeypatch.setattr(similarity, "BROADCAST_EMB_THRESHOLD", 0)
+    joined = similarity.rp_lsh_near_duplicates(ds, threshold=0.4).to_pandas()
+    assert set(zip(broad["id_a"], broad["id_b"])) == set(
+        zip(joined["id_a"], joined["id_b"])
+    )
+    assert len(broad) > 0
+
+
 def test_ivf_n_probe_knob(ray_session, sf_dir):
     """n_probe=1 must be a subset of n_probe=3 (more probes → more
     boundary candidates), and both subsets of exact."""
