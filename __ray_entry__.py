@@ -839,6 +839,36 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_audio_features(sf_dir: str):
+    """Audio pipeline over REAL WAV payloads: synthetic PCM16 tones →
+    pure-stdlib RIFF/PCM decode + RMS/ZCR feature extraction in one
+    actor pool; returns per-media feature checksums. Rows-only (codec
+    output is deterministic but not SQL-expressible)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_linter_ray.functions import multimodal as mm
+
+    out = (
+        mm.synth_media_dataset(2000, kind="audio", fmt="wav")
+        .map_batches(
+            mm.AudioDecoder,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+            num_cpus=0.5,
+            max_restarts=0,
+        )
+        .to_pandas()
+    )
+    out["feature_sum"] = out["features"].map(lambda v: float(np.asarray(v).sum()))
+    return (
+        out[["media_ref", "kind", "feature_sum"]]
+        .sort_values(["media_ref", "feature_sum"])
+        .reset_index(drop=True)
+    )
+
+
 def q_events_summary(sf_dir: str):
     """Grouped log-style aggregate (reference A5 analog): per event_type
     count + min/max value (order-independent aggregates only)."""
@@ -877,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_summary": q_events_summary,
         "drift": q_drift,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,

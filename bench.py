@@ -123,6 +123,7 @@ QUERY_NAMES = [
     "star_ref_check",
     "drift",
     "media_features",
+    "audio_features",
 ]
 
 

@@ -169,6 +169,133 @@ def png_encode(img: np.ndarray) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# pure-stdlib WAV/PCM codec (real, in-container)
+# ---------------------------------------------------------------------------
+
+WAV_MAGIC = b"RIFF"
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV (stdlib ``struct`` only) → (float32 samples in
+    [-1, 1] shaped ``[n, channels]``, sample_rate). Supports 8-bit
+    unsigned and 16/32-bit signed PCM. Raises ``ValueError`` on non-WAV
+    or compressed formats."""
+    if data[:4] != WAV_MAGIC or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if ctype == b"fmt ":
+            audio_format, channels, rate, _bps, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format != 1:
+                raise ValueError(f"unsupported WAV format code: {audio_format}")
+            if bits not in (8, 16, 32):
+                raise ValueError(f"unsupported WAV bit depth: {bits}")
+            fmt = (channels, rate, bits)
+        elif ctype == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    channels, rate, bits = fmt
+    if bits == 8:  # unsigned, symmetric ±127 around the 128 midpoint
+        x = np.frombuffer(pcm, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 127.0
+    elif bits == 16:
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+    else:
+        x = np.frombuffer(pcm, dtype="<i4").astype(np.float32) / 2147483648.0
+    n = len(x) // channels
+    return x[: n * channels].reshape(n, channels), rate
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16_000, bits: int = 16) -> bytes:
+    """Encode float samples in [-1, 1] (``[n]`` or ``[n, ch]``) as a PCM
+    WAV (stdlib only). The synth/test counterpart of :func:`wav_decode`."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    clipped = np.clip(samples, -1.0, 1.0)
+    if bits == 8:
+        pcm = (np.round(clipped * 127.0) + 128.0).astype(np.uint8).tobytes()
+    elif bits == 16:
+        pcm = np.round(clipped * 32767.0).astype("<i2").tobytes()
+    elif bits == 32:
+        pcm = np.round(clipped * 2147483647.0).astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth: {bits}")
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_FEATURE_DIM = 32
+
+
+def audio_features(samples: np.ndarray, dim: int = AUDIO_FEATURE_DIM) -> np.ndarray:
+    """Mono-mixed RMS-envelope (dim/2 bins) + zero-crossing-rate
+    (dim/2 bins) feature vector — a deterministic, fully vectorized
+    stand-in for model inference over decoded audio."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    half = dim // 2
+    n = len(mono)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    # pad to a multiple of half and fold into [half, win] frames
+    win = -(-n // half)
+    padded = np.zeros(half * win, dtype=np.float32)
+    padded[:n] = mono
+    frames = padded.reshape(half, win)
+    rms = np.sqrt((frames**2).mean(axis=1))
+    zc = (np.abs(np.diff(np.signbit(frames), axis=1).astype(np.float32))).mean(axis=1)
+    return np.concatenate([rms, zc]).astype(np.float32)
+
+
+class AudioDecoder:
+    """Actor-pool stage: WAV payload → feature vector column
+    (``audio_features``). Per-payload dispatch mirrors ``ImageDecoder``:
+    RIFF/WAV payloads are REALLY decoded; non-WAV falls back to the
+    deterministic fake (or raises in strict mode)."""
+
+    def __init__(self, payload_col: str = "payload", strict: bool = False, dim: int = AUDIO_FEATURE_DIM):
+        self.payload_col = payload_col
+        self.strict = strict
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for p in batch[self.payload_col].to_pylist():
+            if p[:4] == WAV_MAGIC:
+                samples, _rate = wav_decode(p)
+                feats.append(audio_features(samples, self.dim))
+            elif self.strict:
+                raise NotImplementedError(
+                    "payload is not a WAV and strict=True: no audio codec "
+                    "for this format in-container"
+                )
+            else:
+                feats.append(_fake_decode(p, self.dim))
+        flat = (
+            np.concatenate(feats).astype(np.float32, copy=False)
+            if feats
+            else np.empty(0, np.float32)
+        )
+        col = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), self.dim)
+        return batch.append_column("features", col)
+
+
 def _to_grayscale(img: np.ndarray) -> np.ndarray:
     """uint8 [h, w, c] → float32 [h, w] in [0, 1] (ITU-R 601 luma)."""
     c = img.shape[2]
@@ -337,14 +464,25 @@ def synth_media_dataset(
 
     ``fmt="raw"`` emits opaque hash-derived bytes (exercises the fake
     decoder); ``fmt="png"`` emits REAL 16×16 grayscale PNGs (unique,
-    id-derived pixels) so the pipeline runs the real codec end-to-end.
+    id-derived pixels); ``fmt="wav"`` emits REAL 0.1-second PCM16 WAVs
+    (id-derived tone) — both real formats run the pure-stdlib codecs
+    end-to-end.
     """
 
     import ray.data
 
     def gen(batch: dict) -> pa.Table:
         ids = np.asarray(batch["id"], dtype=np.int64)
-        if fmt == "png":
+        if fmt == "wav":
+            t = np.arange(1600, dtype=np.float32) / 16_000.0
+            payloads = [
+                wav_encode(
+                    0.5 * np.sin(2 * np.pi * (200.0 + (i % 97) * 20.0) * t),
+                    sample_rate=16_000,
+                )
+                for i in ids
+            ]
+        elif fmt == "png":
             payloads = []
             for i in ids:
                 seed = hashlib.sha256(f"media-{kind}-{i}".encode()).digest()
