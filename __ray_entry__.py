@@ -869,6 +869,16 @@ def q_audio_features(sf_dir: str):
     )
 
 
+def q_top_users(sf_dir: str):
+    """Exact distributed top-k frequent values (heavy hitters done
+    exactly): per-batch combiner → value-hash partitioned sum →
+    per-partition top-k → driver merge of P×k rows."""
+    from data_linter_ray.functions.profile import top_values
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return top_values(ds, "user_id", k=10)
+
+
 def q_events_summary(sf_dir: str):
     """Grouped log-style aggregate (reference A5 analog): per event_type
     count + min/max value (order-independent aggregates only)."""
@@ -908,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift": q_drift,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
+        "top_users": q_top_users,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
@@ -1200,6 +1211,11 @@ def oracle_sql() -> dict[str, str]:
         "events_summary": (
             "SELECT event_type, count(*) AS n, min(value) AS min_value, "
             "max(value) AS max_value FROM events GROUP BY event_type"
+        ),
+        "top_users": (
+            "SELECT user_id AS value, count(*) AS n FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY user_id "
+            "ORDER BY n DESC, value LIMIT 10"
         ),
         "lineitem_verdict": (
             "WITH nr AS (SELECT count(*) AS n_rows FROM lineitem), "

@@ -89,6 +89,54 @@ def _profile_batch(t: pa.Table, columns: list[str], hll_p: int) -> pa.Table:
     )
 
 
+def top_values(
+    ds: Dataset, column: str, k: int = 10, num_partitions: int | None = None
+) -> "pa.Table":
+    """Exact top-k most frequent values of one column → arrow table
+    (value, n) ordered by n desc, value asc (deterministic ties).
+
+    Scale shape: per-batch local value counts (the combiner — only
+    distinct values per batch enter the shuffle) → hash-partitioned
+    groupby sum → per-partition top-k → driver merges P×k rows. The
+    full value domain never lands on the driver; k×P is the only
+    driver-side materialization."""
+    import pandas as pd
+
+    from data_linter_ray.exchange import exchange_width
+
+    P = num_partitions or exchange_width(ds)
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        vc = t[column].drop_null().value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        vals = vc.field("values")
+        counts = vc.field("counts").cast(pa.int64())
+        import numpy as np
+
+        h = hash_array(vals) % np.uint64(P)
+        return pa.table(
+            {"value": vals, "n": counts, "_part": h.astype(np.int64)}
+        )
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("value", as_index=False)["n"].sum()
+        agg = agg.sort_values(["n", "value"], ascending=[False, True]).head(k)
+        return agg[["value", "n"]]
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(local_counts, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+        .groupby("_part")
+        .map_groups(part_topk, batch_format="pandas")
+    )
+    top = parts.to_pandas()
+    top = top.sort_values(["n", "value"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
 def profile_dataset(
     ds: Dataset, columns: list[str] | None = None, hll_p: int = 12
 ) -> pa.Table:

@@ -220,6 +220,30 @@ def test_ivf_near_duplicates_recall(ray_session, sf_dir):
         assert len(ivf_pairs) / len(exact_pairs) >= 0.5  # 2-probe recall
 
 
+def test_top_values_exact(ray_session):
+    """Exact top-k heavy hitters: matches a pandas value_counts oracle,
+    including count-tie break by value asc, at two exchange widths."""
+    import pandas as pd
+    import ray.data as rd
+
+    from data_linter_ray.functions.profile import top_values
+
+    rng = np.random.RandomState(5)
+    vals = rng.zipf(1.5, 5000) % 97  # skewed, with ties
+    df = pd.DataFrame({"v": vals.astype("int64")})
+    exp = (
+        df["v"].value_counts().rename_axis("value").reset_index(name="n")
+        .sort_values(["n", "value"], ascending=[False, True])
+        .head(7)
+        .reset_index(drop=True)
+    )
+    for width in (2, 16):
+        got = top_values(
+            rd.from_pandas(df).repartition(8), "v", k=7, num_partitions=width
+        ).to_pandas()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_dedup_components_driver_vs_distributed(ray_session):
     """Both component paths agree: component_id = min id in the
     connected component, nodes = ids appearing in ≥1 pair."""
