@@ -869,6 +869,18 @@ def q_audio_features(sf_dir: str):
     )
 
 
+def q_events_per_user_cap(sf_dir: str):
+    """Per-key sampling cap (training-data balancing): keep each user's
+    3 earliest events by event_id — exact two-level top-n (local
+    combiner → key-hash exchange → final per-key head)."""
+    from data_linter_ray.functions.sampling import sample_per_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    return sample_per_key(ds, key_col="user_id", n=3, order_col="event_id")
+
+
 def q_top_users(sf_dir: str):
     """Exact distributed top-k frequent values (heavy hitters done
     exactly): per-batch combiner → value-hash partitioned sum →
@@ -919,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "audio_features": q_audio_features,
         "top_users": q_top_users,
+        "events_per_user_cap": q_events_per_user_cap,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
@@ -1216,6 +1229,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id AS value, count(*) AS n FROM events "
             "WHERE user_id IS NOT NULL GROUP BY user_id "
             "ORDER BY n DESC, value LIMIT 10"
+        ),
+        "events_per_user_cap": (
+            "SELECT event_id, user_id FROM ("
+            "SELECT event_id, user_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS rn "
+            "FROM events WHERE user_id IS NOT NULL) WHERE rn <= 3"
         ),
         "lineitem_verdict": (
             "WITH nr AS (SELECT count(*) AS n_rows FROM lineitem), "

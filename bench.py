@@ -130,6 +130,9 @@ QUERY_NAMES = [
     "drift",
     "media_features",
     "audio_features",
+    "top_users",
+    "dedup_groups",
+    "events_per_user_cap",
 ]
 
 

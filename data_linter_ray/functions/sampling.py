@@ -1,0 +1,94 @@
+"""Deterministic sampling operators for training-data curation.
+
+``sample_per_key`` caps rows per key (e.g. ≤ N documents per domain /
+language / user) with exact, order-deterministic semantics: the kept
+rows are the n smallest ``order_col`` values within each key — the
+same rows every run, every partitioning, every cluster size. The scale
+shape is the two-level pattern used across this engine: a per-batch
+combiner (local top-n per key, so at most n rows per key per batch
+enter the shuffle) → key-hash partitioned exchange → final top-n per
+key inside each partition. The full table never lands on one worker;
+no driver materialization.
+
+``deterministic_fraction`` keeps a stable pseudo-random fraction of
+rows keyed on an integer column (``id % den < num``) — trivially
+reproducible across engines (and SQL-expressible, unlike seeded RNG
+sampling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from data_linter_ray.exchange import exchange_width
+
+
+def sample_per_key(
+    ds: Dataset,
+    key_col: str,
+    n: int,
+    order_col: str,
+    columns: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Keep the ``n`` rows with smallest ``order_col`` per ``key_col``.
+
+    Exact and deterministic (ties broken by ``order_col`` itself must be
+    unique per key for full determinism — document ids are). Null keys
+    are dropped (a null key is not a stratum). Two-level: local
+    per-batch top-n combiner, then one key-hash exchange with a final
+    per-key top-n."""
+    cols = sorted(set([key_col, order_col] + (columns or [])))
+    P = num_partitions or exchange_width(ds)
+
+    def local_topn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        df = t.select(cols).to_pandas()
+        df = df.sort_values([key_col, order_col], kind="stable").groupby(
+            key_col, sort=False
+        ).head(n)
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy(np.uint64)
+        df["_part"] = (h % P).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable").groupby(
+            key_col, sort=False
+        ).head(n)
+        return g[cols]
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(local_topn, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+        .groupby("_part")
+        .map_groups(final_topn, batch_format="pandas")
+    )
+
+
+def deterministic_fraction(
+    ds: Dataset, id_col: str, num: int, den: int, columns: list[str] | None = None
+) -> Dataset:
+    """Keep rows where ``id % den < num`` — a stable num/den fraction,
+    reproducible across runs, partitionings, and engines (unlike seeded
+    RNG sampling, which depends on batch boundaries)."""
+    cols = sorted(set([id_col] + (columns or []))) if columns else None
+    out = ds if cols is None else ds.select_columns(cols)
+    return out.map_batches(
+        lambda t: t.filter(
+            pc.less(pc.cast(pc.bit_wise_and(t[id_col], den - 1), pa.int64()), num)
+            if (den & (den - 1)) == 0
+            else pc.less(
+                pc.subtract(
+                    t[id_col], pc.multiply(pc.divide(t[id_col], den), den)
+                ),
+                num,
+            )
+        ),
+        batch_format="pyarrow",
+    )

@@ -220,6 +220,58 @@ def test_ivf_near_duplicates_recall(ray_session, sf_dir):
         assert len(ivf_pairs) / len(exact_pairs) >= 0.5  # 2-probe recall
 
 
+def test_sample_per_key_exact(ray_session):
+    """Per-key cap: kept rows are exactly the n smallest order values
+    per key (pandas oracle), null keys dropped, stable across widths."""
+    import pandas as pd
+    import ray.data as rd
+
+    from data_linter_ray.functions.sampling import sample_per_key
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 40, 2000).astype("float64"),
+            "oid": np.arange(2000, dtype="int64"),
+        }
+    )
+    df.loc[df.index % 17 == 0, "k"] = np.nan
+    exp = (
+        df.dropna(subset=["k"])
+        .sort_values(["k", "oid"])
+        .groupby("k", sort=False)
+        .head(5)
+        .sort_values("oid")
+        .reset_index(drop=True)[["k", "oid"]]
+    )
+    for width in (2, 16):
+        got = (
+            sample_per_key(
+                rd.from_pandas(df).repartition(6), "k", 5, "oid",
+                num_partitions=width,
+            )
+            .to_pandas()
+            .sort_values("oid")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "oid"]], exp, check_dtype=False)
+
+
+def test_deterministic_fraction(ray_session):
+    import ray.data as rd
+
+    from data_linter_ray.functions.sampling import deterministic_fraction
+
+    ds = rd.range(1000).map_batches(
+        lambda t: pa.table({"id": t["id"]}), batch_format="pyarrow"
+    )
+    # power-of-two and general denominators
+    got8 = deterministic_fraction(ds, "id", 3, 8).to_pandas()
+    assert len(got8) == 375 and (got8["id"] % 8 < 3).all()
+    got10 = deterministic_fraction(ds, "id", 3, 10).to_pandas()
+    assert len(got10) == 300 and (got10["id"] % 10 < 3).all()
+
+
 def test_top_values_exact(ray_session):
     """Exact top-k heavy hitters: matches a pandas value_counts oracle,
     including count-tie break by value asc, at two exchange widths."""
