@@ -829,7 +829,10 @@ def q_media_features(sf_dir: str):
     from data_linter_ray.functions import multimodal as mm
 
     out = mm.decode_pipeline(
-        mm.synth_media_dataset(2000, fmt="png"), concurrency=2, num_cpus=0.5
+        mm.synth_media_dataset(2000, fmt="png"),
+        concurrency=4,
+        num_cpus=0.5,
+        batch_size=256,
     ).to_pandas()
     out["feature_sum"] = out["features"].map(lambda v: float(np.asarray(v).sum()))
     return (
@@ -854,8 +857,8 @@ def q_audio_features(sf_dir: str):
         .map_batches(
             mm.AudioDecoder,
             batch_format="pyarrow",
-            batch_size=1024,
-            concurrency=2,
+            batch_size=256,
+            concurrency=4,
             num_cpus=0.5,
             max_restarts=0,
         )
