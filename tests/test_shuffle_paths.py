@@ -269,3 +269,17 @@ def test_exchange_width_derives_from_input_bytes(tmp_path, ray_session):
         assert exchange.exchange_width(ds, override=7) == 7
     finally:
         exchange.TARGET_PARTITION_BYTES = old
+
+
+def test_join_width_caps_at_cluster_cpus(ray_session):
+    """Hash-join width = exchange width capped at cluster CPUs (one
+    aggregator ACTOR per partition — beyond the CPU count the pool can
+    never schedule and the executor deadlocks); explicit override wins."""
+    from data_linter_ray import exchange
+
+    ds = ray.data.range(100).materialize()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    w = exchange.join_width(ds)
+    assert 2 <= w <= cpus
+    assert w <= exchange.exchange_width(ds)
+    assert exchange.join_width(ds, override=3) == 3
