@@ -407,6 +407,37 @@ def q_dedup_groups(sf_dir: str):
     )
 
 
+def q_deduped_documents(sf_dir: str):
+    """The full dedup story end-to-end: LSH candidates → exact Jaccard
+    verify → connected components → keep only group survivors (min id)
+    plus all unpaired docs. Returns surviving doc_ids."""
+    from data_linter_ray.functions import dedup as D
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 10_000),
+                "text": pc.binary_join_element_wise(
+                    t["text"], pa.array(["zzz"] * t.num_rows), " "
+                ),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
+    cand = D.minhash_lsh_candidates(corpus, dedupe=False)
+    verified = D.verify_candidates_jaccard(corpus, cand, threshold=0.7)
+    comps = D.dedup_components(verified)
+    return (
+        D.drop_near_duplicates(corpus, comps)
+        .select_columns(["doc_id"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_windowed(sf_dir: str):
     """Tumbling-window aggregate (1-day windows per event_type): the
     streaming-window operator class expressed Ray-Data-first — derive
@@ -918,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "dedup_groups": q_dedup_groups,
+        "deduped_documents": q_deduped_documents,
         "jaccard_pairs": q_jaccard_pairs,
         "asof_purchases": q_asof_purchases,
         "range_events": q_range_events,
@@ -1180,6 +1212,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b) "
             "SELECT node AS doc_id, min(r) AS component_id "
             "FROM reach GROUP BY node ORDER BY doc_id"
+        ),
+        # deduped_documents: the corpus minus every non-minimal member
+        # of each near-dup component (same closure as dedup_groups)
+        "deduped_documents": (
+            f"WITH RECURSIVE {_MINHASH_PAIRS_CTE}, "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM verified "
+            "UNION SELECT id_b, id_a FROM verified), "
+            "reach(node, r) AS (SELECT a, a FROM edges "
+            "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b), "
+            "losers AS (SELECT node FROM reach GROUP BY node "
+            "HAVING node != min(r)) "
+            "SELECT doc_id FROM doubled WHERE doc_id NOT IN "
+            "(SELECT node FROM losers) ORDER BY doc_id"
         ),
         "span_verdicts": _span_verdicts_sql(fixture["docs"], fixture["catalog"]),
         "span_equality": (

@@ -132,6 +132,7 @@ QUERY_NAMES = [
     "audio_features",
     "top_users",
     "dedup_groups",
+    "deduped_documents",
     "events_per_user_cap",
 ]
 

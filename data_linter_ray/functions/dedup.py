@@ -551,6 +551,33 @@ def dedup_components(
     return labels.rename_columns({"node": "doc_id", "label": "component_id"})
 
 
+def drop_near_duplicates(
+    ds: Dataset, components: Dataset, id_col: str = "doc_id"
+) -> Dataset:
+    """Filter the corpus to near-dup survivors: drop every row whose id
+    appears in ``components`` with ``doc_id != component_id`` (the
+    non-minimal members of each duplicate group). Rows not in any pair
+    are untouched.
+
+    The drop set is bounded by the number of pair-involved docs (≪
+    corpus for real near-dup rates) and is broadcast once via
+    ``ray.put``; the corpus itself streams through one ``is_in``
+    filter — no shuffle, no corpus materialization."""
+    import ray
+
+    comp = components.select_columns(["doc_id", "component_id"]).to_pandas()
+    losers = comp.loc[comp["doc_id"] != comp["component_id"], "doc_id"].to_numpy()
+    losers_ref = ray.put(pa.array(losers))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ls = ray.get(losers_ref) if not isinstance(losers_ref, pa.Array) else losers_ref
+        return t.filter(
+            pc.invert(pc.fill_null(pc.is_in(t[id_col], value_set=ls), False))
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram jaccard verification
 # ---------------------------------------------------------------------------

@@ -329,6 +329,22 @@ def test_dedup_components_chain_converges(ray_session):
     assert len(got) == 10
 
 
+def test_drop_near_duplicates(ray_session):
+    """Corpus filter keeps component survivors (min id) and all unpaired
+    rows, drops every non-minimal group member."""
+    import ray.data as rd
+
+    corpus = rd.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in (1, 2, 3, 10, 11, 50)]
+    )
+    pairs = rd.from_items(
+        [{"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3}, {"id_a": 10, "id_b": 11}]
+    )
+    comps = dedup.dedup_components(pairs)
+    kept = dedup.drop_near_duplicates(corpus, comps).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 10, 50]
+
+
 def test_near_dup_truncated_flag(ray_session):
     """Oversized IVF clusters / LSH buckets must NOT cap silently: every
     emitted pair carries the ``truncated`` flag (True when its bucket
