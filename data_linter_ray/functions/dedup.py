@@ -430,37 +430,27 @@ DRIVER_UNION_FIND_THRESHOLD = 5_000_000
 
 
 def _union_find_components(a: np.ndarray, b: np.ndarray):
-    """Driver-side union-find with path halving → (nodes, component_id
-    = min id in component). Vector inputs, near-linear."""
+    """Driver-side connected components → (nodes, component_id = min id
+    in component). Fully vectorized hash-min label propagation with
+    pointer jumping (no per-edge Python): each round scatters the
+    neighbour minimum over both edge directions (``np.minimum.at``)
+    then halves chain depth with ``lab = lab[lab]``; converges in
+    O(log diameter) rounds. Node ids sort ascending into compact
+    indices, so the minimal label in component == minimal original id."""
     if len(a) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ia, ib = inv[: len(a)], inv[len(a) :]
-    parent = np.arange(len(nodes), dtype=np.int64)
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for x, y in zip(ia, ib):
-        rx, ry = find(int(x)), find(int(y))
-        if rx != ry:
-            # union by min root keeps roots stable-ish; exact min label
-            # is finalized in the pass below
-            if rx < ry:
-                parent[ry] = rx
-            else:
-                parent[rx] = ry
-    roots = np.array([find(int(i)) for i in range(len(nodes))], dtype=np.int64)
-    # component id = min ORIGINAL id in the component
-    order = np.argsort(roots, kind="stable")
-    rs = roots[order]
-    starts = np.flatnonzero(np.concatenate([[True], rs[1:] != rs[:-1]]))
-    comp_min = np.minimum.reduceat(nodes[order], starts)
-    comp_of_root = dict(zip(rs[starts].tolist(), comp_min.tolist()))
-    return nodes, np.array([comp_of_root[r] for r in roots.tolist()], dtype=nodes.dtype)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ia, lab[ib])
+        np.minimum.at(lab, ib, lab[ia])
+        lab = lab[lab]  # pointer jumping
+        lab = lab[lab]
+        if np.array_equal(lab, old):
+            break
+    return nodes, nodes[lab]
 
 
 def dedup_components(
@@ -551,6 +541,14 @@ def dedup_components(
     return labels.rename_columns({"node": "doc_id", "label": "component_id"})
 
 
+#: at or below this many loser (non-survivor) ids the drop set is
+#: broadcast via ray.put (int64 ids → ≤ ~160 MB at the threshold);
+#: above it, the corpus is anti-filtered through a coarse id-hash
+#: exchange against the partitioned loser set — no broadcast object,
+#: bounded per-partition memory.
+BROADCAST_DROP_THRESHOLD = 20_000_000
+
+
 def drop_near_duplicates(
     ds: Dataset, components: Dataset, id_col: str = "doc_id"
 ) -> Dataset:
@@ -559,23 +557,73 @@ def drop_near_duplicates(
     non-minimal members of each duplicate group). Rows not in any pair
     are untouched.
 
-    The drop set is bounded by the number of pair-involved docs (≪
-    corpus for real near-dup rates) and is broadcast once via
-    ``ray.put``; the corpus itself streams through one ``is_in``
-    filter — no shuffle, no corpus materialization."""
+    Small loser sets (≤ ``BROADCAST_DROP_THRESHOLD``) broadcast once
+    via ``ray.put`` and the corpus streams through one ``is_in``
+    filter — no shuffle. Heavy-dup corpora (losers can approach corpus
+    size) switch to a coarse id-hash exchange: corpus rows and loser
+    ids co-partition by hash(id), each partition anti-filters locally —
+    bounded per-partition memory, no corpus-sized broadcast."""
     import ray
 
-    comp = components.select_columns(["doc_id", "component_id"]).to_pandas()
-    losers = comp.loc[comp["doc_id"] != comp["component_id"], "doc_id"].to_numpy()
-    losers_ref = ray.put(pa.array(losers))
+    losers_ds = components.select_columns(["doc_id", "component_id"]).map_batches(
+        lambda t: pa.table(
+            {"_loser": t["doc_id"].filter(
+                pc.invert(pc.equal(t["doc_id"], t["component_id"]))
+            )}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_losers = losers_ds.count()
 
-    def keep(t: pa.Table) -> pa.Table:
-        ls = ray.get(losers_ref) if not isinstance(losers_ref, pa.Array) else losers_ref
-        return t.filter(
-            pc.invert(pc.fill_null(pc.is_in(t[id_col], value_set=ls), False))
+    if n_losers <= BROADCAST_DROP_THRESHOLD:
+        losers = losers_ds.to_pandas()["_loser"].to_numpy()
+        losers_ref = ray.put(pa.array(losers))
+
+        def keep(t: pa.Table) -> pa.Table:
+            ls = ray.get(losers_ref) if not isinstance(losers_ref, pa.Array) else losers_ref
+            return t.filter(
+                pc.invert(pc.fill_null(pc.is_in(t[id_col], value_set=ls), False))
+            )
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    # scale path: co-partition corpus rows and loser ids by id hash,
+    # anti-filter inside each partition (the referential shuffle shape)
+    P = exchange_width(ds, losers_ds)
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        h = hash_array(t[id_col]) % np.uint64(P)
+        return t.append_column("_part", pa.array(h.astype(np.int64))).append_column(
+            "_is_loser_row", pa.array(np.zeros(t.num_rows, dtype=bool))
         )
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    def tag_losers(t: pa.Table) -> pa.Table:
+        h = hash_array(t["_loser"]) % np.uint64(P)
+        out = pa.table({id_col: t["_loser"]})
+        for c in ds.schema().names:
+            if c != id_col:
+                out = out.append_column(
+                    c, pa.nulls(t.num_rows, ds.schema().base_schema.field(c).type)
+                )
+        out = out.select(ds.schema().names)
+        return out.append_column("_part", pa.array(h.astype(np.int64))).append_column(
+            "_is_loser_row", pa.array(np.ones(t.num_rows, dtype=bool))
+        )
+
+    both = (
+        ds.map_batches(tag_corpus, batch_format="pyarrow")
+        .union(losers_ds.map_batches(tag_losers, batch_format="pyarrow"))
+        .repartition(P)
+        .materialize()
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        loser_ids = set(g.loc[g["_is_loser_row"], id_col])
+        rows = g[~g["_is_loser_row"]]
+        rows = rows[~rows[id_col].isin(loser_ids)]
+        return rows.drop(columns=["_part", "_is_loser_row"])
+
+    return both.groupby("_part").map_groups(anti, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -345,6 +345,26 @@ def test_drop_near_duplicates(ray_session):
     assert sorted(kept["doc_id"]) == [1, 10, 50]
 
 
+def test_drop_near_duplicates_shuffle_path_parity(ray_session, monkeypatch):
+    """Above BROADCAST_DROP_THRESHOLD the survivor filter switches to
+    the co-partitioned anti-exchange — identical kept set."""
+    import ray.data as rd
+
+    corpus = rd.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(200)]
+    )
+    pairs = rd.from_items(
+        [{"id_a": i, "id_b": i + 100} for i in range(50)]
+    )
+    comps = dedup.dedup_components(pairs)
+    broad = dedup.drop_near_duplicates(corpus, comps).to_pandas()
+    monkeypatch.setattr(dedup, "BROADCAST_DROP_THRESHOLD", 0)
+    shuffled = dedup.drop_near_duplicates(corpus, comps).to_pandas()
+    assert sorted(broad["doc_id"]) == sorted(shuffled["doc_id"])
+    assert len(broad) == 150  # ids 100-149 dropped
+    assert sorted(broad.columns) == sorted(shuffled.columns)
+
+
 def test_near_dup_truncated_flag(ray_session):
     """Oversized IVF clusters / LSH buckets must NOT cap silently: every
     emitted pair carries the ``truncated`` flag (True when its bucket
