@@ -374,7 +374,9 @@ def simhash_near_duplicates(
     max_bucket: int = 256,
 ) -> Dataset:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidates via
-    4×16-bit chunk banding (any pair within distance 3 shares a chunk)."""
+    4×16-bit chunk banding (any pair within distance 3 shares a chunk).
+    Pairs from a size-capped bucket carry ``truncated=True`` (no silent
+    coverage caps — same contract as minhash/IVF/RP-LSH)."""
 
     def emit(t: pa.Table) -> pa.Table:
         sig = simhash_signatures(t[text_col])
@@ -404,17 +406,25 @@ def simhash_near_duplicates(
                     "id_a": pd.Series([], dtype="int64"),
                     "id_b": pd.Series([], dtype="int64"),
                     "hamming": pd.Series([], dtype="int64"),
+                    "truncated": pd.Series([], dtype=bool),
                 }
             )
         sigs = sub["sig"].to_numpy().astype(np.uint64)
         ia, ib = np.triu_indices(len(ids), k=1)
         d = hamming64(sigs[ia], sigs[ib])
         ok = d <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][ok], "id_b": ids[ib][ok], "hamming": d[ok]})
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia][ok],
+                "id_b": ids[ib][ok],
+                "hamming": d[ok],
+                "truncated": truncated,
+            }
+        )
 
     P = exchange_width(ds)
     cand = _bucketed_pairs(buckets, ["chunk", "key"], max_bucket, pair_fn, width=P)
-    return _dedupe_pairs(cand, agg={"hamming": "min"}, width=P)
+    return _dedupe_pairs(cand, agg={"hamming": "min", "truncated": "max"}, width=P)
 
 
 # ---------------------------------------------------------------------------
@@ -463,14 +473,16 @@ def dedup_components(
     doc id in the connected component. The standard dedup completion
     step: pick ``doc_id == component_id`` rows as survivors.
 
-    ``mode="driver"``: union-find over the collected PAIR list (bounded
-    by the pair count — the corpus is never collected).
-    ``mode="distributed"``: iterative hash-min label propagation
-    (labels(v) ← min over v ∪ neighbors, a shuffle join per round;
-    converges in O(component diameter) rounds — near-dup clusters are
-    shallow). Fixpoint is detected with one cheap sum aggregate (labels
-    only ever decrease). ``mode="auto"`` picks by pair count vs
-    ``DRIVER_UNION_FIND_THRESHOLD``.
+    ``mode="driver"``: vectorized label propagation over the collected
+    PAIR list (bounded by the pair count — the corpus is never
+    collected). ``mode="distributed"``: iterative hash-min label
+    propagation (labels(v) ← min over v ∪ neighbors, a shuffle join per
+    round; converges in O(component diameter) rounds — near-dup
+    clusters are shallow; the classic MapReduce CC recipe, cf. Rastogi
+    et al., "Finding Connected Components in Map-Reduce in Logarithmic
+    Rounds", ICDE 2013). Fixpoint is detected with one cheap sum
+    aggregate (labels only ever decrease). ``mode="auto"`` picks by
+    pair count vs ``DRIVER_UNION_FIND_THRESHOLD``.
     """
     import ray.data as rd
 

@@ -69,7 +69,9 @@ def png_decode(data: bytes) -> np.ndarray:
     RGBA), non-interlaced — the shapes produced by virtually every
     screenshot/thumbnail pipeline. Filter reconstruction is per-scanline
     (filters Up/None vectorized; Sub/Average/Paeth need the sequential
-    per-pixel recurrence the spec defines). Raises ``ValueError`` on
+    per-pixel recurrence the spec defines). Implemented from the public
+    PNG specification (W3C/ISO PNG, RFC 2083 §6: chunk layout, IHDR
+    fields, filter type reconstruction). Raises ``ValueError`` on
     non-PNG or unsupported variants.
     """
     if data[:8] != PNG_MAGIC:
@@ -179,8 +181,10 @@ WAV_MAGIC = b"RIFF"
 def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a PCM WAV (stdlib ``struct`` only) → (float32 samples in
     [-1, 1] shaped ``[n, channels]``, sample_rate). Supports 8-bit
-    unsigned and 16/32-bit signed PCM. Raises ``ValueError`` on non-WAV
-    or compressed formats."""
+    unsigned and 16/32-bit signed PCM, per the public RIFF/WAVE layout
+    (Microsoft/IBM Multimedia Programming Interface spec: RIFF header,
+    word-aligned fmt/data chunks). Raises ``ValueError`` on non-WAV or
+    compressed formats."""
     if data[:4] != WAV_MAGIC or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
