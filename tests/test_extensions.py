@@ -141,6 +141,35 @@ def test_png_decode_rejects_garbage():
         png_decode(b"not a png at all")
 
 
+def test_png_decode_rejects_unsupported_variants():
+    """16-bit depth and interlaced PNGs must fail loudly, not decode
+    garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_linter_ray.functions.multimodal import PNG_MAGIC, png_decode
+
+    def make(bit_depth, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, bit_depth, 0, 0, 0, interlace)
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+        raw = bytes(4 * (4 * (2 if bit_depth == 16 else 1) + 1))
+        return (
+            PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="bit depth"):
+        png_decode(make(16, 0))
+    with pytest.raises(ValueError, match="interlaced"):
+        png_decode(make(8, 1))
+
+
 def test_image_decoder_real_png_path(ray_session):
     """PNG payloads go through the REAL pure-stdlib codec: a flat-gray
     PNG must decode to exactly its gray level (a fake/hashed decoder
