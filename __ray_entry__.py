@@ -915,6 +915,18 @@ def q_events_per_user_cap(sf_dir: str):
     return sample_per_key(ds, key_col="user_id", n=3, order_col="event_id")
 
 
+def q_normalized_documents(sf_dir: str):
+    """Canonical text cleaning (NFC → whitespace collapse → trim →
+    control-char strip), one vectorized Arrow pass — exact SQL parity
+    via DuckDB's nfc_normalize + regexp_replace."""
+    from data_linter_ray.functions.text import normalize_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return normalize_text(ds, keep_cols=["doc_id"]).drop_columns(["text"])
+
+
 def q_top_users(sf_dir: str):
     """Exact distributed top-k frequent values (heavy hitters done
     exactly): per-batch combiner → value-hash partitioned sum →
@@ -967,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "top_users": q_top_users,
         "events_per_user_cap": q_events_per_user_cap,
+        "normalized_documents": q_normalized_documents,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
@@ -1283,6 +1296,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id) AS rn "
             "FROM events WHERE user_id IS NOT NULL) WHERE rn <= 3"
+        ),
+        "normalized_documents": (
+            "SELECT doc_id, regexp_replace(trim(regexp_replace("
+            r"nfc_normalize(text), '\s+', ' ', 'g')), "
+            "'[[:cntrl:]]', '', 'g') AS text_norm FROM documents"
         ),
         "lineitem_verdict": (
             "WITH nr AS (SELECT count(*) AS n_rows FROM lineitem), "

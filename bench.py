@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "span_verdicts",
     "token_stats",
     "quality_stats",
+    "normalized_documents",
     "exact_dedup",
     "minhash_dedup",
     "dedup_groups",

@@ -296,3 +296,45 @@ def with_winnow_fingerprints(ds: Dataset, **kw) -> Dataset:
     return ds.select_columns(cols).map_batches(
         lambda t, _kw=kw: winnow_fingerprint_table(t, **_kw), batch_format="pyarrow"
     )
+
+
+def normalize_text(
+    ds: Dataset, text_col: str = "text", out_col: str = "text_norm",
+    keep_cols: list[str] | None = None,
+) -> Dataset:
+    """Canonical text cleaning for training corpora: Unicode NFC
+    normalization → whitespace runs collapsed to single spaces → outer
+    trim → remaining (non-whitespace) control characters stripped.
+    Matches DuckDB's ``nfc_normalize`` + ``regexp_replace`` exactly, so
+    the operator is SQL-oracle-checkable end-to-end.
+
+    The regex steps are RE2 Arrow kernels (vectorized). For NFC, this
+    pyarrow build's ``utf8_normalize`` returns DEcomposed output for
+    every requested form (verified broken), so NFC is applied as:
+    vectorized ASCII detection (ASCII is NFC-invariant — zero extra
+    work on the common case) + Python ``unicodedata`` only on the rare
+    non-ASCII rows."""
+    import pyarrow.compute as pc
+
+    cols = sorted(set((keep_cols or []) + [text_col]))
+
+    def fn(t: pa.Table) -> pa.Table:
+        import unicodedata
+
+        s = t[text_col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        non_ascii = pc.fill_null(
+            pc.invert(pc.match_substring_regex(s, r"^[\x00-\x7f]*$")), False
+        ).to_numpy(zero_copy_only=False)
+        if non_ascii.any():
+            vals = s.to_pylist()
+            for i in np.flatnonzero(non_ascii):
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+            s = pa.array(vals, pa.string())
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        s = pc.replace_substring_regex(s, "[[:cntrl:]]", "")
+        return t.append_column(out_col, s)
+
+    return ds.select_columns(cols).map_batches(fn, batch_format="pyarrow")

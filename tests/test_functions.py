@@ -272,6 +272,39 @@ def test_deterministic_fraction(ray_session):
     assert len(got10) == 300 and (got10["id"] % 10 < 3).all()
 
 
+def test_normalize_text_matches_duckdb(ray_session):
+    """NFC + whitespace collapse + trim + control strip — byte-exact vs
+    DuckDB on adversarial inputs (combining chars, tabs, NULs, nulls)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from data_linter_ray.functions.text import normalize_text
+
+    vals = [
+        "café  x",       # combining acute → NFC é
+        "  a\t\tb\n\nc  ",
+        "a\x00b\x07c",
+        "",
+        None,
+        "already clean",
+        "é́ mixed",  # é + extra combining mark
+    ]
+    df = pd.DataFrame({"doc_id": range(len(vals)), "text": pd.array(vals, dtype="string")})
+    got = (
+        normalize_text(rd.from_pandas(df), keep_cols=["doc_id"])
+        .to_pandas()
+        .sort_values("doc_id")["text_norm"]
+        .tolist()
+    )
+    exp = duckdb.sql(
+        "SELECT regexp_replace(trim(regexp_replace("
+        r"nfc_normalize(text), '\s+', ' ', 'g')), "
+        "'[[:cntrl:]]', '', 'g') FROM df ORDER BY doc_id"
+    ).fetchall()
+    assert got == [r[0] for r in exp]
+
+
 def test_top_values_exact(ray_session):
     """Exact top-k heavy hitters: matches a pandas value_counts oracle,
     including count-tie break by value asc, at two exchange widths."""
