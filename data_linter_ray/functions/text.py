@@ -328,10 +328,17 @@ def normalize_text(
             pc.invert(pc.match_substring_regex(s, r"^[\x00-\x7f]*$")), False
         ).to_numpy(zero_copy_only=False)
         if non_ascii.any():
-            vals = s.to_pylist()
-            for i in np.flatnonzero(non_ascii):
-                vals[i] = unicodedata.normalize("NFC", vals[i])
-            s = pa.array(vals, pa.string())
+            # touch ONLY the non-ASCII rows: take → normalize → scatter
+            # back with replace_with_mask (the ASCII bulk never leaves
+            # Arrow)
+            idx = np.flatnonzero(non_ascii)
+            fixed = [
+                unicodedata.normalize("NFC", v)
+                for v in s.take(pa.array(idx)).to_pylist()
+            ]
+            s = pc.replace_with_mask(
+                s, pa.array(non_ascii), pa.array(fixed, pa.string())
+            )
         s = pc.replace_substring_regex(s, r"\s+", " ")
         s = pc.utf8_trim_whitespace(s)
         s = pc.replace_substring_regex(s, "[[:cntrl:]]", "")
