@@ -438,6 +438,57 @@ def q_deduped_documents(sf_dir: str):
     )
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (24h windows advancing every 12h — each
+    event lands in exactly two windows): the per-batch map REPLICATES
+    each row into its member windows (vectorized concat, no Python per
+    row), then one groupby-aggregate. The flat-map expansion factor is
+    window/hop, bounded and known at plan time."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    HOP_US = 12 * 3600 * 1_000_000
+    N_HOPS = 2  # window = N_HOPS × hop
+
+    def expand(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts_us // HOP_US) * HOP_US
+        starts = np.concatenate(
+            [base - k * HOP_US for k in range(N_HOPS)]
+        )
+        et = t["event_type"].combine_chunks()
+        val = t["value"].combine_chunks()
+        return pa.table(
+            {
+                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                "event_type": pa.concat_arrays([et] * N_HOPS),
+                "value": pa.concat_arrays([val] * N_HOPS),
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("window_start"),
+                "window_start",
+                t["window_start"].cast(pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_events_windowed(sf_dir: str):
     """Tumbling-window aggregate (1-day windows per event_type): the
     streaming-window operator class expressed Ray-Data-first — derive
@@ -980,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "events_per_user_cap": q_events_per_user_cap,
         "normalized_documents": q_normalized_documents,
+        "events_hopping": q_events_hopping,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
@@ -1183,6 +1235,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('day', ts) AS day, "
             "count(*) AS n, min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY event_type, date_trunc('day', ts)"
+        ),
+        "events_hopping": (
+            "WITH base AS (SELECT event_type, value, "
+            "epoch_us(ts) // 43200000000 * 43200000000 AS b FROM events), "
+            "x AS (SELECT event_type, value, b AS s FROM base "
+            "UNION ALL SELECT event_type, value, b - 43200000000 FROM base) "
+            "SELECT event_type, make_timestamp(s) AS window_start, "
+            "count(*) AS n, min(value) AS min_value, max(value) AS max_value "
+            "FROM x GROUP BY event_type, s"
         ),
         "jaccard_pairs": (
             "WITH doubled AS (SELECT doc_id, text FROM documents "

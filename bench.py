@@ -121,6 +121,7 @@ QUERY_NAMES = [
     "embedding_near_dups",
     "events_summary",
     "events_windowed",
+    "events_hopping",
     "asof_purchases",
     "range_events",
     "session_stats",
