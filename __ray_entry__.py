@@ -831,6 +831,31 @@ def q_star_ref_check(sf_dir: str):
     )
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Star-schema equi-join (orders ⋈ customer on custkey, Ray hash
+    join sized by join_width) → per-nation aggregate. Only
+    order-independent aggregates (count/min/max) so the value-hash
+    compare vs SQL is exact."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from data_linter_ray.exchange import join_width
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = orders.join(
+        cust, "inner", join_width(orders, cust), on=("o_custkey",), right_on=("c_custkey",)
+    )
+    return joined.groupby("c_nationkey").aggregate(
+        Count(alias_name="n"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+    )
+
+
 def q_orders_summary(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -1036,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
         "orders_summary": q_orders_summary,
+        "orders_by_nation": q_orders_by_nation,
         "minmax_violations": q_minmax_violations,
         "enum_violations": q_enum_violations,
         "pattern_violations": q_pattern_violations,
@@ -1392,6 +1418,12 @@ def oracle_sql() -> dict[str, str]:
         "orders_summary": (
             "SELECT o_orderpriority, count(*) AS n, min(o_totalprice) AS min_price, "
             "max(o_totalprice) AS max_price FROM orders GROUP BY o_orderpriority"
+        ),
+        "orders_by_nation": (
+            "SELECT c_nationkey, count(*) AS n, "
+            "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_nationkey"
         ),
         "minmax_violations": (
             "SELECT event_id, value FROM events "

@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "knn",
     "embedding_near_dups",
     "events_summary",
+    "orders_by_nation",
     "events_windowed",
     "events_hopping",
     "asof_purchases",
@@ -133,7 +134,6 @@ QUERY_NAMES = [
     "media_features",
     "audio_features",
     "top_users",
-    "dedup_groups",
     "deduped_documents",
     "events_per_user_cap",
 ]
