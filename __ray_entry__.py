@@ -991,6 +991,37 @@ def q_events_per_user_cap(sf_dir: str):
     return sample_per_key(ds, key_col="user_id", n=3, order_col="event_id")
 
 
+def q_value_histogram(sf_dir: str):
+    """Exact fixed-width histogram (20 bins over [0,100), edge-clamped):
+    per-batch bincount combiner, partials summed in a tiny driver fold —
+    zero shuffle."""
+    from data_linter_ray.functions.profile import histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram(ds, "value", lo=0.0, hi=100.0, bins=20)
+
+
+def q_best_docs_per_lang(sf_dir: str):
+    """Top-3 longest documents per language (group_topk: local top-k
+    combiner → key-hash exchange → final top-k; ties by doc_id)."""
+    from data_linter_ray.functions.sampling import group_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return group_topk(ds, key_col="lang", value_col="n_chars", k=3, tie_col="doc_id")
+
+
+def q_vocabulary(sf_dir: str):
+    """Corpus document frequency (vocabulary / stop-word discovery):
+    distinct-per-doc tokens → two-level count (per-batch combiner, then
+    a token-hash partitioned sum) → df ≥ 50."""
+    from data_linter_ray.functions.text import token_doc_frequency
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_doc_frequency(ds, min_df=50)
+
+
 def q_normalized_documents(sf_dir: str):
     """Canonical text cleaning (NFC → whitespace collapse → trim →
     control-char strip), one vectorized Arrow pass — exact SQL parity
@@ -1056,6 +1087,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "events_per_user_cap": q_events_per_user_cap,
         "normalized_documents": q_normalized_documents,
+        "vocabulary": q_vocabulary,
+        "value_histogram": q_value_histogram,
+        "best_docs_per_lang": q_best_docs_per_lang,
         "events_hopping": q_events_hopping,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
@@ -1388,6 +1422,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, regexp_replace(trim(regexp_replace("
             r"nfc_normalize(text), '\s+', ' ', 'g')), "
             "'[[:cntrl:]]', '', 'g') AS text_norm FROM documents"
+        ),
+        "vocabulary": (
+            "WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> ''))) AS g "
+            "FROM documents) "
+            "SELECT g AS token, count(*) AS df FROM toks "
+            "GROUP BY g HAVING count(*) >= 50"
+        ),
+        "value_histogram": (
+            "SELECT bin, count(*) AS n FROM ("
+            "SELECT least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0), 19) AS bin "
+            "FROM events WHERE value IS NOT NULL) GROUP BY bin"
+        ),
+        "best_docs_per_lang": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "SELECT doc_id, lang, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents WHERE lang IS NOT NULL) WHERE rn <= 3"
         ),
         "lineitem_verdict": (
             "WITH nr AS (SELECT count(*) AS n_rows FROM lineitem), "

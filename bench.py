@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "token_stats",
     "quality_stats",
     "normalized_documents",
+    "vocabulary",
     "exact_dedup",
     "minhash_dedup",
     "dedup_groups",
@@ -134,6 +135,8 @@ QUERY_NAMES = [
     "media_features",
     "audio_features",
     "top_users",
+    "value_histogram",
+    "best_docs_per_lang",
     "deduped_documents",
     "events_per_user_cap",
 ]

@@ -137,6 +137,54 @@ def top_values(
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def histogram(
+    ds: Dataset, column: str, lo: float, hi: float, bins: int = 20
+) -> "pa.Table":
+    """Exact fixed-width histogram of a numeric column → (bin, n) with
+    one row per non-empty bin; values outside [lo, hi) clamp into the
+    edge bins (SQL parity: least/greatest on the bucket index).
+
+    Scale shape: per-batch ``np.bincount`` partial (bins-sized int
+    vector — the combiner), partials emitted as data and summed in one
+    tiny driver fold. No shuffle at all."""
+    import numpy as np
+
+    width = (hi - lo) / bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[column].drop_null()
+        x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(((x - lo) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(idx, minlength=bins)
+        return pa.table(
+            {
+                "bin": np.arange(bins, dtype=np.int64),
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    acc = None
+    for row_tbl in (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        import numpy as np
+
+        c = np.zeros(bins, dtype=np.int64)
+        np.add.at(c, row_tbl["bin"].to_numpy(zero_copy_only=False),
+                  row_tbl["n"].to_numpy(zero_copy_only=False))
+        acc = c if acc is None else acc + c
+    if acc is None:
+        acc = __import__("numpy").zeros(bins, dtype="int64")
+    keep = acc > 0
+    import numpy as np
+
+    return pa.table(
+        {"bin": np.arange(bins, dtype=np.int64)[keep], "n": acc[keep]}
+    )
+
+
 def profile_dataset(
     ds: Dataset, columns: list[str] | None = None, hll_p: int = 12
 ) -> pa.Table:

@@ -71,6 +71,53 @@ def sample_per_key(
     )
 
 
+def group_topk(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    k: int,
+    tie_col: str | None = None,
+    columns: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Keep the ``k`` rows with LARGEST ``value_col`` per ``key_col``
+    ("best examples per category"), ties broken by ascending
+    ``tie_col`` (defaults to ``value_col`` — pass a unique id for full
+    determinism when values repeat). Null keys are dropped. Same
+    two-level shape as :func:`sample_per_key`: local per-batch top-k
+    combiner → key-hash exchange → final per-key top-k."""
+    tie = tie_col or value_col
+    cols = sorted(set([key_col, value_col, tie] + (columns or [])))
+    P = num_partitions or exchange_width(ds)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([key_col, value_col, tie], ascending=[True, False, True],
+                           kind="stable")
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        df = topk(t.select(cols).to_pandas())
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy(np.uint64)
+        df["_part"] = (h % P).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return topk(g)[cols]
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(local, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+        .groupby("_part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def deterministic_fraction(
     ds: Dataset, id_col: str, num: int, den: int, columns: list[str] | None = None
 ) -> Dataset:

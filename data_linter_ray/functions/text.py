@@ -345,3 +345,65 @@ def normalize_text(
         return t.append_column(out_col, s)
 
     return ds.select_columns(cols).map_batches(fn, batch_format="pyarrow")
+
+
+def token_doc_frequency(
+    ds: Dataset,
+    text_col: str = "text",
+    min_df: int = 1,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Corpus document frequency per token → (token, df) rows with
+    df ≥ ``min_df`` (vocabulary building / stop-word discovery).
+
+    Tokenization matches the dedup/shingle pipeline: lowercase, split
+    on ``\\W+``, empties dropped, DISTINCT per document. Scale shape is
+    the two-level count used across the engine: per-batch (token,
+    partial df) combiner — one row per distinct (batch, token), so a
+    stop-word costs one row per batch in the shuffle, never one per
+    document — then a token-hash partitioned sum."""
+    import pandas as pd
+
+    from data_linter_ray.exchange import exchange_width
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+
+    def local_df(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        # distinct (doc, token) within the batch, then count docs per token
+        s = pd.DataFrame(
+            {"tok": flat.to_pandas(), "doc": parents}
+        ).drop_duplicates()
+        vc = s.groupby("tok", as_index=False).size().rename(columns={"size": "df"})
+        h = hash_array(pa.array(vc["tok"])) % np.uint64(P)
+        return pa.table(
+            {
+                "token": pa.array(vc["tok"], pa.string()),
+                "df": pa.array(vc["df"].to_numpy(np.int64)),
+                "_part": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", as_index=False)["df"].sum()
+        return agg[agg["df"] >= min_df][["token", "df"]]
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(local_df, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+        .groupby("_part")
+        .map_groups(final_sum, batch_format="pandas")
+    )

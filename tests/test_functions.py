@@ -305,6 +305,93 @@ def test_normalize_text_matches_duckdb(ray_session):
     assert got == [r[0] for r in exp]
 
 
+def test_token_doc_frequency_exact(ray_session):
+    """Two-level df count == a pandas per-doc-distinct oracle, invariant
+    across input partitionings and exchange widths."""
+    import pandas as pd
+    import ray.data as rd
+
+    from data_linter_ray.functions.text import token_doc_frequency
+
+    docs = [
+        "the cat sat on the mat",
+        "the dog SAT. the dog!",
+        "",
+        "cat cat cat",
+        None,
+    ]
+    df = pd.DataFrame({"text": pd.array(docs, dtype="string")})
+    import re
+
+    exp: dict = {}
+    for d in docs:
+        if not d:
+            continue
+        for tok in {t for t in re.split(r"\W+", d.lower().strip()) if t}:
+            exp[tok] = exp.get(tok, 0) + 1
+    for width in (2, 8):
+        got = (
+            token_doc_frequency(
+                rd.from_pandas(df).repartition(3), num_partitions=width
+            )
+            .to_pandas()
+        )
+        assert dict(zip(got["token"], got["df"])) == exp, width
+
+
+def test_group_topk_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from data_linter_ray.functions.sampling import group_topk
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 10, 500),
+            "v": rng.randint(0, 50, 500),  # ties guaranteed
+            "oid": np.arange(500),
+        }
+    )
+    exp = (
+        df.sort_values(["k", "v", "oid"], ascending=[True, False, True])
+        .groupby("k", sort=False)
+        .head(4)
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    got = (
+        group_topk(
+            rd.from_pandas(df).repartition(5), "k", "v", 4, tie_col="oid"
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got[["k", "oid", "v"]], exp[["k", "oid", "v"]], check_dtype=False)
+
+
+def test_histogram_exact(ray_session):
+    import ray.data as rd
+
+    from data_linter_ray.functions.profile import histogram
+
+    rng = np.random.RandomState(9)
+    vals = np.concatenate([rng.uniform(-10, 110, 5000), [np.nan] * 10])
+    import pandas as pd
+
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(7)
+    got = histogram(ds, "x", lo=0.0, hi=100.0, bins=10).to_pandas()
+    clean = vals[~np.isnan(vals)]
+    idx = np.clip(((clean - 0.0) / 10.0).astype(np.int64), 0, 9)
+    exp = np.bincount(idx, minlength=10)
+    assert dict(zip(got["bin"], got["n"])) == {
+        b: int(n) for b, n in enumerate(exp) if n > 0
+    }
+
+
 def test_top_values_exact(ray_session):
     """Exact top-k heavy hitters: matches a pandas value_counts oracle,
     including count-tie break by value asc, at two exchange widths."""
