@@ -991,6 +991,51 @@ def q_events_per_user_cap(sf_dir: str):
     return sample_per_key(ds, key_col="user_id", n=3, order_col="event_id")
 
 
+def q_duplicate_sentences(sf_dir: str):
+    """Cross-document duplicate sentences (C4-style boilerplate signal)
+    over docs ∪ exact id-shifted copies — every unit repeats in ≥2
+    docs, exercising the full two-level unit-frequency exchange:
+    (sentence, n_docs ≥ 2)."""
+    from data_linter_ray.functions.text import duplicate_sentences
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def copy_shift(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.add(t["doc_id"], 10_000), "text": t["text"]}
+        )
+
+    corpus = docs.union(docs.map_batches(copy_shift, batch_format="pyarrow"))
+    return duplicate_sentences(corpus, min_docs=2)
+
+
+def q_quantized_embeddings(sf_dir: str):
+    """Symmetric per-vector int8 embedding quantization (4-8× ANN
+    memory cut). The oracle compares a scalar digest per vector —
+    (q_scale, sum, L1 of the int8 components) pins every quantized
+    value without shipping list columns through the hash compare."""
+    import numpy as np
+
+    from data_linter_ray.functions.similarity import quantize_embeddings
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def digest(t: pa.Table) -> pa.Table:
+        col = t["embedding_q8"].combine_chunks()
+        d = col.type.list_size
+        m = col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), d).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "q_scale": t["q_scale"],
+                "q_sum": m.sum(axis=1),
+                "q_l1": np.abs(m).sum(axis=1),
+            }
+        )
+
+    return quantize_embeddings(ds).map_batches(digest, batch_format="pyarrow")
+
+
 def q_value_histogram(sf_dir: str):
     """Exact fixed-width histogram (20 bins over [0,100), edge-clamped):
     per-batch bincount combiner, partials summed in a tiny driver fold —
@@ -1090,6 +1135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary": q_vocabulary,
         "value_histogram": q_value_histogram,
         "best_docs_per_lang": q_best_docs_per_lang,
+        "duplicate_sentences": q_duplicate_sentences,
+        "quantized_embeddings": q_quantized_embeddings,
         "events_hopping": q_events_hopping,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
@@ -1429,6 +1476,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT g AS token, count(*) AS df FROM toks "
             "GROUP BY g HAVING count(*) >= 50"
+        ),
+        "duplicate_sentences": (
+            "WITH doubled AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 10000, text FROM documents), "
+            "s AS (SELECT doc_id, unnest(list_distinct(list_filter("
+            "str_split(text, '. '), x -> x <> ''))) AS sent FROM doubled) "
+            "SELECT sent AS sentence, count(*) AS n_docs FROM s "
+            "GROUP BY sent HAVING count(*) >= 2"
+        ),
+        "quantized_embeddings": (
+            "WITH base AS (SELECT vec_id, embedding, "
+            "CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0 "
+            "THEN 1.0 ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) END "
+            "AS q_scale FROM embeddings), "
+            "qq AS (SELECT vec_id, q_scale, list_transform(embedding, "
+            "x -> CAST(round(CAST(x AS DOUBLE) / q_scale * 127) AS BIGINT)) AS qv "
+            "FROM base) "
+            "SELECT vec_id, q_scale, list_sum(qv) AS q_sum, "
+            "list_sum(list_transform(qv, v -> abs(v))) AS q_l1 FROM qq"
         ),
         "value_histogram": (
             "SELECT bin, count(*) AS n FROM ("

@@ -112,6 +112,7 @@ QUERY_NAMES = [
     "quality_stats",
     "normalized_documents",
     "vocabulary",
+    "duplicate_sentences",
     "exact_dedup",
     "minhash_dedup",
     "dedup_groups",
@@ -120,6 +121,7 @@ QUERY_NAMES = [
     "simhash_dedup",
     "knn",
     "embedding_near_dups",
+    "quantized_embeddings",
     "events_summary",
     "orders_by_nation",
     "events_windowed",

@@ -469,3 +469,43 @@ def rp_lsh_near_duplicates(
     return verify_candidates_cosine(
         ds, deduped, threshold=threshold, id_col=id_col, emb_col=emb_col
     )
+
+
+def quantize_embeddings(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    out_col: str = "embedding_q8",
+    scale_col: str = "q_scale",
+) -> Dataset:
+    """Symmetric per-vector int8 quantization: each embedding maps to
+    round(x / s * 127) with s = max(|x|) (s = 1 for all-zero vectors),
+    emitted as a ``list<int8>`` plus the float64 scale — a 4-8× memory
+    cut for ANN indexes / shuffles with bounded (~0.4%) per-component
+    error. One vectorized pass per batch; reconstruct with
+    ``x ≈ q / 127 * s``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[emb_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        M = _stack(col)  # [n, d] float64
+        s = np.abs(M).max(axis=1)
+        s[s == 0] = 1.0
+        x = M / s[:, None] * 127.0
+        # half-away-from-zero (SQL round semantics; np.round is half-even)
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int8)
+        n, d = q.shape
+        flat = pa.array(q.reshape(-1), pa.int8())
+        q_arr = pa.FixedSizeListArray.from_arrays(flat, d)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                out_col: q_arr,
+                scale_col: pa.array(s, pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -407,3 +407,62 @@ def token_doc_frequency(
         .groupby("_part")
         .map_groups(final_sum, batch_format="pandas")
     )
+
+
+def duplicate_sentences(
+    ds: Dataset,
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = ". ",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Cross-document duplicate sentences → (sentence, n_docs) for
+    units appearing in ≥ ``min_docs`` documents — the C4-style
+    boilerplate/template-detection signal at sentence granularity.
+
+    Split is a LITERAL separator (no regex, no case-folding) so results
+    are bytes-exact; a document's sentences are de-duplicated within
+    the document first, and since every document lives in exactly one
+    row, the per-batch (sentence, partial doc-count) combiner is
+    globally correct after one sentence-hash partitioned sum — the same
+    two-level shape as :func:`token_doc_frequency`."""
+    import pandas as pd
+
+    from data_linter_ray.exchange import exchange_width
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+
+    def local(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        parts = pc.split_pattern(text, pattern=sep)
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+        s = pd.DataFrame(
+            {"sent": flat.filter(pa.array(keep)).to_pandas(), "doc": parents[keep]}
+        ).drop_duplicates()
+        vc = s.groupby("sent", as_index=False).size().rename(columns={"size": "n_docs"})
+        h = hash_array(pa.array(vc["sent"])) % np.uint64(P)
+        return pa.table(
+            {
+                "sentence": pa.array(vc["sent"], pa.string()),
+                "n_docs": pa.array(vc["n_docs"].to_numpy(np.int64)),
+                "_part": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("sentence", as_index=False)["n_docs"].sum()
+        return agg[agg["n_docs"] >= min_docs][["sentence", "n_docs"]]
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(local, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+        .groupby("_part")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -339,6 +339,46 @@ def test_token_doc_frequency_exact(ray_session):
         assert dict(zip(got["token"], got["df"])) == exp, width
 
 
+def test_duplicate_sentences_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from data_linter_ray.functions.text import duplicate_sentences
+
+    docs = [
+        "the cat sat. the dog ran. unique one",
+        "the cat sat. something else. the dog ran",
+        "the cat sat. the cat sat. solo line",   # repeat WITHIN one doc counts once
+        "totally different text",
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(3)
+    got = duplicate_sentences(ds, min_docs=2).to_pandas()
+    assert dict(zip(got["sentence"], got["n_docs"])) == {
+        "the cat sat": 3,
+        "the dog ran": 2,
+    }
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from data_linter_ray.functions.similarity import quantize_embeddings
+
+    rng = np.random.RandomState(4)
+    emb = [rng.randn(16).tolist() for _ in range(100)] + [[0.0] * 16]
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": range(101), "embedding": emb}))
+    q = quantize_embeddings(ds).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    for i in (0, 50, 100):
+        orig = np.asarray(emb[i])
+        qv = np.asarray(q["embedding_q8"].iloc[i], dtype=np.float64)
+        s = q["q_scale"].iloc[i]
+        recon = qv / 127.0 * s
+        assert np.abs(recon - orig).max() <= s / 127.0 / 2 + 1e-12
+        assert np.abs(qv).max() <= 127
+    assert q["q_scale"].iloc[100] == 1.0  # zero vector convention
+
+
 def test_group_topk_exact(ray_session):
     import pandas as pd
     import ray.data as rd
