@@ -46,6 +46,7 @@ _TABLE_KEYS = {
     "only-test-cols-in-metadata",
     "drift-baseline",
     "drift-threshold",
+    "profile",
 }
 
 
@@ -91,6 +92,7 @@ class TableConfig:
     ref_tables: dict = field(default_factory=dict)  # "table.column" -> path
     drift_baseline: Optional[str] = None  # path to saved sketch baselines
     drift_threshold: float = 0.1
+    profile: bool = False  # write a column-stats profile JSON per unit
 
     def table_params(self) -> dict:
         return {
@@ -125,6 +127,7 @@ class TableConfig:
             ref_tables=d.get("ref-tables", {}) or {},
             drift_baseline=d.get("drift-baseline"),
             drift_threshold=d.get("drift-threshold", 0.1),
+            profile=d.get("profile", False),
         )
 
 

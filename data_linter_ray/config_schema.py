@@ -33,6 +33,7 @@ _TABLE_SCHEMA = {
         "only-test-cols-in-metadata": {"type": "boolean"},
         "drift-baseline": {"type": "string"},
         "drift-threshold": {"type": "number", "minimum": 0},
+        "profile": {"type": "boolean"},
     },
 }
 

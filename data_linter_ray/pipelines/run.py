@@ -282,6 +282,24 @@ def validate_phase(
                         log_root, "violations", name, probe.key()
                     )
                     fs.write_parquet_uri(res.violations, viol_path)
+                if tc.profile:
+                    # column-stats profile per unit → one small JSON in
+                    # the log area (the partials fold is KB-scale; this
+                    # re-reads the unit with the profiler's own pruned
+                    # scan, keeping the validation pass untouched)
+                    import json as _json
+
+                    from data_linter_ray.functions.profile import profile_dataset
+
+                    prof = profile_dataset(
+                        read_table_dataset(path, schema, tc.table_params())
+                    ).to_pylist()
+                    fs.write_text(
+                        fs.join(
+                            log_root, "profiles", name, probe.key() + ".json"
+                        ),
+                        _json.dumps(prof, indent=1),
+                    )
                 m = UnitManifest(
                     table=name,
                     source_path=path,

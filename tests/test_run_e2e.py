@@ -74,6 +74,28 @@ def test_simple_pass(ray_session, tmp_path):
     assert log["archived-path"].endswith("table1.csv")
 
 
+def test_profile_flag_writes_column_stats(ray_session, tmp_path):
+    """`profile: true` on a table writes one column-stats JSON per unit
+    into the log area (n / n_null / min / max / approx_distinct)."""
+    import glob
+
+    cfg = make_env(
+        tmp_path,
+        {"table1.csv": CSV_PASS},
+        {"table1": {"metadata": TABLE1_META, "profile": True}},
+    )
+    res = run_validation(cfg)
+    assert res.all_tables_passed
+    files = glob.glob(str(tmp_path / "log" / "profiles" / "table1" / "*.json"))
+    assert len(files) == 1
+    prof = {row["column"]: row for row in json.load(open(files[0]))}
+    assert set(prof) >= {"my_int"}
+    assert prof["my_int"]["n"] > 0
+    assert {"n", "n_null", "min_str", "max_str", "approx_distinct"} <= set(
+        prof["my_int"]
+    )
+
+
 def test_simple_fail_routes_to_fail(ray_session, tmp_path):
     cfg = make_env(
         tmp_path,
