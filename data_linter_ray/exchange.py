@@ -58,8 +58,11 @@ def join_width(*datasets, override: int | None = None) -> int:
     Unlike the manual task-based exchanges, the hash join schedules one
     aggregator ACTOR per partition — a width beyond the cluster's CPU
     count deadlocks the streaming executor (the pool can never acquire
-    its actors). Width = data-derived :func:`exchange_width` capped at
-    the cluster CPU count."""
+    its actors), and every actor costs real startup (~100-200 ms each,
+    measured: a 32-actor pool adds ~5 s to a small join). So the floor
+    is 2, not MIN_PARTITIONS: width grows with DATA
+    (:func:`exchange_width` bytes derivation), never with the idle CPU
+    count, and is capped at the cluster CPUs."""
     if override:
         return int(override)
     try:
@@ -68,7 +71,7 @@ def join_width(*datasets, override: int | None = None) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, min(exchange_width(*datasets), cpus))
+    return max(2, min(exchange_width(*datasets, floor=2), cpus))
 
 
 def _estimated_bytes(ds) -> int:
