@@ -321,3 +321,68 @@ class KLL:
             out.levels.append(np.frombuffer(b, np.float64, count=s, offset=off).copy())
             off += 8 * s
         return out
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan, "An improved data
+    stream summary: the count-min sketch and its applications",
+    J. Algorithms 2005): approximate per-key frequencies with one-sided
+    error — estimates NEVER undercount, and overcount by at most
+    ε·N (ε = e/width) with probability ≥ 1-δ (δ = e^-depth).
+
+    Mergeable (element-wise add), vectorized (``np.add.at`` scatter per
+    row), serializable — the approximate heavy-hitter companion to the
+    exact ``top_values`` operator for unbounded key domains. Row hashes
+    derive from one 64-bit input hash via splitmix re-mixing (the same
+    double-hash recipe as the Bloom filter)."""
+
+    def __init__(self, width: int = 2048, depth: int = 5):
+        if width < 8 or depth < 1:
+            raise ValueError("width must be ≥ 8 and depth ≥ 1")
+        self.width = int(width)
+        self.depth = int(depth)
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+        self.n = 0  # total added count
+
+    def _positions(self, h: np.ndarray, row: int) -> np.ndarray:
+        from data_linter_ray.state.bloom import _mix
+
+        h1 = h.astype(np.uint64, copy=False)
+        h2 = _mix(h1) | np.uint64(1)
+        return ((h1 + np.uint64(row) * h2) % np.uint64(self.width)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray, counts: np.ndarray | None = None) -> None:
+        c = (
+            np.ones(len(h), dtype=np.int64)
+            if counts is None
+            else counts.astype(np.int64, copy=False)
+        )
+        for r in range(self.depth):
+            np.add.at(self.table[r], self._positions(h, r), c)
+        self.n += int(c.sum())
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        """→ int64[n] upper-biased frequency estimates (never under)."""
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.depth):
+            np.minimum(est, self.table[r][self._positions(h, r)], out=est)
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("cannot merge sketches of different geometry")
+        self.table += other.table
+        self.n += other.n
+        return self
+
+    def to_bytes(self) -> bytes:
+        head = struct.pack("<qqq", self.width, self.depth, self.n)
+        return head + np.ascontiguousarray(self.table).tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMin":
+        w, d, n = struct.unpack("<qqq", b[:24])
+        cm = cls(w, d)
+        cm.table = np.frombuffer(b[24:], dtype=np.int64).reshape(d, w).copy()
+        cm.n = n
+        return cm

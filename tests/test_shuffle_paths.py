@@ -283,3 +283,54 @@ def test_join_width_caps_at_cluster_cpus(ray_session):
     assert 2 <= w <= cpus
     assert w <= exchange.exchange_width(ds)
     assert exchange.join_width(ds, override=3) == 3
+
+
+def test_bloom_filter_properties():
+    """No false negatives ever; empirical FPR near the target; OR-merge
+    of partials equals the single-shot filter; byte roundtrip exact."""
+    from data_linter_ray.state.bloom import BloomFilter
+
+    rng = np.random.RandomState(0)
+    members = rng.randint(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
+    probes = rng.randint(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
+    probes = np.setdiff1d(probes, members)
+
+    bf = BloomFilter.from_capacity(len(members), fpr=0.01)
+    bf.add_hashes(members)
+    assert bf.contains_hashes(members).all()  # zero false negatives
+    fpr = bf.contains_hashes(probes).mean()
+    assert fpr < 0.025  # within ~2.5x of the design point
+
+    parts = [BloomFilter(bf.m, bf.k) for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.add_hashes(members[i::4])
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(p)
+    assert (acc.bits == bf.bits).all()
+
+    rt = BloomFilter.from_bytes(bf.to_bytes())
+    assert rt.m == bf.m and rt.k == bf.k and (rt.bits == bf.bits).all()
+
+
+def test_referential_bloom_matches_shuffle(ray_session):
+    """Bloom pre-filtered referential check is EXACT: same dangling key
+    set as the pure shuffle anti-join (bloom false positives are caught
+    by the exact pass; false negatives cannot exist)."""
+    from data_linter_ray.stages.referential import (
+        referential_violations_bloom,
+        referential_violations_shuffle,
+    )
+
+    rng = np.random.RandomState(1)
+    fk = rng.randint(0, 3000, 8000)
+    pk = np.arange(0, 2000)  # fk >= 2000 dangle
+    orders = ray.data.from_arrow(pa.table({"k": fk})).repartition(4)
+    dim = ray.data.from_arrow(pa.table({"id": pk})).repartition(3)
+
+    bloomed = referential_violations_bloom(orders, "k", dim, "id").to_pandas()
+    shuffled = referential_violations_shuffle(orders, "k", dim, "id").to_pandas()
+    assert set(bloomed["value"]) == set(shuffled["value"])
+    assert set(bloomed["value"]) == {str(v) for v in np.unique(fk[fk >= 2000])}
+    # a definitely-rejected key appears exactly once (key-level report)
+    assert not bloomed["value"].duplicated().any()

@@ -214,3 +214,38 @@ def test_compute_sketches_kll_and_drift(ray_session, sf_dir):
     )
     drifted = drift_check(shifted, {"value": base["value"]}, threshold=0.1)
     assert any(not r.valid for r in drifted)
+
+
+def test_count_min_never_undercounts_and_merges():
+    """CM estimates are one-sided (never below the true count), close
+    for heavy keys, and partials merged == single-shot sketch."""
+    import numpy as np
+
+    from data_linter_ray.state.sketches import CountMin, hash_array
+
+    rng = np.random.RandomState(2)
+    # zipf-ish stream: few heavy keys, long tail
+    keys = rng.zipf(1.3, 200_000) % 10_000
+    h = hash_array(keys.astype(np.int64))
+    true = np.bincount(keys, minlength=10_000)
+
+    cm = CountMin(width=4096, depth=5)
+    cm.add_hashes(h)
+    uniq = np.unique(keys)
+    est = cm.estimate_hashes(hash_array(uniq.astype(np.int64)))
+    assert (est >= true[uniq]).all()  # one-sided error
+    # heavy hitters estimated within the eps*N bound
+    heavy = uniq[true[uniq] > 1000]
+    eps_n = np.e / 4096 * len(keys)
+    assert (est[np.isin(uniq, heavy)] - true[heavy] <= eps_n).all()
+
+    parts = [CountMin(4096, 5) for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.add_hashes(h[i::4])
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(p)
+    assert (acc.table == cm.table).all() and acc.n == cm.n
+
+    rt = CountMin.from_bytes(cm.to_bytes())
+    assert (rt.table == cm.table).all() and rt.n == cm.n
