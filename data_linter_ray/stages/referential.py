@@ -169,9 +169,25 @@ def referential_violations(
     pk: str,
     id_column: str | None = None,
     broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
+    strategy: str = "auto",
 ) -> Dataset:
-    """Pick broadcast vs shuffle by dimension size (parquet metadata count
-    is cheap — no scan)."""
+    """Pick the physical strategy.
+
+    ``auto``: broadcast below ``broadcast_threshold`` dimension rows
+    (parquet metadata count — no scan), shuffle anti-join above.
+    ``bloom``: force :func:`referential_violations_bloom` — preferable
+    over the pure shuffle when the violation rate is low (the exact
+    anti-join then runs over only the ~fpr "maybe" sliver); a bloom
+    over 10⁹ keys at 1% fpr is ~1.2 GB, broadcastable where the exact
+    key set is not. ``broadcast`` / ``shuffle`` force those paths."""
+    if strategy == "bloom":
+        return referential_violations_bloom(ds, fk, ref_ds, pk)
+    if strategy == "broadcast":
+        return referential_violations_broadcast(ds, fk, ref_ds, pk, id_column)
+    if strategy == "shuffle":
+        return referential_violations_shuffle(ds, fk, ref_ds, pk)
+    if strategy != "auto":
+        raise ValueError(f"unknown strategy: {strategy!r}")
     if ref_ds.count() <= broadcast_threshold:
         return referential_violations_broadcast(ds, fk, ref_ds, pk, id_column)
     return referential_violations_shuffle(ds, fk, ref_ds, pk)

@@ -311,3 +311,26 @@ def test_ref_tables_on_s3(ray_session, moto_s3, tmp_path):
     assert not res.all_tables_passed
     m = res.manifests[0]
     assert m.counts.get("fk::referential_test") == 1  # fk=9 dangling
+
+
+def test_profile_flag_writes_to_s3_log(ray_session, moto_s3, tmp_path):
+    """`profile: true` with an s3:// log base writes the column-stats
+    JSON through the same fs layer as every other log artifact."""
+    from data_linter_ray.pipelines.run import run_validation
+
+    land, pass_p, fail_p, log_p = _mk_paths("profile-s3", tmp_path, False, False, True)
+    _plant(land, "table1.csv", CSV_PASS)
+    cfg = {
+        "land-base-path": land,
+        "pass-base-path": pass_p,
+        "fail-base-path": fail_p,
+        "log-base-path": log_p,
+        "tables": {"table1": {"metadata": TABLE1_META, "profile": True}},
+    }
+    res = run_validation(cfg)
+    assert res.all_tables_passed
+    names = fs.list_files(fs.join(log_p, "profiles", "table1"))
+    assert len(names) == 1
+    prof = json.loads(fs.read_text(names[0]))
+    cols = {row["column"] for row in prof}
+    assert "my_int" in cols
