@@ -386,3 +386,61 @@ class CountMin:
         cm.table = np.frombuffer(b[24:], dtype=np.int64).reshape(d, w).copy()
         cm.n = n
         return cm
+
+
+class ReservoirSample:
+    """Uniform fixed-size sample as a MERGEABLE sketch (Vitter,
+    "Random sampling with a reservoir", TOMS 1985; merge via the
+    standard weighted union: draw each slot from either side with
+    probability proportional to the streams' true counts).
+
+    Determinism: all randomness derives from a caller-provided seed +
+    the sketch's own counters, so identical inputs reproduce identical
+    samples; merge order changes which items survive (inherent to any
+    single-pass sample) but never the uniformity guarantee. Values are
+    stored as an object array — KB-scale for scalar columns."""
+
+    def __init__(self, k: int = 64, seed: int = 42):
+        if k < 1:
+            raise ValueError("k must be ≥ 1")
+        self.k = int(k)
+        self.seed = int(seed)
+        self.values: list = []
+        self.n = 0  # items seen
+
+    def add(self, vals) -> None:
+        rng = np.random.RandomState((self.seed ^ (self.n * 0x9E3779B9)) % (2**32))
+        for v in vals:
+            self.n += 1
+            if len(self.values) < self.k:
+                self.values.append(v)
+            else:
+                j = rng.randint(0, self.n)
+                if j < self.k:
+                    self.values[j] = v
+
+    def merge(self, other: "ReservoirSample") -> "ReservoirSample":
+        if self.k != other.k:
+            raise ValueError("cannot merge reservoirs of different k")
+        total = self.n + other.n
+        if total == 0:
+            return self
+        rng = np.random.RandomState(
+            (self.seed ^ (total * 0x85EBCA6B) ^ other.n) % (2**32)
+        )
+        merged: list = []
+        mine, theirs = list(self.values), list(other.values)
+        rng.shuffle(mine)
+        rng.shuffle(theirs)
+        for _ in range(min(self.k, total)):
+            take_mine = (
+                mine
+                and (
+                    not theirs
+                    or rng.rand() < (self.n / (self.n + other.n))
+                )
+            )
+            merged.append(mine.pop() if take_mine else theirs.pop())
+        self.values = merged
+        self.n = total
+        return self

@@ -249,3 +249,39 @@ def test_count_min_never_undercounts_and_merges():
 
     rt = CountMin.from_bytes(cm.to_bytes())
     assert (rt.table == cm.table).all() and rt.n == cm.n
+
+
+def test_reservoir_sample_uniform_and_mergeable():
+    import numpy as np
+
+    from data_linter_ray.state.sketches import ReservoirSample
+
+    rs = ReservoirSample(k=50, seed=7)
+    rs.add(range(1000))
+    assert rs.n == 1000 and len(rs.values) == 50
+    assert all(0 <= v < 1000 for v in rs.values)
+    # determinism: same seed + same stream → same sample
+    rs2 = ReservoirSample(k=50, seed=7)
+    rs2.add(range(1000))
+    assert rs.values == rs2.values
+
+    # rough uniformity: mean of many independent samples near the
+    # population mean (law of large numbers over 200 reservoirs)
+    means = []
+    for s in range(200):
+        r = ReservoirSample(k=20, seed=s)
+        r.add(range(1000))
+        means.append(np.mean(r.values))
+    assert abs(np.mean(means) - 499.5) < 25
+
+    # merge: count preserved, k respected, values only from the union
+    a = ReservoirSample(k=30, seed=1)
+    a.add(range(0, 500))
+    b = ReservoirSample(k=30, seed=2)
+    b.add(range(500, 2000))
+    a.merge(b)
+    assert a.n == 2000 and len(a.values) == 30
+    assert all(0 <= v < 2000 for v in a.values)
+    # weighted union leans toward the bigger stream
+    frac_b = sum(1 for v in a.values if v >= 500) / 30
+    assert frac_b > 0.5
