@@ -1089,6 +1089,98 @@ def q_top_users(sf_dir: str):
     return top_values(ds, "user_id", k=10)
 
 
+#: deterministic PII injection shared by the pii_scan / redacted_documents
+#: query-oracle pairs: one snippet per doc_id % 10 residue 0-3 (email,
+#: phone, ipv4, ssn), appended identically on the Ray and SQL sides.
+_PII_SNIPPETS = [
+    " Contact alice@example.com now.",
+    " Call 555-867-5309 today.",
+    " Server 10.0.0.1 is down.",
+    " SSN 123-45-6789 leaked.",
+]
+
+_PII_INJECT_SQL = (
+    "text || CASE doc_id % 10 "
+    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_PII_SNIPPETS))
+    + " ELSE '' END"
+)
+
+
+def _inject_pii(ds):
+    """Append the deterministic PII snippets (vectorized concat)."""
+    import numpy as np
+
+    def f(t: pa.Table) -> pa.Table:
+        m = t["doc_id"].to_numpy() % 10
+        suffix = np.select(
+            [m == i for i in range(len(_PII_SNIPPETS))], _PII_SNIPPETS, default=""
+        )
+        new = pc.binary_join_element_wise(
+            t["text"], pa.array(suffix.astype(object), pa.string()), ""
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", new)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_pii_scan(sf_dir: str):
+    """PII detection (emails/phones/IPs/SSNs) over a deterministically
+    PII-injected corpus — one vectorized RE2 pass, doc-local, zero
+    shuffle; per-kind non-overlapping match counts + has_pii flag."""
+    from data_linter_ray.functions.pii import with_pii_counts
+
+    ds = _inject_pii(_docs(sf_dir, ["doc_id", "text"]))
+    return with_pii_counts(ds).drop_columns(["text"])
+
+
+def q_redacted_documents(sf_dir: str):
+    """PII redaction: every match replaced by its token in
+    specific→general order — byte-exact vs chained DuckDB
+    regexp_replace(..., 'g') because both engines run RE2."""
+    from data_linter_ray.functions.pii import with_redaction
+
+    ds = _inject_pii(_docs(sf_dir, ["doc_id", "text"]))
+    return with_redaction(ds).select_columns(["doc_id", "text_redacted"])
+
+
+def q_pack_offsets(sf_dir: str):
+    """GPT-style concat-and-chunk sequence packing: global token
+    prefix-sum in doc_id order via the two-pass distributed scan
+    (per-bucket partial sums → broadcast bucket offsets → in-bucket
+    vectorized cumsum); seq_id = start_offset // 2048."""
+    from data_linter_ray.functions.packing import pack_offsets
+
+    return pack_offsets(_docs(sf_dir, ["doc_id", "text"]), chunk=2048)
+
+
+def q_contaminated_docs(sf_dir: str):
+    """Benchmark decontamination (GPT-3 recipe): corpus docs sharing ≥1
+    distinct token trigram with the benchmark subset (doc_id % 50 == 0)
+    — benchmark gram hashes broadcast once, corpus side streams with
+    zero shuffle."""
+    from data_linter_ray.functions.decontam import flag_contaminated
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 50 == 0))
+
+    bench = docs.map_batches(pick, batch_format="pyarrow")
+    return flag_contaminated(docs, bench)
+
+
+def q_value_outliers(sf_dir: str):
+    """Per-group z-score outlier gate (|value − mean(group)| > 3σ):
+    two-level moments (per-batch (n, Σx, Σx²) partials → tiny groupby)
+    broadcast back for one shuffle-free filter pass."""
+    from data_linter_ray.functions.outliers import zscore_outliers
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return zscore_outliers(ds, "value", "event_type", z=3.0, keep_cols=["event_id"])
+
+
 def q_events_summary(sf_dir: str):
     """Grouped log-style aggregate (reference A5 analog): per event_type
     count + min/max value (order-independent aggregates only)."""
@@ -1138,6 +1230,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_sentences": q_duplicate_sentences,
         "quantized_embeddings": q_quantized_embeddings,
         "events_hopping": q_events_hopping,
+        "pii_scan": q_pii_scan,
+        "redacted_documents": q_redacted_documents,
+        "pack_offsets": q_pack_offsets,
+        "contaminated_docs": q_contaminated_docs,
+        "value_outliers": q_value_outliers,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
@@ -1257,12 +1354,77 @@ _MINHASH_PAIRS_CTE = (
 )
 
 
+def _pii_sql() -> dict[str, str]:
+    """DuckDB mirrors of the PII scan/redaction over the injected
+    corpus — same RE2 patterns, same redaction order."""
+    from data_linter_ray.functions.pii import PII_PATTERNS, REDACT_ORDER
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{k}"
+        for k, (pat, _) in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in PII_PATTERNS.values()
+    )
+    red = "text"
+    for kind in REDACT_ORDER:
+        pat, token = PII_PATTERNS[kind]
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return {
+        "pii_scan": (
+            f"WITH d AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents) "
+            f"SELECT doc_id, {counts}, ({total}) > 0 AS has_pii FROM d"
+        ),
+        "redacted_documents": (
+            f"WITH d AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents) "
+            f"SELECT doc_id, {red} AS text_redacted FROM d"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from data_linter_ray import synth
 
     fixture = synth.ensure_span_fixture()
     enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
     return {
+        **_pii_sql(),
+        "pack_offsets": (
+            "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            r"len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "w AS (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS start_offset FROM t) "
+            "SELECT doc_id, n_tokens, start_offset, start_offset // 2048 AS seq_id "
+            "FROM w"
+        ),
+        # gram identity on the engine side is a 64-bit hash of the token
+        # sequence; tokens carry no \W chars so the chr(31)-joined string
+        # is an injective equivalent — same algebra the proven
+        # jaccard_pairs / minhash oracles use.
+        "contaminated_docs": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '') AS tk "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, CASE WHEN len(tk) >= 3 "
+            "THEN list_distinct(list_transform(generate_series(1, len(tk)-2), "
+            "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) "
+            "ELSE [] END AS g3 FROM toks), "
+            "bench AS (SELECT DISTINCT unnest(g3) AS g FROM grams WHERE doc_id % 50 = 0), "
+            "corp AS (SELECT doc_id, unnest(g3) AS g FROM grams) "
+            "SELECT corp.doc_id, count(*) AS n_shared FROM corp "
+            "JOIN bench ON corp.g = bench.g GROUP BY corp.doc_id"
+        ),
+        "value_outliers": (
+            "WITH m AS (SELECT event_type, avg(value) AS mean, "
+            "stddev_pop(value) AS sd FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, e.value FROM events e "
+            "JOIN m ON e.event_type = m.event_type "
+            "WHERE m.sd > 0 AND abs(e.value - m.mean) > 3.0 * m.sd"
+        ),
         "langid": _langid_sql(),
         "asof_purchases": (
             "WITH lefts AS (SELECT event_id, user_id, ts FROM events "

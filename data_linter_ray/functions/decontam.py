@@ -1,0 +1,105 @@
+"""Benchmark decontamination: flag corpus documents sharing token
+n-grams with an evaluation/benchmark set.
+
+Standard pre-training hygiene (the GPT-3 / PaLM recipe): any training
+document that shares at least one distinct token n-gram with a held-out
+benchmark document is contamination-suspect. The benchmark side is
+small by construction (eval suites are thousands of docs, the corpus is
+billions), so the scale shape is broadcast-not-shuffle:
+
+  benchmark pass: vectorized shingle hashing (the dedup pipeline's
+      uint64 token/shingle kernels, ``dedup._token_hashes`` /
+      ``_shingle_hashes``) → per-batch distinct gram hashes → one
+      driver-side ``np.unique`` over the partials → sorted array
+      shipped ONCE via ``ray.put``.
+  corpus pass: ``map_batches`` computes each doc's distinct gram
+      hashes and counts membership against the broadcast array with
+      ``np.searchsorted`` — zero shuffles over the big side.
+
+Gram identity is a 64-bit hash of the token-hash sequence; collisions
+are ~n²/2⁶⁵ (negligible at any benchmark size that fits a broadcast),
+so counts equal the DuckDB oracle's distinct-string-gram intersection.
+If the benchmark ever outgrows broadcast (≈100M grams), the same
+composition degrades to the dedup module's hash-join path — documented
+fallback, not implemented until needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from data_linter_ray.functions.dedup import _shingle_hashes, _token_hashes
+
+
+def _doc_distinct_grams(text, ngram: int):
+    """→ (sorted distinct gram hashes, parent row ids) per batch."""
+    th, tp = _token_hashes(text)
+    sh, sp = _shingle_hashes(th, tp, ngram)
+    if len(sh) == 0:
+        return sh, sp
+    # distinct per doc: sort by (parent, hash), drop adjacent dups
+    order = np.lexsort((sh, sp))
+    sh, sp = sh[order], sp[order]
+    keep = np.concatenate([[True], (sp[1:] != sp[:-1]) | (sh[1:] != sh[:-1])])
+    return sh[keep], sp[keep]
+
+
+def benchmark_gram_hashes(benchmark: Dataset, text_col: str = "text", ngram: int = 3):
+    """Distinct gram hashes of the benchmark set as one sorted uint64
+    array (driver-side union of per-batch distinct partials — bounded by
+    the benchmark's vocabulary, not the corpus)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh, _ = _doc_distinct_grams(t[text_col], ngram)
+        return pa.table({"g": pa.array(np.unique(sh), pa.uint64())})
+
+    parts = [
+        b["g"].to_numpy(zero_copy_only=False)
+        for b in benchmark.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+
+def flag_contaminated(
+    corpus: Dataset,
+    benchmark: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+) -> Dataset:
+    """→ (id_col, n_shared) for every corpus doc sharing ≥1 distinct
+    token ``ngram``-gram with any benchmark doc. ``n_shared`` is the
+    count of distinct shared grams."""
+    grams_ref = ray.put(benchmark_gram_hashes(benchmark, text_col, ngram))
+
+    class Flagger:
+        def __init__(self):
+            self.bench = ray.get(grams_ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sh, sp = _doc_distinct_grams(t[text_col], ngram)
+            n_rows = len(t)
+            if len(sh) and len(self.bench):
+                idx = np.searchsorted(self.bench, sh)
+                idx[idx == len(self.bench)] = 0  # clamp; equality check below decides
+                hit = self.bench[idx] == sh
+                n_shared = np.bincount(sp[hit], minlength=n_rows).astype(np.int64)
+            else:
+                n_shared = np.zeros(n_rows, np.int64)
+            keep = n_shared > 0
+            return pa.table(
+                {
+                    id_col: t[id_col].take(pa.array(np.flatnonzero(keep))),
+                    "n_shared": pa.array(n_shared[keep]),
+                }
+            )
+
+    return corpus.select_columns([id_col, text_col]).map_batches(
+        Flagger, batch_format="pyarrow", concurrency=(1, 8)
+    )

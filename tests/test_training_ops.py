@@ -1,0 +1,248 @@
+"""Round-3 training-data operators: PII scan/redaction, sequence
+packing (distributed prefix sum), benchmark decontamination, per-group
+z-score outliers."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+PII_TEXTS = [
+    "mail me at alice@example.com or bob.smith+x@sub.domain.org thanks",
+    "call 555-867-5309 or 555.123.4567 now",
+    "host 10.0.0.1 and 192.168.1.255 down",
+    "ssn 123-45-6789 leaked and 999-88-7777 too",
+    "clean text with no pii at all",
+    "",
+    "mixed a@b.co plus 1.2.3.4 plus 111-22-3333 end",
+]
+
+
+def test_pii_counts_and_redaction_vs_duckdb(ray_session):
+    import duckdb
+
+    from data_linter_ray.functions.pii import (
+        PII_PATTERNS,
+        REDACT_ORDER,
+        with_pii_counts,
+        with_redaction,
+    )
+
+    t = pa.table({"doc_id": list(range(len(PII_TEXTS))), "text": PII_TEXTS})
+    ds = ray.data.from_arrow(t)
+    got = (
+        with_redaction(with_pii_counts(ds))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("docs", t)
+    count_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{k}"
+        for k, (pat, _) in PII_PATTERNS.items()
+    )
+    red = "text"
+    for kind in REDACT_ORDER:
+        pat, token = PII_PATTERNS[kind]
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    exp = con.sql(
+        f"SELECT doc_id, {count_cols}, {red} AS text_redacted "
+        "FROM docs ORDER BY doc_id"
+    ).df()
+
+    for k in PII_PATTERNS:
+        assert (got[f"n_{k}"].to_numpy() == exp[f"n_{k}"].to_numpy()).all(), k
+    assert list(got["text_redacted"]) == list(exp["text_redacted"])
+    total = sum(got[f"n_{k}"].to_numpy() for k in PII_PATTERNS)
+    assert (got["has_pii"].to_numpy() == (total > 0)).all()
+
+
+def test_pii_redaction_order_specific_first(ray_session):
+    # an SSN-shaped local part inside an email must be claimed by the
+    # email pattern (redacted first), not double-redacted
+    from data_linter_ray.functions.pii import redact_table
+
+    t = pa.table({"text": ["id 123-45-6789@example.com here"]})
+    out = redact_table(t)["text_redacted"].to_pylist()
+    assert out == ["id <EMAIL> here"]
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_offsets_matches_window(ray_session, sf_dir):
+    import duckdb
+
+    from data_linter_ray.functions.packing import pack_offsets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = (
+        pack_offsets(ds, chunk=512, n_buckets=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        r"len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')), "
+        "w AS (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS start_offset FROM t) "
+        "SELECT doc_id, n_tokens, start_offset, start_offset // 512 AS seq_id "
+        "FROM w ORDER BY doc_id"
+    ).df()
+    assert len(got) == len(exp)
+    for c in ["doc_id", "n_tokens", "start_offset", "seq_id"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # global invariant: offsets partition the concatenated token stream
+    assert got["start_offset"].iloc[-1] + got["n_tokens"].iloc[-1] == int(
+        got["n_tokens"].sum()
+    )
+
+
+def test_pack_offsets_bucket_width_invariance(ray_session, sf_dir):
+    # result is independent of the exchange width (pure function of input)
+    from data_linter_ray.functions.packing import pack_offsets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = pack_offsets(ds, chunk=64, n_buckets=2).to_pandas().sort_values("doc_id")
+    b = pack_offsets(ds, chunk=64, n_buckets=37).to_pandas().sort_values("doc_id")
+    assert (a["start_offset"].to_numpy() == b["start_offset"].to_numpy()).all()
+    assert (a["seq_id"].to_numpy() == b["seq_id"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def _py_grams(s: str, n: int = 3) -> set:
+    toks = [t for t in re.split(r"\W+", s.strip().lower()) if t]
+    if len(toks) < n:
+        return set()
+    return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_flag_contaminated_vs_python(ray_session):
+    from data_linter_ray.functions.decontam import flag_contaminated
+
+    corpus_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a completely different sentence about ray data engines",
+        "question: the quick brown fox appears in this benchmark item",
+        "short one",
+        "lazy dog sleeps all day long under the warm sun",
+        "",
+    ]
+    bench_texts = [
+        "the quick brown fox jumps high",
+        "under the warm sun we rest",
+    ]
+    bench_set = set().union(*[_py_grams(b) for b in bench_texts])
+    expected = {
+        i: len(_py_grams(t) & bench_set)
+        for i, t in enumerate(corpus_texts)
+        if _py_grams(t) & bench_set
+    }
+    assert expected  # the fixture must actually exercise overlap
+
+    corpus = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(corpus_texts))), "text": corpus_texts})
+    )
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1], "text": bench_texts})
+    )
+    got = flag_contaminated(corpus, bench).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_shared"])) == expected
+
+
+def test_flag_contaminated_empty_benchmark(ray_session):
+    from data_linter_ray.functions.decontam import flag_contaminated
+
+    corpus = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["some words here now", "other text"]})
+    )
+    bench = ray.data.from_arrow(pa.table({"doc_id": [9], "text": ["xy"]}))
+    assert flag_contaminated(corpus, bench).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# z-score outliers
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_outliers_matches_pandas(ray_session):
+    import pandas as pd
+
+    from data_linter_ray.functions.outliers import group_moments, zscore_outliers
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    groups = np.array(["a", "b", "c"], object)[rng.integers(0, 3, n)]
+    vals = rng.normal(50.0, 5.0, n)
+    vals[:25] += 60.0  # unambiguous outliers
+    groups[5] = None  # null key rows are excluded
+    vals[7] = np.nan  # null value rows are excluded
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n)),
+            "event_type": pa.array(groups, pa.string()),
+            "value": pa.array(vals),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    got = (
+        zscore_outliers(ds, "value", "event_type", z=3.0, keep_cols=["event_id"])
+        .to_pandas()
+        .sort_values("event_id")
+    )
+
+    df = t.to_pandas().dropna(subset=["event_type", "value"])
+    stats = df.groupby("event_type")["value"].agg(
+        mean="mean", std=lambda s: s.std(ddof=0)
+    )
+    j = df.join(stats, on="event_type")
+    exp_ids = set(
+        j.loc[(j["std"] > 0) & ((j["value"] - j["mean"]).abs() > 3.0 * j["std"]),
+              "event_id"]
+    )
+    assert set(got["event_id"]) == exp_ids
+    assert exp_ids  # fixture sanity: some outliers exist
+    assert 5 not in set(got["event_id"]) and 7 not in set(got["event_id"])
+
+    # moments themselves are exact vs pandas
+    mom = group_moments(ds, "value", "event_type").set_index("event_type")
+    for k in ["a", "b", "c"]:
+        assert mom.loc[k, "mean"] == pytest.approx(stats.loc[k, "mean"], rel=1e-12)
+        assert mom.loc[k, "std"] == pytest.approx(stats.loc[k, "std"], rel=1e-9)
+
+
+def test_zscore_outliers_constant_group_emits_nothing(ray_session):
+    from data_linter_ray.functions.outliers import zscore_outliers
+
+    t = pa.table(
+        {"g": ["x"] * 10, "v": [5.0] * 10, "event_id": list(range(10))}
+    )
+    out = zscore_outliers(
+        ray.data.from_arrow(t), "v", "g", z=1.0, keep_cols=["event_id"]
+    )
+    assert out.count() == 0
