@@ -141,6 +141,11 @@ QUERY_NAMES = [
     "best_docs_per_lang",
     "deduped_documents",
     "events_per_user_cap",
+    "pii_scan",
+    "redacted_documents",
+    "pack_offsets",
+    "contaminated_docs",
+    "value_outliers",
 ]
 
 
