@@ -1181,6 +1181,27 @@ def q_value_outliers(sf_dir: str):
     return zscore_outliers(ds, "value", "event_type", z=3.0, keep_cols=["event_id"])
 
 
+def q_split_assignment(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by id-mod —
+    reproducible across engines, partitionings, and cluster sizes;
+    zero shuffle, zero state."""
+    from data_linter_ray.functions.sampling import assign_split
+
+    return assign_split(_docs(sf_dir, ["doc_id"]), "doc_id")
+
+
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency check (user_id → event_type): determinants
+    observed with ≥2 distinct dependent values — per-batch distinct-pair
+    combiner → int-hash bucketed exchange of pairs only, never rows."""
+    from data_linter_ray.stages.fd import fd_violations
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return fd_violations(ds, "user_id", "event_type")
+
+
 def q_events_summary(sf_dir: str):
     """Grouped log-style aggregate (reference A5 analog): per event_type
     count + min/max value (order-independent aggregates only)."""
@@ -1235,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets": q_pack_offsets,
         "contaminated_docs": q_contaminated_docs,
         "value_outliers": q_value_outliers,
+        "split_assignment": q_split_assignment,
+        "fd_violations": q_fd_violations,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
@@ -1415,6 +1438,16 @@ def oracle_sql() -> dict[str, str]:
             "corp AS (SELECT doc_id, unnest(g3) AS g FROM grams) "
             "SELECT corp.doc_id, count(*) AS n_shared FROM corp "
             "JOIN bench ON corp.g = bench.g GROUP BY corp.doc_id"
+        ),
+        "split_assignment": (
+            "SELECT doc_id, CASE WHEN doc_id % 100 < 80 THEN 'train' "
+            "WHEN doc_id % 100 < 90 THEN 'val' ELSE 'test' END AS split "
+            "FROM documents WHERE doc_id IS NOT NULL"
+        ),
+        "fd_violations": (
+            "SELECT user_id, count(DISTINCT event_type) AS n_values "
+            "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY user_id HAVING count(DISTINCT event_type) > 1"
         ),
         "value_outliers": (
             "WITH m AS (SELECT event_type, avg(value) AS mean, "

@@ -146,6 +146,8 @@ QUERY_NAMES = [
     "pack_offsets",
     "contaminated_docs",
     "value_outliers",
+    "split_assignment",
+    "fd_violations",
 ]
 
 

@@ -14,6 +14,12 @@ no driver materialization.
 rows keyed on an integer column (``id % den < num``) — trivially
 reproducible across engines (and SQL-expressible, unlike seeded RNG
 sampling).
+
+``assign_split`` extends the same id-mod determinism to named
+train/val/test assignment — the canonical reproducible dataset split:
+every engine, partitioning, and cluster size assigns each row the same
+split, and the split column is a plain projection (zero shuffle, zero
+state), so it composes with any downstream filter or partitioned write.
 """
 
 from __future__ import annotations
@@ -139,3 +145,33 @@ def deterministic_fraction(
         ),
         batch_format="pyarrow",
     )
+
+
+def assign_split(
+    ds: Dataset,
+    id_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    out_col: str = "split",
+) -> Dataset:
+    """Append ``out_col`` naming each row's deterministic split.
+
+    ``splits`` is an ordered list of ``(name, weight)``; row ``r`` gets
+    the split whose cumulative weight range contains
+    ``r[id_col] % sum(weights)``. Default 80/10/10 train/val/test.
+    Doc-local and stateless — the id decides, nothing else — so the
+    assignment is identical at any scale or partitioning (the property
+    seeded RNG splits lack). Null-id rows are dropped (a row without
+    identity cannot be reproducibly split); assign ids first if needed.
+    """
+    splits = splits or [("train", 80), ("val", 10), ("test", 10)]
+    total = sum(w for _, w in splits)
+    names = np.array([n for n, _ in splits], object)
+    bounds = np.cumsum([w for _, w in splits])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[id_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds, ids % total, side="right")
+        return t.append_column(out_col, pa.array(names[idx], pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

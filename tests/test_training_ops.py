@@ -246,3 +246,96 @@ def test_zscore_outliers_constant_group_emits_nothing(ray_session):
         ray.data.from_arrow(t), "v", "g", z=1.0, keep_cols=["event_id"]
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic split assignment
+# ---------------------------------------------------------------------------
+
+
+def test_assign_split_matches_case_expr(ray_session, sf_dir):
+    import duckdb
+
+    from data_linter_ray.functions.sampling import assign_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    got = (
+        assign_split(ds, "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT doc_id, CASE WHEN doc_id % 100 < 80 THEN 'train' "
+        "WHEN doc_id % 100 < 90 THEN 'val' ELSE 'test' END AS split "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert list(got["split"]) == list(exp["split"])
+    # custom weights + null ids dropped
+    t = pa.table({"id": [0, 1, 2, 3, 4, 5, None]})
+    out = (
+        assign_split(ray.data.from_arrow(t), "id", splits=[("a", 2), ("b", 1)])
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(out["split"]) == ["a", "a", "b", "a", "a", "b"]
+    assert len(out) == 6
+
+
+def test_assign_split_partitioning_invariant(ray_session, sf_dir):
+    from data_linter_ray.functions.sampling import assign_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    a = assign_split(ds, "doc_id").to_pandas().sort_values("doc_id")
+    b = (
+        assign_split(ds.repartition(13), "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(a["split"]) == list(b["split"])
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency check
+# ---------------------------------------------------------------------------
+
+
+def test_fd_violations_exact(ray_session):
+    from data_linter_ray.stages.fd import fd_violations
+
+    t = pa.table(
+        {
+            "acct": ["a", "a", "a", "b", "b", "c", None, "d", "d"],
+            "ccy": ["USD", "USD", "EUR", "GBP", "GBP", "JPY", "USD", None, "CHF"],
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = fd_violations(ds, "acct", "ccy").to_pandas().sort_values("acct")
+    # 'a' → {USD, EUR}; 'b' single; 'c' single; null det excluded;
+    # 'd' has a null dep (ignored) + CHF → single value
+    assert list(got["acct"]) == ["a"]
+    assert list(got["n_values"]) == [2]
+
+
+def test_fd_violations_vs_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from data_linter_ray.stages.fd import fd_violations
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    got = (
+        fd_violations(ds, "user_id", "event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT user_id, count(DISTINCT event_type) AS n_values "
+        f"FROM read_parquet('{sf_dir}/events.parquet') "
+        "WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+        "GROUP BY user_id HAVING count(DISTINCT event_type) > 1 ORDER BY user_id"
+    ).df()
+    assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (got["n_values"].to_numpy() == exp["n_values"].to_numpy()).all()
