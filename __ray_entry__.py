@@ -1202,6 +1202,28 @@ def q_fd_violations(sf_dir: str):
     return fd_violations(ds, "user_id", "event_type")
 
 
+def q_value_rank(sf_dir: str):
+    """Global competition rank of every event by value WITHOUT a global
+    sort: two-pass range-partitioned scan (per-batch bucket histograms →
+    K driver-summed offsets → in-bucket vectorized strict-rank);
+    integer-exact vs SQL rank()."""
+    from data_linter_ray.functions.ranking import global_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return global_rank(ds, "value", "event_id")
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document: distributed df exchange →
+    vocabulary-bounded broadcast → one shuffle-free corpus pass with
+    per-doc top-k (score internal; emitted columns integer/term-exact)."""
+    from data_linter_ray.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
 def q_events_summary(sf_dir: str):
     """Grouped log-style aggregate (reference A5 analog): per event_type
     count + min/max value (order-independent aggregates only)."""
@@ -1258,6 +1280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "split_assignment": q_split_assignment,
         "fd_violations": q_fd_violations,
+        "value_rank": q_value_rank,
+        "tfidf_terms": q_tfidf_terms,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
@@ -1448,6 +1472,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(DISTINCT event_type) AS n_values "
             "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
             "GROUP BY user_id HAVING count(DISTINCT event_type) > 1"
+        ),
+        "value_rank": (
+            'SELECT event_id, value, rank() OVER (ORDER BY value) AS "rank" '
+            "FROM events WHERE value IS NOT NULL"
+        ),
+        "tfidf_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '')) AS tok "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok), "
+            "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.tok) AS rnk "
+            "FROM tf JOIN df USING (tok), n) "
+            "SELECT doc_id, term, rnk AS \"rank\", tf, df FROM scored WHERE rnk <= 3"
         ),
         "value_outliers": (
             "WITH m AS (SELECT event_type, avg(value) AS mean, "

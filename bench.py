@@ -148,6 +148,8 @@ QUERY_NAMES = [
     "value_outliers",
     "split_assignment",
     "fd_violations",
+    "value_rank",
+    "tfidf_terms",
 ]
 
 

@@ -466,3 +466,82 @@ def duplicate_sentences(
         .groupby("_part")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def tfidf_top_terms(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Top-``k`` TF-IDF terms per document → (id_col, term, rank, tf,
+    df); score = tf · ln(N/df), ties broken by term ascending.
+
+    Two stages: document frequencies come from the distributed
+    :func:`token_doc_frequency` exchange and are collected driver-side
+    (vocabulary-bounded — the same broadcast-small rule as the
+    referential and decontamination broadcasts; for an unbounded
+    vocabulary pass a ``min_df`` view of the df table through a hash
+    join instead), shipped ONCE via ``ray.put``; the corpus side is
+    then one ``map_batches`` pass (actor pool: the df lookup is
+    deserialized once per actor, not per batch) computing per-doc term
+    counts, scores, and top-k — zero shuffle over documents. The
+    emitted columns are integers + terms (the float score stays
+    internal), so output hash-matches the SQL window oracle."""
+    import pandas as pd
+
+    import ray
+
+    n_docs = ds.count()
+    df_tbl = token_doc_frequency(
+        ds, text_col=text_col, num_partitions=num_partitions
+    )
+    df_map: dict[str, int] = {}
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        df_map.update(zip(b["token"].to_pylist(), b["df"].to_pylist()))
+    ref = ray.put(df_map)
+
+    class Scorer:
+        def __init__(self):
+            self.df = ray.get(ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            text = t[text_col]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
+            )
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+            keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+            s = pd.DataFrame(
+                {"tok": flat.filter(pa.array(keep)).to_pandas(), "doc": parents[keep]}
+            )
+            tf = s.groupby(["doc", "tok"], as_index=False).size().rename(
+                columns={"size": "tf"}
+            )
+            tf["df"] = tf["tok"].map(self.df).astype(np.int64)
+            tf["_score"] = tf["tf"].to_numpy(np.float64) * np.log(
+                float(n_docs) / tf["df"].to_numpy(np.float64)
+            )
+            tf = tf.sort_values(
+                ["doc", "_score", "tok"], ascending=[True, False, True], kind="stable"
+            )
+            top = tf.groupby("doc", sort=False).head(k).copy()
+            top["rank"] = top.groupby("doc", sort=False).cumcount() + 1
+            ids = t[id_col].take(pa.array(top["doc"].to_numpy()))
+            return pa.table(
+                {
+                    id_col: ids,
+                    "term": pa.array(top["tok"], pa.string()),
+                    "rank": pa.array(top["rank"].to_numpy(np.int64)),
+                    "tf": pa.array(top["tf"].to_numpy(np.int64)),
+                    "df": pa.array(top["df"].to_numpy(np.int64)),
+                }
+            )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=(1, 8)
+    )

@@ -339,3 +339,92 @@ def test_fd_violations_vs_duckdb(ray_session, sf_dir):
     ).df()
     assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
     assert (got["n_values"].to_numpy() == exp["n_values"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# global rank
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_matches_sql(ray_session, sf_dir):
+    import duckdb
+
+    from data_linter_ray.functions.ranking import global_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    got = (
+        global_rank(ds, "value", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        'SELECT event_id, value, rank() OVER (ORDER BY value) AS "rank" '
+        f"FROM read_parquet('{sf_dir}/events.parquet') "
+        "WHERE value IS NOT NULL ORDER BY event_id"
+    ).df()
+    assert len(got) == len(exp)
+    assert (got["rank"].to_numpy() == exp["rank"].to_numpy()).all()
+
+
+def test_global_rank_ties_nulls_and_width(ray_session):
+    from data_linter_ray.functions.ranking import global_rank
+
+    vals = [5.0, 1.0, 5.0, None, 2.0, 5.0, 9.0, 1.0]
+    t = pa.table({"id": list(range(len(vals))), "v": vals})
+    ds = ray.data.from_arrow(t).repartition(3)
+    # competition rank: 1.0→1,1.0→1, 2.0→3, 5.0→4 (x3), 9.0→7; null dropped
+    exp = {1: 1, 7: 1, 4: 3, 0: 4, 2: 4, 5: 4, 6: 7}
+    for k in (2, 16):
+        got = global_rank(ds, "v", "id", n_buckets=k).to_pandas()
+        assert dict(zip(got["id"], got["rank"])) == exp
+
+
+def test_global_rank_constant_column(ray_session):
+    from data_linter_ray.functions.ranking import global_rank
+
+    t = pa.table({"id": [1, 2, 3], "v": [4.0, 4.0, 4.0]})
+    got = global_rank(ray.data.from_arrow(t), "v", "id").to_pandas()
+    assert list(got["rank"]) == [1, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_vs_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from data_linter_ray.functions.text import tfidf_top_terms
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = (
+        tfidf_top_terms(ds, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '')) AS tok "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok), "
+        "n AS (SELECT count(*) AS n FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')), "
+        "scored AS (SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df, "
+        "row_number() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.tok) AS rnk "
+        "FROM tf JOIN df USING (tok), n) "
+        "SELECT doc_id, term, rnk, tf, df FROM scored WHERE rnk <= 3 "
+        "ORDER BY doc_id, rnk"
+    ).df()
+    assert len(got) == len(exp)
+    assert list(got["term"]) == list(exp["term"])
+    assert (got["tf"].to_numpy() == exp["tf"].to_numpy()).all()
+    assert (got["df"].to_numpy() == exp["df"].to_numpy()).all()
