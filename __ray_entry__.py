@@ -688,7 +688,10 @@ def q_jaccard_pairs(sf_dir: str):
 
 
 def q_simhash_dedup(sf_dir: str):
-    """SimHash near-dup pairs over the same corpus. Rows-only."""
+    """SimHash near-dup pairs over the same corpus, in oracle-parity
+    ``hash="md5"`` mode: 4×16-bit chunk banding has exact (pigeonhole)
+    recall at hamming ≤ 3, and DuckDB reproduces the md5 token-hash
+    signature bit-for-bit — so the pair set has an exact SQL oracle."""
     from data_linter_ray.functions import dedup as D
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -704,7 +707,7 @@ def q_simhash_dedup(sf_dir: str):
         )
 
     corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
-    return D.simhash_near_duplicates(corpus, max_hamming=3)
+    return D.simhash_near_duplicates(corpus, max_hamming=3, hash="md5")
 
 
 def q_knn(sf_dir: str):
@@ -1615,6 +1618,29 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": (
             f"WITH {_MINHASH_PAIRS_CTE} "
             "SELECT id_a, id_b FROM verified ORDER BY id_a, id_b"
+        ),
+        # simhash: reproduce the md5-mode signature bit-for-bit (per-token
+        # md5_number_lower, ±1 bit sums, sign threshold), then the exact
+        # pair set — 4×16-bit banding at hamming ≤ 3 has pigeonhole
+        # recall 1.0, so engine output == this brute-force pair set.
+        "simhash_dedup": (
+            "WITH doubled AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents), "
+            "toks AS (SELECT doc_id, unnest(list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '')) AS tok "
+            "FROM doubled), "
+            "th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks), "
+            "bits AS (SELECT doc_id, b, "
+            "SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+            "FROM th, range(64) r(b) GROUP BY doc_id, b), "
+            "sig AS (SELECT doc_id, SUM(CASE WHEN s > 0 "
+            "THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS sig "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "bit_count(xor(a.sig, b.sig))::BIGINT AS hamming, "
+            "false AS truncated "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
         ),
         # dedup_groups: connected components over the same verified pair
         # set — min reachable id per node via a recursive closure (the

@@ -205,8 +205,12 @@ def _splitmix(z: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _token_hashes(text: pa.ChunkedArray | pa.Array):
-    """→ (flat token hashes uint64, parent row indices)."""
+def _token_hashes(text: pa.ChunkedArray | pa.Array, hash: str = "fast"):
+    """→ (flat token hashes uint64, parent row indices).
+
+    ``hash="md5"`` is the oracle-parity mode (DuckDB ``md5_number_lower``
+    per token — a per-token Python loop, used only by oracle queries);
+    the default ``"fast"`` mode is the vectorized production path."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     toks = pc.split_pattern_regex(
@@ -214,8 +218,12 @@ def _token_hashes(text: pa.ChunkedArray | pa.Array):
     )
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    h = hash_array(flat)
     keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+    if hash == "md5":
+        from data_linter_ray.functions.text import _md5_lower64
+
+        return _md5_lower64(flat.filter(pa.array(keep)).to_pylist()), parents[keep]
+    h = hash_array(flat)
     return h[keep], parents[keep]
 
 
@@ -339,10 +347,17 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """64-bit simhash per doc (sign of per-bit token-hash sums)."""
+def simhash_signatures(
+    text: pa.ChunkedArray | pa.Array, hash: str = "fast"
+) -> np.ndarray:
+    """64-bit simhash per doc (sign of per-bit token-hash sums).
+
+    ``hash="md5"`` makes the signature DuckDB-reproducible
+    (``md5_number_lower`` per token + the same ±1 bit-sum algebra) so
+    simhash pair sets gain an exact SQL oracle; production uses the
+    vectorized ``"fast"`` hash."""
     n_docs = len(text)
-    th, tp = _token_hashes(text)
+    th, tp = _token_hashes(text, hash=hash)
     acc = np.zeros((n_docs, 64), dtype=np.int32)
     if len(th):
         bits = (
@@ -372,14 +387,19 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 256,
+    hash: str = "fast",
 ) -> Dataset:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidates via
-    4×16-bit chunk banding (any pair within distance 3 shares a chunk).
+    4×16-bit chunk banding (any pair within distance 3 shares a chunk —
+    pigeonhole, so recall is exactly 1.0 at the default ``max_hamming=3``
+    absent bucket truncation, NOT probabilistic).
     Pairs from a size-capped bucket carry ``truncated=True`` (no silent
-    coverage caps — same contract as minhash/IVF/RP-LSH)."""
+    coverage caps — same contract as minhash/IVF/RP-LSH).
+    ``hash="md5"`` selects the DuckDB-reproducible signature for oracle
+    queries (see :func:`simhash_signatures`)."""
 
     def emit(t: pa.Table) -> pa.Table:
-        sig = simhash_signatures(t[text_col])
+        sig = simhash_signatures(t[text_col], hash=hash)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         chunks = [
             ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)

@@ -165,6 +165,61 @@ def test_simhash_near_dups(ray_session, sf_dir):
     assert (pairs["hamming"] <= 3).all()
 
 
+def test_simhash_md5_signature_matches_duckdb(sf_dir):
+    """hash="md5" simhash signatures are bit-for-bit reproducible in
+    DuckDB (md5_number_lower per token + ±1 bit-sum sign algebra) — the
+    basis of the simhash_dedup SQL oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sig_py = dedup.simhash_signatures(t["text"], hash="md5")
+    con = duckdb.connect()
+    con.register("documents", t)
+    df = con.execute(
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '')) AS tok "
+        "FROM documents), "
+        "th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks), "
+        "bits AS (SELECT doc_id, b, "
+        "SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "FROM th, range(64) r(b) GROUP BY doc_id, b) "
+        "SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::UBIGINT << b) "
+        "ELSE 0::UBIGINT END)::UBIGINT AS sig FROM bits GROUP BY doc_id "
+        "ORDER BY doc_id"
+    ).df()
+    order = np.argsort(t["doc_id"].to_numpy())
+    assert (sig_py[order] == df["sig"].to_numpy().astype(np.uint64)).all()
+
+
+def test_simhash_md5_pairs_exact_recall(ray_session, sf_dir):
+    """At max_hamming=3 the 4×16-bit banding recall is exactly 1.0
+    (pigeonhole), so the pair set equals the all-pairs brute force."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.slice(0, 120)
+    corpus = ray.data.from_arrow(t).repartition(4)
+    got = (
+        dedup.simhash_near_duplicates(corpus, max_hamming=3, hash="md5")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    sig = dedup.simhash_signatures(t["text"], hash="md5")
+    ids = t["doc_id"].to_numpy()
+    ia, ib = np.triu_indices(len(ids), k=1)
+    d = dedup.hamming64(sig[ia], sig[ib])
+    ok = d <= 3
+    lo = np.minimum(ids[ia][ok], ids[ib][ok])
+    hi = np.maximum(ids[ia][ok], ids[ib][ok])
+    exp = sorted(zip(lo, hi))
+    assert list(zip(got["id_a"], got["id_b"])) == exp
+    assert not got["truncated"].any()
+
+
 def test_minhash_signature_determinism():
     a = pa.array(["the quick brown fox jumps over the lazy dog"] * 2 + ["other words here entirely"])
     s1, h1 = dedup.minhash_signatures(a)
