@@ -1218,6 +1218,53 @@ def q_value_rank(sf_dir: str):
     return global_rank(ds, "value", "event_id")
 
 
+def q_profile_drift(sf_dir: str):
+    """A/B snapshot stats drift (even vs odd event_id halves of events):
+    two fused profile scans, driver-side join of per-column rows —
+    exact integers + rendered min/max + change flags, no floats."""
+    from data_linter_ray.functions.profile import profile_drift
+
+    cols = ["event_id", "user_id", "event_type", "ts"]
+
+    def half(parity: int):
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t["event_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            m = pc.equal(
+                pc.bit_wise_and(ids, 1), pa.scalar(parity, ids.type)
+            )
+            return t.filter(m)
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=cols
+        ).map_batches(keep, batch_format="pyarrow")
+
+    return profile_drift(half(0), half(1), cols)
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact quantile_disc at 8 fractions WITHOUT a sort: multi-round
+    histogram refinement (K-bucket partials driver-summed, interval
+    narrows K× per round, bounded final collect). max_collect=50 forces
+    the multi-round path even at test scale."""
+    from data_linter_ray.functions.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return exact_quantiles(
+        ds, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0], max_collect=50
+    )
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition counts (top-token /
+    duplicate-trigram numerators+denominators, integer-exact): one
+    doc-local map_batches pass, zero shuffle."""
+    from data_linter_ray.functions.text import repetition_stats
+
+    return repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_tfidf_terms(sf_dir: str):
     """Top-3 TF-IDF terms per document: distributed df exchange →
     vocabulary-bounded broadcast → one shuffle-free corpus pass with
@@ -1285,6 +1332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_violations": q_fd_violations,
         "value_rank": q_value_rank,
         "tfidf_terms": q_tfidf_terms,
+        "repetition_stats": q_repetition_stats,
+        "value_quantiles": q_value_quantiles,
+        "profile_drift": q_profile_drift,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
@@ -1479,6 +1529,57 @@ def oracle_sql() -> dict[str, str]:
         "value_rank": (
             'SELECT event_id, value, rank() OVER (ORDER BY value) AS "rank" '
             "FROM events WHERE value IS NOT NULL"
+        ),
+        "profile_drift": (
+            "WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0), "
+            "b AS (SELECT * FROM events WHERE event_id % 2 = 1), "
+            "prof_a AS ("
+            "SELECT 'event_id' AS col, count(*) AS n, count(*) - count(event_id) AS n_null, CAST(min(event_id) AS VARCHAR) AS min_str, CAST(max(event_id) AS VARCHAR) AS max_str FROM a "
+            "UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM a "
+            "UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type), min(event_type), max(event_type) FROM a "
+            "UNION ALL SELECT 'ts', count(*), count(*) - count(ts), CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR) FROM a), "
+            "prof_b AS ("
+            "SELECT 'event_id' AS col, count(*) AS n, count(*) - count(event_id) AS n_null, CAST(min(event_id) AS VARCHAR) AS min_str, CAST(max(event_id) AS VARCHAR) AS max_str FROM b "
+            "UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM b "
+            "UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type), min(event_type), max(event_type) FROM b "
+            "UNION ALL SELECT 'ts', count(*), count(*) - count(ts), CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR) FROM b) "
+            "SELECT pa.col AS \"column\", pa.n AS n_a, pb.n AS n_b, pb.n - pa.n AS n_delta, "
+            "pa.n_null AS n_null_a, pb.n_null AS n_null_b, "
+            "pa.min_str AS min_a, pb.min_str AS min_b, pa.max_str AS max_a, pb.max_str AS max_b, "
+            "pa.min_str IS DISTINCT FROM pb.min_str AS min_changed, "
+            "pa.max_str IS DISTINCT FROM pb.max_str AS max_changed "
+            "FROM prof_a pa JOIN prof_b pb ON pa.col = pb.col"
+        ),
+        "value_quantiles": (
+            "WITH lq AS (SELECT quantile_disc(value, "
+            "[0.01,0.1,0.25,0.5,0.75,0.9,0.99,1.0]) AS vs FROM events) "
+            "SELECT unnest([0.01,0.1,0.25,0.5,0.75,0.9,0.99,1.0]) AS q, "
+            "unnest(vs) AS value FROM lq"
+        ),
+        "repetition_stats": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '') AS tk "
+            "FROM documents), "
+            "tc AS (SELECT doc_id, tok, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY doc_id, tok), "
+            "ts AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, "
+            "max(c)::BIGINT AS top_token_n FROM tc GROUP BY doc_id), "
+            "grams AS (SELECT doc_id, CASE WHEN len(tk) >= 3 "
+            "THEN list_transform(generate_series(1, len(tk)-2), "
+            "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2]) "
+            "ELSE [] END AS g3 FROM toks), "
+            "gc AS (SELECT doc_id, g, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(g3) AS g FROM grams) GROUP BY doc_id, g), "
+            "gs AS (SELECT doc_id, sum(c)::BIGINT AS n_trigrams, "
+            "count(*)::BIGINT AS n_distinct_trigrams, "
+            "max(c)::BIGINT AS top_trigram_n FROM gc GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(ts.n_tokens, 0) AS n_tokens, "
+            "coalesce(ts.top_token_n, 0) AS top_token_n, "
+            "coalesce(gs.n_trigrams, 0) AS n_trigrams, "
+            "coalesce(gs.n_distinct_trigrams, 0) AS n_distinct_trigrams, "
+            "coalesce(gs.top_trigram_n, 0) AS top_trigram_n "
+            "FROM documents d LEFT JOIN ts ON ts.doc_id = d.doc_id "
+            "LEFT JOIN gs ON gs.doc_id = d.doc_id"
         ),
         "tfidf_terms": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("

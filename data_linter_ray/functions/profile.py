@@ -238,3 +238,57 @@ def profile_dataset(
             ),
         }
     )
+
+
+def profile_drift(
+    ds_a: Dataset,
+    ds_b: Dataset,
+    columns: list[str],
+    hll_p: int = 12,
+) -> pa.Table:
+    """Schema/stats drift between two snapshots of the same table —
+    the reference's per-run profile (`data_linter`'s response-log column
+    stats) extended to an A/B compare a user runs between yesterday's
+    and today's landed partitions.
+
+    Runs :func:`profile_dataset` once per snapshot (each a single fused
+    streaming scan) and joins the two tiny per-column result tables on
+    the driver. Emitted fields are exact integers / rendered min-max
+    strings plus integer deltas and boolean change flags — no float
+    arithmetic, so the whole output is SQL-oracle hash-exact. The
+    approximate HLL distinct counts are compared separately with
+    :func:`state.sketches` drift verdicts (tolerance-based), not here."""
+    pa_a = profile_dataset(ds_a, columns, hll_p)
+    pa_b = profile_dataset(ds_b, columns, hll_p)
+    a = {r["column"]: r for r in pa_a.to_pylist()}
+    b = {r["column"]: r for r in pa_b.to_pylist()}
+    rows = {
+        "column": columns,
+        "n_a": [a[c]["n"] for c in columns],
+        "n_b": [b[c]["n"] for c in columns],
+        "n_delta": [b[c]["n"] - a[c]["n"] for c in columns],
+        "n_null_a": [a[c]["n_null"] for c in columns],
+        "n_null_b": [b[c]["n_null"] for c in columns],
+        "min_a": [a[c]["min_str"] for c in columns],
+        "min_b": [b[c]["min_str"] for c in columns],
+        "max_a": [a[c]["max_str"] for c in columns],
+        "max_b": [b[c]["max_str"] for c in columns],
+        "min_changed": [a[c]["min_str"] != b[c]["min_str"] for c in columns],
+        "max_changed": [a[c]["max_str"] != b[c]["max_str"] for c in columns],
+    }
+    return pa.table(
+        {
+            "column": pa.array(rows["column"], pa.string()),
+            "n_a": pa.array(rows["n_a"], pa.int64()),
+            "n_b": pa.array(rows["n_b"], pa.int64()),
+            "n_delta": pa.array(rows["n_delta"], pa.int64()),
+            "n_null_a": pa.array(rows["n_null_a"], pa.int64()),
+            "n_null_b": pa.array(rows["n_null_b"], pa.int64()),
+            "min_a": pa.array(rows["min_a"], pa.string()),
+            "min_b": pa.array(rows["min_b"], pa.string()),
+            "max_a": pa.array(rows["max_a"], pa.string()),
+            "max_b": pa.array(rows["max_b"], pa.string()),
+            "min_changed": pa.array(rows["min_changed"], pa.bool_()),
+            "max_changed": pa.array(rows["max_changed"], pa.bool_()),
+        }
+    )

@@ -1,0 +1,180 @@
+"""Exact distributed quantiles — sort-free multi-round histogram
+refinement.
+
+``ds.sort`` on a 10^12-row column is a full all-to-all shuffle just to
+read a handful of order statistics. Exact quantiles only need the kth
+smallest value for k = max(ceil(n·q), 1) (DuckDB ``quantile_disc``'s
+rank rule, verified empirically) — and kth-smallest is findable with a
+few *scans* instead of a sort:
+
+  pass 0: count + min/max aggregate over the pruned column.
+  round r: one scan computes, for every still-active target interval,
+      a K-bucket fixed-width histogram (``np.bincount`` partials as
+      bytes, one tiny row per batch, driver-summed — the same
+      partials-as-data pattern as ``functions.ranking``). The driver
+      walks the cumulative counts to find each target's bucket,
+      accumulates the rank offset of everything below it, and narrows
+      the interval by a factor of K.
+  final: when a target's interval holds ≤ ``max_collect`` values, one
+      filtered scan collects just those values (bounded driver
+      materialization, documented) and ``np.partition`` picks the
+      answer.
+
+Interval membership is defined by the CHAIN of bucket predicates
+(`clip(floor((v - lo)/w), 0, K-1) == b` per round) rather than value
+range compares, so float boundary rounding can never double- or
+zero-count a value: the same formula assigns buckets in every pass.
+n shrinks by K× per round — 10^12 rows reach ``max_collect`` in 2
+rounds at K=1024 — so total cost is ~3-4 column-pruned streaming scans
+and no shuffle at all. Heavy duplicate skew collapses the interval onto
+one value; after ``max_rounds`` the interval is narrower than float64
+resolution, so any member IS the answer (collected with ``limit(1)``).
+
+Scale note: every pass streams; nothing but K·(#intervals) int64
+counters and ≤ ``max_collect`` final candidates ever reach the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+
+def _chain_mask(v: np.ndarray, chain: list[tuple[float, float, int]], K: int) -> np.ndarray:
+    mask = np.ones(len(v), dtype=bool)
+    for lo, w, b in chain:
+        idx = np.clip(np.floor((v - lo) / w).astype(np.int64), 0, K - 1)
+        mask &= idx == b
+    return mask
+
+
+def exact_quantiles(
+    ds: Dataset,
+    value_col: str,
+    qs: list[float],
+    *,
+    n_buckets: int = 1024,
+    max_collect: int = 65536,
+    max_rounds: int = 8,
+):
+    """→ pandas DataFrame (q, value): the exact ``quantile_disc`` of
+    ``value_col`` at each q in ``qs`` (kth smallest, k = max(ceil(n·q), 1);
+    nulls excluded). See module docstring for the scan-based algorithm."""
+    import pandas as pd
+
+    K = n_buckets
+    pruned = ds.select_columns([value_col])
+    agg = pruned.aggregate(
+        ray.data.aggregate.Count(value_col, ignore_nulls=True),
+        ray.data.aggregate.Min(value_col),
+        ray.data.aggregate.Max(value_col),
+    )
+    n = int(agg[f"count({value_col})"])
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64), "value": np.nan})
+    lo0, hi0 = float(agg[f"min({value_col})"]), float(agg[f"max({value_col})"])
+
+    # one state per target: remaining rank within the chain-defined
+    # interval, the chain itself, and the interval's (lo, width/K)
+    targets = []
+    for q in qs:
+        r = max(math.ceil(n * float(q)), 1)
+        targets.append(
+            {"q": float(q), "rank": r, "chain": [], "lo": lo0,
+             "w": (hi0 - lo0) / K or 1.0, "count": n, "value": None}
+        )
+    if hi0 == lo0:
+        for t in targets:
+            t["value"] = lo0
+
+    for _ in range(max_rounds):
+        active = [t for t in targets if t["value"] is None and t["count"] > max_collect]
+        if not active:
+            break
+        # distinct intervals this round (targets often share early ones)
+        intervals: list[tuple] = []
+        key_of = {}
+        for t in active:
+            key = (t["lo"], t["w"], tuple(t["chain"]))
+            if key not in key_of:
+                key_of[key] = len(intervals)
+                intervals.append((t["lo"], t["w"], list(t["chain"])))
+        J = len(intervals)
+
+        def hist(tb: pa.Table, intervals=intervals, J=J) -> pa.Table:
+            col = tb[value_col]
+            v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+            out = np.zeros((J, K), dtype=np.int64)
+            for j, (lo, w, chain) in enumerate(intervals):
+                m = _chain_mask(v, chain, K)
+                idx = np.clip(
+                    np.floor((v[m] - lo) / w).astype(np.int64), 0, K - 1
+                )
+                out[j] = np.bincount(idx, minlength=K)
+            return pa.table({"_h": pa.array([out.tobytes()], pa.binary())})
+
+        total = np.zeros((J, K), dtype=np.int64)
+        for b in pruned.map_batches(hist, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for payload in b["_h"].to_pylist():
+                total += np.frombuffer(payload, np.int64).reshape(J, K)
+
+        for t in active:
+            j = key_of[(t["lo"], t["w"], tuple(t["chain"]))]
+            cum = np.cumsum(total[j])
+            b = int(np.searchsorted(cum, t["rank"], side="left"))
+            below = int(cum[b - 1]) if b else 0
+            t["chain"] = t["chain"] + [(t["lo"], t["w"], b)]
+            t["rank"] -= below
+            t["count"] = int(total[j][b])
+            t["lo"] = t["lo"] + b * t["w"]
+            t["w"] = t["w"] / K
+
+    for t in targets:
+        if t["value"] is not None:
+            continue
+        chain, rank = t["chain"], t["rank"]
+        if t["count"] > max_collect:
+            # narrower than float64 resolution ⇒ every member equal
+            def first_member(tb: pa.Table, chain=chain) -> pa.Table:
+                col = tb[value_col].drop_null()
+                v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                m = _chain_mask(v, chain, K)
+                return pa.table({"value": col.filter(pa.array(m))})
+
+            row = (
+                pruned.map_batches(first_member, batch_format="pyarrow")
+                .limit(1)
+                .take_all()
+            )
+            t["value"] = row[0]["value"]
+            continue
+
+        def members(tb: pa.Table, chain=chain) -> pa.Table:
+            col = tb[value_col].drop_null()
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            m = _chain_mask(v, chain, K)
+            return pa.table({"value": col.filter(pa.array(m))})
+
+        vals = np.concatenate(
+            [
+                b["value"].to_numpy(zero_copy_only=False)
+                for b in pruned.map_batches(members, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0)]
+        )
+        t["value"] = np.partition(vals, rank - 1)[rank - 1]
+
+    return pd.DataFrame(
+        {
+            "q": pd.Series([t["q"] for t in targets], dtype=np.float64),
+            "value": [t["value"] for t in targets],
+        }
+    )

@@ -545,3 +545,67 @@ def tfidf_top_terms(
     return ds.select_columns([id_col, text_col]).map_batches(
         Scorer, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+def repetition_stats(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 "repetition" filters, as used by RefinedWeb / Dolma): per doc
+
+      - ``n_tokens``            total tokens
+      - ``top_token_n``         occurrences of the most frequent token
+      - ``n_trigrams``          total token trigrams (with multiplicity)
+      - ``n_distinct_trigrams`` distinct token trigrams
+      - ``top_trigram_n``       occurrences of the most frequent trigram
+
+    All five are INTEGER counts (callers derive the Gopher ratios
+    ``top_token_n/n_tokens`` and ``1 - n_distinct/n_trigrams`` — emitting
+    numerators/denominators keeps the SQL oracle hash-exact with no
+    float-summation order hazard). Everything is doc-local: one
+    ``map_batches`` pass, zero shuffle. Gram identity uses the 64-bit
+    token-hash pipeline (collision odds ~1e-15 per doc at 100 grams —
+    distinctness counts match string distinctness in practice)."""
+    import pandas as pd
+
+    from data_linter_ray.functions.dedup import _shingle_hashes, _token_hashes
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        h, parents = _token_hashes(t[text_col])
+        n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+
+        def per_doc_counts(keys: np.ndarray, par: np.ndarray):
+            """→ (n_total, n_distinct, top_n) per doc for (par, key) items."""
+            total = np.bincount(par, minlength=n).astype(np.int64)
+            if len(keys) == 0:
+                z = np.zeros(n, dtype=np.int64)
+                return total, z.copy(), z.copy()
+            order = np.lexsort((keys, par))
+            sk, sp = keys[order], par[order]
+            new = np.empty(len(sk), dtype=bool)
+            new[0] = True
+            new[1:] = (sk[1:] != sk[:-1]) | (sp[1:] != sp[:-1])
+            starts = np.flatnonzero(new)
+            runs = np.diff(np.append(starts, len(sk)))
+            run_doc = sp[starts]
+            distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+            top = np.zeros(n, dtype=np.int64)
+            np.maximum.at(top, run_doc, runs)
+            return total, distinct, top
+
+        _, _, top_token = per_doc_counts(h, parents)
+        g, gp = _shingle_hashes(h, parents, 3)
+        n_tri, n_dist_tri, top_tri = per_doc_counts(g, gp)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(n_tokens),
+                "top_token_n": pa.array(top_token),
+                "n_trigrams": pa.array(n_tri),
+                "n_distinct_trigrams": pa.array(n_dist_tri),
+                "top_trigram_n": pa.array(top_tri),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow"
+    )

@@ -428,3 +428,102 @@ def test_tfidf_top_terms_vs_duckdb(ray_session, sf_dir):
     assert list(got["term"]) == list(exp["term"])
     assert (got["tf"].to_numpy() == exp["tf"].to_numpy()).all()
     assert (got["df"].to_numpy() == exp["df"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher filters)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_crafted(ray_session):
+    from data_linter_ray.functions.text import repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "spam spam spam spam spam",      # one token ×5 → 3 identical trigrams
+                "a b c a b c a b c",             # 7 trigrams, 3 distinct, top=3
+                "all distinct words right here",
+                "",                               # empty doc → all zeros
+            ],
+        }
+    )
+    got = (
+        repetition_stats(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1].tolist() == [5, 5, 3, 1, 3]
+    assert got.loc[2].tolist() == [9, 3, 7, 3, 3]
+    assert got.loc[3].tolist() == [5, 1, 3, 3, 1]
+    assert got.loc[4].tolist() == [0, 0, 0, 0, 0]
+
+
+def test_repetition_stats_vs_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    got = e.queries()["repetition_stats"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(e.oracle_sql()["repetition_stats"]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_exact_quantiles_matches_quantile_disc(ray_session, sf_dir):
+    import duckdb
+    import numpy as np
+
+    from data_linter_ray.functions.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    lst = "[" + ",".join(map(str, qs)) + "]"
+    exp = (
+        duckdb.sql(
+            f"WITH lq AS (SELECT quantile_disc(value, {lst}) AS vs "
+            f"FROM read_parquet('{sf_dir}/events.parquet')) "
+            f"SELECT unnest({lst}) AS q, unnest(vs) AS value FROM lq"
+        )
+        .df()["value"]
+        .to_numpy()
+    )
+    # multi-round refinement path (max_collect=50) AND single-collect path
+    for mc in (50, 65536):
+        got = (
+            exact_quantiles(ds, "value", qs, max_collect=mc)
+            .sort_values("q")["value"]
+            .to_numpy()
+        )
+        assert (got == exp).all(), (mc, got, exp)
+
+
+def test_exact_quantiles_duplicate_heavy_and_small(ray_session):
+    import numpy as np
+
+    from data_linter_ray.functions.quantiles import exact_quantiles
+
+    # one dominant duplicated value exercises the non-shrinking-interval
+    # guard (interval collapses to width < resolution → limit(1) member)
+    vals = [7.5] * 5000 + [1.0, 2.0, 99.0, None]
+    ds = ray.data.from_items([{"v": v} for v in vals]).repartition(4)
+    got = exact_quantiles(ds, "v", [0.5, 1.0], max_collect=10, max_rounds=3)
+    assert dict(zip(got["q"], got["value"])) == {0.5: 7.5, 1.0: 99.0}
+
+    # constant column
+    ds2 = ray.data.from_items([{"v": 3.25}] * 100)
+    got2 = exact_quantiles(ds2, "v", [0.0, 0.5, 1.0])
+    assert set(got2["value"]) == {3.25}
