@@ -1246,13 +1246,14 @@ def q_profile_drift(sf_dir: str):
 def q_value_quantiles(sf_dir: str):
     """Exact quantile_disc at 8 fractions WITHOUT a sort: multi-round
     histogram refinement (K-bucket partials driver-summed, interval
-    narrows K× per round, bounded final collect). max_collect=50 forces
-    the multi-round path even at test scale."""
+    narrows K× per round, bounded final single-scan collect). Production
+    defaults: ~3 streaming scans total; the multi-round path is
+    exercised by pytest with max_collect forced low."""
     from data_linter_ray.functions.quantiles import exact_quantiles
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
     return exact_quantiles(
-        ds, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0], max_collect=50
+        ds, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
     )
 
 

@@ -150,6 +150,9 @@ QUERY_NAMES = [
     "fd_violations",
     "value_rank",
     "tfidf_terms",
+    "repetition_stats",
+    "value_quantiles",
+    "profile_drift",
 ]
 
 

@@ -136,41 +136,53 @@ def exact_quantiles(
             t["lo"] = t["lo"] + b * t["w"]
             t["w"] = t["w"] / K
 
-    for t in targets:
-        if t["value"] is not None:
-            continue
-        chain, rank = t["chain"], t["rank"]
-        if t["count"] > max_collect:
-            # narrower than float64 resolution ⇒ every member equal
-            def first_member(tb: pa.Table, chain=chain) -> pa.Table:
-                col = tb[value_col].drop_null()
-                v = col.to_numpy(zero_copy_only=False).astype(np.float64)
-                m = _chain_mask(v, chain, K)
-                return pa.table({"value": col.filter(pa.array(m))})
+    # final collect: ONE scan gathers every open target's interval
+    # members as (tgt, value) rows — 8 targets is 8× fewer passes than
+    # a scan per target. Stuck intervals (count still > max_collect
+    # after max_rounds: the interval is narrower than float64
+    # resolution, every member equal) only need one member, so their
+    # per-batch contribution is truncated to a single row.
+    open_targets = [
+        (i, t) for i, t in enumerate(targets) if t["value"] is None
+    ]
+    if open_targets:
+        plans = [
+            (i, list(t["chain"]), t["count"] > max_collect)
+            for i, t in open_targets
+        ]
 
-            row = (
-                pruned.map_batches(first_member, batch_format="pyarrow")
-                .limit(1)
-                .take_all()
-            )
-            t["value"] = row[0]["value"]
-            continue
-
-        def members(tb: pa.Table, chain=chain) -> pa.Table:
+        def members(tb: pa.Table, plans=plans) -> pa.Table:
             col = tb[value_col].drop_null()
             v = col.to_numpy(zero_copy_only=False).astype(np.float64)
-            m = _chain_mask(v, chain, K)
-            return pa.table({"value": col.filter(pa.array(m))})
+            tgt_out, val_out = [], []
+            for i, chain, stuck in plans:
+                m = _chain_mask(v, chain, K)
+                mv = v[m]
+                if stuck and len(mv) > 1:
+                    mv = mv[:1]
+                tgt_out.append(np.full(len(mv), i, dtype=np.int64))
+                val_out.append(mv)
+            return pa.table(
+                {
+                    "tgt": np.concatenate(tgt_out or [np.empty(0, np.int64)]),
+                    "value": np.concatenate(val_out or [np.empty(0)]),
+                }
+            )
 
-        vals = np.concatenate(
-            [
-                b["value"].to_numpy(zero_copy_only=False)
-                for b in pruned.map_batches(members, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")
-            ]
-            or [np.empty(0)]
-        )
-        t["value"] = np.partition(vals, rank - 1)[rank - 1]
+        tgt_parts, val_parts = [], []
+        for b in pruned.map_batches(members, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            tgt_parts.append(b["tgt"].to_numpy(zero_copy_only=False))
+            val_parts.append(b["value"].to_numpy(zero_copy_only=False))
+        all_tgt = np.concatenate(tgt_parts or [np.empty(0, np.int64)])
+        all_val = np.concatenate(val_parts or [np.empty(0)])
+        for i, t in open_targets:
+            vals = all_val[all_tgt == i]
+            if t["count"] > max_collect:
+                t["value"] = vals[0]
+            else:
+                t["value"] = np.partition(vals, t["rank"] - 1)[t["rank"] - 1]
 
     return pd.DataFrame(
         {
