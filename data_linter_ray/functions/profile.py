@@ -219,11 +219,16 @@ def profile_dataset(
         if pa.types.is_timestamp(types[c]):
             import datetime as _dt
 
-            return str(
+            s = str(
                 _dt.datetime.fromtimestamp(v / 1e6, tz=_dt.timezone.utc).replace(
                     tzinfo=None
                 )
             )
+            # SQL VARCHAR-cast parity: trailing zeros of the fractional
+            # second are trimmed ('.032440' → '.03244', '.000000' → '')
+            if "." in s:
+                s = s.rstrip("0").rstrip(".")
+            return s
         return str(v)
 
     return pa.table(
