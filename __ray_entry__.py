@@ -1218,6 +1218,117 @@ def q_value_rank(sf_dir: str):
     return global_rank(ds, "value", "event_id")
 
 
+def q_user_event_deltas(sf_dir: str):
+    """Per-key ordered window functions (row_number, lag-gap, running
+    max) in ONE key-hash exchange + vectorized per-partition pass —
+    no global sort. run_max is a selection, so the float column stays
+    bit-exact vs SQL window functions."""
+    from data_linter_ray.functions.window import keyed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return keyed_window(ds, key="user_id", order="ts", tie="event_id", max_col="value")
+
+
+def q_funnel_stages(sf_dir: str):
+    """view→click→purchase funnel per user: first qualifying timestamp
+    per stage (strictly after the previous stage), stages-reached count.
+    One key-hash exchange, C-speed merge+groupby-min chain per
+    partition."""
+    from data_linter_ray.functions.window import funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel(
+        ds, key="user_id", order="ts", type_col="event_type",
+        stages=["view", "click", "purchase"],
+    )
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (returnflag, linestatus): per-batch arrow
+    combiner → one finest-level distributed groupby → driver fold of
+    the tiny finest table for subtotals. sum(l_quantity) is integral
+    values in float64, so the sums are associativity-exact."""
+    from data_linter_ray.functions.olap import rollup_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return rollup_counts(ds, "l_returnflag", "l_linestatus", sum_col="l_quantity")
+
+
+def q_user_event_pivot(sf_dir: str):
+    """Pivot event_type into per-category count columns, one row per
+    user: per-batch local crosstab partials (the combiner) → one
+    groupby-sum over user_id. Explicit category list keeps the output
+    schema deterministic."""
+    from data_linter_ray.functions.olap import pivot_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        ds, "user_id", "event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """All customer-name pairs within Levenshtein distance 1 via
+    deletion-neighborhood blocking (FastSS) — vectorized polynomial
+    variant hashing, bucketed candidate exchange, exact vectorized
+    verify. Never an all-pairs scan."""
+    from data_linter_ray.functions.fuzzy import fuzzy_key_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return fuzzy_key_pairs(ds, "c_custkey", "c_name").drop_columns(["truncated"])
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Row-level snapshot diff between two deterministic views of
+    orders (A = even keys; B = keys%3==0 with price doubled on %5==0):
+    one pad-union key-hash exchange, vectorized per-partition outer
+    merge + null-safe compare, only the delta leaves the partition."""
+    from data_linter_ray.functions.diff import snapshot_diff
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def view_a(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        return t.filter(pc.and_kleene(k.is_valid(), pc.equal(pc.bit_wise_and(k, 1), 0)))
+
+    def view_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        t = t.filter(
+            pc.and_kleene(
+                k.is_valid(),
+                pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 3), 3)), 0),
+            )
+        )
+        k = t["o_orderkey"]
+        bump = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 5), 5)), 0)
+        price = pc.if_else(
+            bump, pc.multiply(t["o_totalprice"], 2.0), t["o_totalprice"]
+        )
+        return t.set_column(
+            t.schema.get_field_index("o_totalprice"), "o_totalprice", price
+        )
+
+    def read():
+        return ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    a = read().map_batches(view_a, batch_format="pyarrow")
+    b = read().map_batches(view_b, batch_format="pyarrow")
+    return snapshot_diff(a, b, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+
+
 def q_profile_drift(sf_dir: str):
     """A/B snapshot stats drift (even vs odd event_id halves of events):
     two fused profile scans, driver-side join of per-column rows —
@@ -1336,6 +1447,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "value_quantiles": q_value_quantiles,
         "profile_drift": q_profile_drift,
+        "user_event_deltas": q_user_event_deltas,
+        "funnel_stages": q_funnel_stages,
+        "lineitem_rollup": q_lineitem_rollup,
+        "user_event_pivot": q_user_event_pivot,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "snapshot_diff": q_snapshot_diff,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
@@ -1530,6 +1647,80 @@ def oracle_sql() -> dict[str, str]:
         "value_rank": (
             'SELECT event_id, value, rank() OVER (ORDER BY value) AS "rank" '
             "FROM events WHERE value IS NOT NULL"
+        ),
+        "snapshot_diff": (
+            "WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+            "FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 2 = 0), "
+            "b AS (SELECT o_orderkey, o_orderstatus, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 "
+            "ELSE o_totalprice END AS o_totalprice "
+            "FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 3 = 0) "
+            "SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey, "
+            "CASE WHEN a.o_orderkey IS NULL THEN 'added' "
+            "WHEN b.o_orderkey IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS status, "
+            "CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL "
+            "THEN concat_ws(',', "
+            "CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus "
+            "THEN 'o_orderstatus' END, "
+            "CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice "
+            "THEN 'o_totalprice' END) END AS changed_cols "
+            "FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey "
+            "WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL "
+            "OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus "
+            "OR a.o_totalprice IS DISTINCT FROM b.o_totalprice"
+        ),
+        "fuzzy_name_pairs": (
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+            "a.c_name AS name_a, b.c_name AS name_b, "
+            "levenshtein(a.c_name, b.c_name)::BIGINT AS dist "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL "
+            "AND a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL "
+            "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
+            "AND levenshtein(a.c_name, b.c_name) <= 1"
+        ),
+        "lineitem_rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "sum(l_quantity) AS sum_l_quantity FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "user_event_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (event_type = 'click') AS click, "
+            "count(*) FILTER (event_type = 'error') AS error, "
+            "count(*) FILTER (event_type = 'purchase') AS purchase, "
+            "count(*) FILTER (event_type = 'signup') AS signup, "
+            "count(*) FILTER (event_type = 'view') AS \"view\" "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY user_id"
+        ),
+        "user_event_deltas": (
+            "SELECT user_id, ts, event_id, "
+            "row_number() OVER w AS seq, "
+            "datediff('microsecond', lag(ts) OVER w, ts) AS gap_us, "
+            "max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS run_max "
+            "FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "funnel_stages": (
+            "WITH base AS (SELECT user_id, ts, event_type FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "u AS (SELECT DISTINCT user_id FROM base), "
+            "s1 AS (SELECT user_id, min(ts) AS t1 FROM base "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT b.user_id, min(b.ts) AS t2 FROM base b "
+            "JOIN s1 USING (user_id) WHERE b.event_type = 'click' "
+            "AND b.ts > s1.t1 GROUP BY b.user_id), "
+            "s3 AS (SELECT b.user_id, min(b.ts) AS t3 FROM base b "
+            "JOIN s2 USING (user_id) WHERE b.event_type = 'purchase' "
+            "AND b.ts > s2.t2 GROUP BY b.user_id) "
+            "SELECT u.user_id, s1.t1, s2.t2, s3.t3, "
+            "((s1.t1 IS NOT NULL)::BIGINT + (s2.t2 IS NOT NULL)::BIGINT "
+            "+ (s3.t3 IS NOT NULL)::BIGINT) AS reached "
+            "FROM u LEFT JOIN s1 USING (user_id) "
+            "LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
         ),
         "profile_drift": (
             "WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0), "

@@ -153,6 +153,12 @@ QUERY_NAMES = [
     "repetition_stats",
     "value_quantiles",
     "profile_drift",
+    "user_event_deltas",
+    "funnel_stages",
+    "lineitem_rollup",
+    "user_event_pivot",
+    "fuzzy_name_pairs",
+    "snapshot_diff",
 ]
 
 

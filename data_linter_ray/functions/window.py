@@ -1,0 +1,176 @@
+"""Keyed window functions and funnel analysis.
+
+The reference engine validates per-file tables and has no ordered
+analytics; these are the windowed operators a training-data /
+product-analytics pipeline layers on the same events stream
+(sessionization's sibling ops — see ``functions/timeseries.py`` for the
+shared exchange shape).
+
+Scale shape (both ops): ONE coarse key-hash exchange
+(``exchange_width`` partitions — bytes-derived, see ``exchange.py``)
+puts every row of a key into exactly one partition; all window
+arithmetic inside the partition is vectorized pandas/numpy over the
+partition-locally sorted frame. Nothing materializes on the driver; the
+output streams. Per-key state never spans partitions, so a 256-node
+run shards cleanly by key hash.
+
+Determinism: callers pass a total order (``order`` + ``tie``); rows
+where key / order / tie are null are excluded (documented — the SQL
+oracle mirrors the filter), so output values are reproducible
+bit-for-bit and hash-exact against the SQL window-function oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from data_linter_ray.exchange import exchange_width
+
+
+def _hash_partition(ds: Dataset, key: str, cols: list[str], P: int) -> Dataset:
+    """Attach ``_part = hash(key) % P`` — the manual exchange key."""
+
+    def part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t[key].to_pandas(), index=False
+        ).to_numpy(dtype=np.uint64)
+        return t.select(cols).append_column(
+            "_part", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
+
+    return ds.select_columns(cols).map_batches(part, batch_format="pyarrow")
+
+
+def keyed_window(
+    ds: Dataset,
+    key: str,
+    order: str,
+    tie: str,
+    max_col: str | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-key ordered window functions in one pass:
+
+    - ``seq``      1-based row number per key, ordered by (order, tie)
+    - ``gap_us``   microseconds since the key's previous row (null on
+                   each key's first row) — ``order`` must be a
+                   timestamp column
+    - ``run_max``  running maximum of ``max_col`` (null-skipping, SQL
+                   ``max(...) OVER (... ROWS UNBOUNDED PRECEDING)``
+                   semantics), when ``max_col`` is given
+
+    Running max is a SELECTION (never arithmetic), so float columns
+    stay bit-exact against the SQL oracle. Rows with null key / order /
+    tie are dropped (mirrored by the oracle's WHERE clause).
+    """
+    P = num_partitions or exchange_width(ds)
+    cols = [key, order, tie] + ([max_col] if max_col else [])
+    types = {c: ds.schema().base_schema.field(c).type for c in cols}
+
+    def win(g: pd.DataFrame) -> pa.Table:
+        g = g.dropna(subset=[key, order, tie])
+        g = g.sort_values([key, order, tie], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        k = g[key].to_numpy()
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        # per-key 1-based rank: global index minus the key's start index
+        seq = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, n))
+        ) + 1 if n else np.empty(0, dtype=np.int64)
+        ts = g[order].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(n, dtype=np.int64)
+        if n:
+            gap[1:] = ts[1:] - ts[:-1]
+            gap[0] = 0
+        out = {
+            key: g[key],
+            order: g[order],
+            tie: g[tie],
+            "seq": pd.Series(seq),
+            "gap_us": pd.Series(gap).astype("Int64").mask(pd.Series(new)),
+        }
+        if max_col is not None:
+            # SQL running max carries the prior max ACROSS null rows;
+            # pandas cummax leaves NaN at null positions — forward-fill
+            # the cummax inside each key to match
+            run = g.groupby(k, sort=False)[max_col].cummax()
+            out["run_max"] = run.groupby(k, sort=False).ffill()
+        res = pd.DataFrame(out)
+        # a partition whose block carried nulls float-promoted integer
+        # sources; after the dropna the cast back is lossless — one
+        # schema across all partitions
+        for c in (key, tie):
+            if pa.types.is_integer(types[c]):
+                res[c] = res[c].astype(np.int64)
+        return pa.Table.from_pandas(res, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        _hash_partition(ds, key, cols, P)
+        .groupby("_part")
+        .map_groups(win, batch_format="pandas")
+    )
+
+
+def funnel(
+    ds: Dataset,
+    key: str,
+    order: str,
+    type_col: str,
+    stages: list[str],
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Ordered funnel: for each key, the first time it completes each
+    stage STRICTLY AFTER completing the previous one (the classic
+    product-analytics view→click→purchase chain).
+
+    Output: one row per key holding ≥1 event — ``t1..tN`` (first
+    qualifying timestamp per stage, null once the chain breaks) and
+    ``reached`` (number of stages completed, 0..N).
+
+    Per-partition chain: stage i's candidate rows merge against stage
+    i-1's per-key threshold, keep rows with ``order`` strictly greater,
+    then a C-speed groupby-min — no Python row loops. Rows with null
+    key / order are excluded (oracle mirrors)."""
+    P = num_partitions or exchange_width(ds)
+    cols = [key, order, type_col]
+    key_type = ds.schema().base_schema.field(key).type
+
+    def fun(g: pd.DataFrame) -> pa.Table:
+        g = g.dropna(subset=[key, order])
+        out = (
+            g[[key]].drop_duplicates().sort_values(key).set_index(key)
+        )
+        cur: pd.Series | None = None
+        for i, s in enumerate(stages):
+            rows = g[g[type_col] == s][[key, order]]
+            if cur is not None:
+                rows = rows.merge(
+                    cur.rename("_thr"), left_on=key, right_index=True
+                ).rename_axis(None)
+                rows = rows[rows[order] > rows["_thr"]]
+            cur = rows.groupby(key)[order].min()
+            out[f"t{i + 1}"] = cur
+        out["reached"] = (
+            out[[f"t{i + 1}" for i in range(len(stages))]].notna().sum(axis=1).astype(np.int64)
+        )
+        res = out.reset_index()
+        if pa.types.is_integer(key_type):
+            res[key] = res[key].astype(np.int64)
+        for i in range(len(stages)):
+            # empty partitions / all-null stages must still carry the
+            # timestamp dtype — one schema across partitions
+            res[f"t{i + 1}"] = res[f"t{i + 1}"].astype("datetime64[us]")
+        return pa.Table.from_pandas(res, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        _hash_partition(ds, key, cols, P)
+        .groupby("_part")
+        .map_groups(fun, batch_format="pandas")
+    )

@@ -1,0 +1,264 @@
+"""Window / funnel / rollup / pivot / fuzzy / diff operator tests —
+crafted edge cases plus DuckDB parity on real testdata."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _oracle_check(name: str, sf_dir: str, tables=("events",)):
+    import __ray_entry__ as e
+
+    got = e.queries()[name](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    exp = con.execute(e.oracle_sql()[name]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    return a
+
+
+# ---------------------------------------------------------------------------
+# keyed window functions
+# ---------------------------------------------------------------------------
+
+
+def test_keyed_window_crafted(ray_session):
+    from data_linter_ray.functions.window import keyed_window
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:05", "2024-01-01 00:00:05",
+         "2024-01-01 00:01:00", None, "2024-01-01 00:00:30"]
+    )
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, None], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "i": pa.array([10, 11, 12, 20, 21, 30], pa.int64()),
+            "v": pa.array([None, 5.0, 1.0, None, 2.0, 9.0], pa.float64()),
+        }
+    )
+    out = (
+        keyed_window(ray.data.from_arrow(t).repartition(3), "k", "ts", "i", "v")
+        .to_pandas()
+        .sort_values(["k", "seq"])
+        .reset_index(drop=True)
+    )
+    # null key and null ts rows dropped
+    assert len(out) == 4
+    assert out["k"].tolist() == [1, 1, 1, 2]
+    assert out["seq"].tolist() == [1, 2, 3, 1]
+    # first row of each key: null gap; tie broken by i
+    assert out["gap_us"].tolist()[0] is pd.NA or pd.isna(out["gap_us"].iloc[0])
+    assert out["gap_us"].iloc[1] == 5_000_000
+    assert out["gap_us"].iloc[2] == 0
+    # running max skips nulls and CARRIES across them (SQL semantics)
+    assert pd.isna(out["run_max"].iloc[0])
+    assert out["run_max"].iloc[1] == 5.0
+    assert out["run_max"].iloc[2] == 5.0
+
+
+def test_user_event_deltas_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("user_event_deltas", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_crafted(ray_session):
+    from data_linter_ray.functions.window import funnel
+
+    def ev(k, t, typ):
+        return {"k": k, "ts": pd.Timestamp(t), "typ": typ}
+
+    rows = [
+        # user 1 completes the full funnel
+        ev(1, "2024-01-01 00:00", "view"),
+        ev(1, "2024-01-01 00:01", "click"),
+        ev(1, "2024-01-01 00:02", "purchase"),
+        # user 2: click BEFORE view → stage 2 requires strictly-after
+        ev(2, "2024-01-01 00:00", "click"),
+        ev(2, "2024-01-01 00:01", "view"),
+        # user 3: click at the SAME instant as view → strict > fails
+        ev(3, "2024-01-01 00:00", "view"),
+        ev(3, "2024-01-01 00:00", "click"),
+        # user 4: no funnel events at all
+        ev(4, "2024-01-01 00:00", "error"),
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    out = (
+        funnel(ds, "k", "ts", "typ", ["view", "click", "purchase"])
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert out["reached"].tolist() == [3, 1, 1, 0]
+    assert pd.isna(out.loc[2, "t2"]) and pd.isna(out.loc[3, "t2"])
+
+
+def test_funnel_stages_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("funnel_stages", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# rollup / pivot
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_crafted(ray_session):
+    from data_linter_ray.functions.olap import rollup_counts
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "y", "y", "y"],
+            "b": ["p", "q", "p", "p", "q"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = rollup_counts(
+        ray.data.from_arrow(t).repartition(3), "a", "b", sum_col="v"
+    ).to_pandas()
+    key = out.set_index(["a", "b"])
+    assert key.loc[("x", "p"), "n"] == 1
+    assert key.loc[("y", "p"), "n"] == 2 and key.loc[("y", "p"), "sum_v"] == 7.0
+    sub = out[out["b"].isna() & out["a"].notna()].set_index("a")
+    assert sub.loc["x", "n"] == 2 and sub.loc["y", "sum_v"] == 12.0
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert total["n"].iloc[0] == 5 and total["sum_v"].iloc[0] == 15.0
+
+
+def test_lineitem_rollup_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("lineitem_rollup", sf_dir, tables=("lineitem",))
+
+
+def test_pivot_crafted(ray_session):
+    from data_linter_ray.functions.olap import pivot_counts
+
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 2, None, 2, 1], pa.int64()),
+            "c": ["a", "b", "a", "a", "zzz", "a"],
+        }
+    )
+    out = (
+        pivot_counts(ray.data.from_arrow(t).repartition(3), "u", "c", ["a", "b"])
+        .to_pandas()
+        .set_index("u")
+        .sort_index()
+    )
+    # null index dropped; unknown category 'zzz' ignored
+    assert out.loc[1].tolist() == [2, 1]
+    assert out.loc[2].tolist() == [1, 0]
+
+
+def test_user_event_pivot_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("user_event_pivot", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_crafted_all_edit_kinds(ray_session):
+    from data_linter_ray.functions.fuzzy import fuzzy_key_pairs
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "s": ["kitten", "mitten", "kitte", "kittens", "kitten", "banana", None],
+        }
+    )
+    out = (
+        fuzzy_key_pairs(ray.data.from_arrow(t).repartition(3), "id", "s")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pairs = {(r.id_a, r.id_b): r.dist for r in out.itertuples()}
+    assert pairs[(1, 2)] == 1  # substitution
+    assert pairs[(1, 3)] == 1  # deletion
+    assert pairs[(1, 4)] == 1  # insertion
+    assert pairs[(1, 5)] == 0  # exact duplicate
+    assert pairs[(2, 5)] == 1 and pairs[(3, 5)] == 1 and pairs[(4, 5)] == 1
+    assert all(b != 6 and a != 6 for a, b in pairs)  # banana matches nothing
+    # distance-2 pairs never emitted: mitten vs kitte is dist 2
+    assert (2, 3) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_fuzzy_truncation_flag(ray_session):
+    from data_linter_ray.functions.fuzzy import fuzzy_key_pairs
+
+    # 12 identical strings in one bucket with max_bucket=8 → truncated
+    t = pa.table(
+        {
+            "id": pa.array(list(range(12)), pa.int64()),
+            "s": ["same"] * 12,
+        }
+    )
+    out = fuzzy_key_pairs(
+        ray.data.from_arrow(t), "id", "s", max_bucket=8
+    ).to_pandas()
+    assert out["truncated"].all()
+    assert len(out) == 8 * 7 // 2
+
+
+def test_fuzzy_name_pairs_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("fuzzy_name_pairs", sf_dir, tables=("customer",))
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_crafted(ray_session):
+    from data_linter_ray.functions.diff import snapshot_diff
+
+    a = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, None], pa.int64()),
+            "x": ["a", "b", "c", None, "e"],
+            "y": pa.array([1.0, 2.0, None, 4.0, 5.0], pa.float64()),
+        }
+    )
+    b = pa.table(
+        {
+            "k": pa.array([2, 3, 4, 5], pa.int64()),
+            "x": ["b", "C", None, "new"],
+            "y": pa.array([2.0, None, 4.5, 5.0], pa.float64()),
+        }
+    )
+    out = (
+        snapshot_diff(
+            ray.data.from_arrow(a).repartition(2),
+            ray.data.from_arrow(b).repartition(2),
+            "k",
+            ["x", "y"],
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert out.loc[1, "status"] == "removed" and out.loc[1, "changed_cols"] is None
+    assert 2 not in out.index  # identical incl. null-safe y
+    # y is null on BOTH sides for k=3 → null-safe equal, only x differs
+    assert out.loc[3, "status"] == "changed" and out.loc[3, "changed_cols"] == "x"
+    assert out.loc[4, "status"] == "changed" and out.loc[4, "changed_cols"] == "y"
+    assert out.loc[5, "status"] == "added"
+
+
+def test_snapshot_diff_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("snapshot_diff", sf_dir, tables=("orders",))
