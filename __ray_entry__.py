@@ -1291,6 +1291,31 @@ def q_fuzzy_name_pairs(sf_dir: str):
     return fuzzy_key_pairs(ds, "c_custkey", "c_name").drop_columns(["truncated"])
 
 
+BM25_QUERY = "fast hash join"
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 keyword retrieval: two streaming scans (driver-folded
+    corpus stats → vectorized scoring + per-batch top-k), zero shuffle.
+    idf computed with glibc log and SQL-order term folds, so scores are
+    IEEE-identical to the DuckDB oracle."""
+    from data_linter_ray.functions.search import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]), BM25_QUERY, k=25)
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-group quantile_disc WITHOUT sort/shuffle: per-group
+    histogram lanes in the same multi-round refinement scans; group
+    stats folded from per-batch combiner partials."""
+    from data_linter_ray.functions.quantiles import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_quantiles(ds, "value", "event_type", [0.25, 0.5, 0.9])
+
+
 def q_snapshot_diff(sf_dir: str):
     """Row-level snapshot diff between two deterministic views of
     orders (A = even keys; B = keys%3==0 with price doubled on %5==0):
@@ -1453,6 +1478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": q_user_event_pivot,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "snapshot_diff": q_snapshot_diff,
+        "grouped_quantiles": q_grouped_quantiles,
+        "bm25_topk": q_bm25_topk,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
         "star_ref_check": q_star_ref_check,
@@ -1647,6 +1674,33 @@ def oracle_sql() -> dict[str, str]:
         "value_rank": (
             'SELECT event_id, value, rank() OVER (ORDER BY value) AS "rank" '
             "FROM events WHERE value IS NOT NULL"
+        ),
+        "bm25_topk": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '')) AS tok "
+            "FROM documents WHERE doc_id IS NOT NULL), "
+            "dl AS (SELECT d.doc_id, count(t.tok) AS dl FROM documents d "
+            "LEFT JOIN toks t ON d.doc_id = t.doc_id "
+            "WHERE d.doc_id IS NOT NULL GROUP BY d.doc_id), "
+            "stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+            "WHERE tok IN ('fast','hash','join') GROUP BY doc_id, tok), "
+            "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks "
+            "WHERE tok IN ('fast','hash','join') GROUP BY tok) "
+            "SELECT tf.doc_id, sum("
+            "ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+            "* tf.tf * (1.2 + 1.0) / "
+            "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (stats.sdl / stats.n))) "
+            "ORDER BY tf.tok) AS score "
+            "FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats "
+            "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 25"
+        ),
+        "grouped_quantiles": (
+            "WITH lq AS (SELECT event_type AS \"group\", "
+            "quantile_disc(value, [0.25,0.5,0.9]) AS vs FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY event_type) "
+            "SELECT \"group\", unnest([0.25,0.5,0.9]) AS q, "
+            "unnest(vs) AS value FROM lq"
         ),
         "snapshot_diff": (
             "WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice "

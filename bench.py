@@ -159,6 +159,8 @@ QUERY_NAMES = [
     "user_event_pivot",
     "fuzzy_name_pairs",
     "snapshot_diff",
+    "grouped_quantiles",
+    "bm25_topk",
 ]
 
 

@@ -190,3 +190,175 @@ def exact_quantiles(
             "value": [t["value"] for t in targets],
         }
     )
+
+
+def grouped_quantiles(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    qs: list[float],
+    *,
+    n_buckets: int = 1024,
+    max_collect: int = 65536,
+    max_rounds: int = 8,
+):
+    """Exact per-group ``quantile_disc`` WITHOUT a sort or a per-group
+    shuffle: the same multi-round histogram refinement as
+    :func:`exact_quantiles`, with one (group, interval) histogram lane
+    per still-open target. Rows with a null group are excluded (the SQL
+    oracle mirrors); null values are ignored as usual.
+
+    Scale assumption (documented): the GROUP domain is enumerable —
+    pass 0 folds per-batch (group, n, min, max) partials on the driver,
+    so thousands of groups are fine, millions are not (use a key-hash
+    exchange + in-partition sort for high-cardinality grouping).
+
+    → pandas DataFrame (group, q, value)."""
+    import pandas as pd
+
+    K = n_buckets
+    pruned = ds.select_columns([group_col, value_col])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t[group_col].is_valid())
+        g = t.group_by([group_col]).aggregate(
+            [(value_col, "count"), (value_col, "min"), (value_col, "max")]
+        )
+        return pa.table(
+            {
+                "g": g[group_col],
+                "n": g[f"{value_col}_count"].cast(pa.int64()),
+                "lo": g[f"{value_col}_min"].cast(pa.float64()),
+                "hi": g[f"{value_col}_max"].cast(pa.float64()),
+            }
+        )
+
+    acc: dict = {}
+    for b in pruned.map_batches(stats_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for g, n, lo, hi in zip(
+            b["g"].to_pylist(), b["n"].to_pylist(),
+            b["lo"].to_pylist(), b["hi"].to_pylist(),
+        ):
+            e = acc.setdefault(g, [0, math.inf, -math.inf])
+            e[0] += n
+            if lo is not None:
+                e[1] = min(e[1], lo)
+                e[2] = max(e[2], hi)
+
+    targets = []
+    for g in sorted(acc):
+        n, lo0, hi0 = acc[g]
+        for q in qs:
+            if n == 0:
+                targets.append({"g": g, "q": float(q), "value": None, "count": 0,
+                                "rank": 0, "chain": [], "lo": 0.0, "w": 1.0})
+                continue
+            t = {"g": g, "q": float(q), "rank": max(math.ceil(n * float(q)), 1),
+                 "chain": [], "lo": lo0, "w": (hi0 - lo0) / K or 1.0,
+                 "count": n, "value": None}
+            if hi0 == lo0:
+                t["value"] = lo0
+            targets.append(t)
+
+    for _ in range(max_rounds):
+        active = [t for t in targets if t["value"] is None and t["count"] > max_collect]
+        if not active:
+            break
+        intervals: list[tuple] = []
+        key_of = {}
+        for t in active:
+            key = (t["g"], t["lo"], t["w"], tuple(t["chain"]))
+            if key not in key_of:
+                key_of[key] = len(intervals)
+                intervals.append((t["g"], t["lo"], t["w"], list(t["chain"])))
+        J = len(intervals)
+
+        def hist(tb: pa.Table, intervals=intervals, J=J) -> pa.Table:
+            tb = tb.filter(
+                pc.and_(tb[group_col].is_valid(), tb[value_col].is_valid())
+            )
+            gcol = tb[group_col].to_numpy(zero_copy_only=False)
+            v = tb[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            out = np.zeros((J, K), dtype=np.int64)
+            for j, (g, lo, w, chain) in enumerate(intervals):
+                gm = gcol == g
+                vm = v[gm]
+                m = _chain_mask(vm, chain, K)
+                idx = np.clip(np.floor((vm[m] - lo) / w).astype(np.int64), 0, K - 1)
+                out[j] = np.bincount(idx, minlength=K)
+            return pa.table({"_h": pa.array([out.tobytes()], pa.binary())})
+
+        total = np.zeros((J, K), dtype=np.int64)
+        for b in pruned.map_batches(hist, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for payload in b["_h"].to_pylist():
+                total += np.frombuffer(payload, np.int64).reshape(J, K)
+
+        for t in active:
+            j = key_of[(t["g"], t["lo"], t["w"], tuple(t["chain"]))]
+            cum = np.cumsum(total[j])
+            b = int(np.searchsorted(cum, t["rank"], side="left"))
+            below = int(cum[b - 1]) if b else 0
+            t["chain"] = t["chain"] + [(t["lo"], t["w"], b)]
+            t["rank"] -= below
+            t["count"] = int(total[j][b])
+            t["lo"] = t["lo"] + b * t["w"]
+            t["w"] = t["w"] / K
+
+    open_targets = [
+        (i, t) for i, t in enumerate(targets)
+        if t["value"] is None and t["count"] > 0
+    ]
+    if open_targets:
+        plans = [
+            (i, t["g"], list(t["chain"]), t["count"] > max_collect)
+            for i, t in open_targets
+        ]
+
+        def members(tb: pa.Table, plans=plans) -> pa.Table:
+            tb = tb.filter(
+                pc.and_(tb[group_col].is_valid(), tb[value_col].is_valid())
+            )
+            gcol = tb[group_col].to_numpy(zero_copy_only=False)
+            v = tb[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            tgt_out, val_out = [], []
+            for i, g, chain, stuck in plans:
+                vm = v[gcol == g]
+                m = _chain_mask(vm, chain, K)
+                mv = vm[m]
+                if stuck and len(mv) > 1:
+                    mv = mv[:1]
+                tgt_out.append(np.full(len(mv), i, dtype=np.int64))
+                val_out.append(mv)
+            return pa.table(
+                {
+                    "tgt": np.concatenate(tgt_out or [np.empty(0, np.int64)]),
+                    "value": np.concatenate(val_out or [np.empty(0)]),
+                }
+            )
+
+        tgt_parts, val_parts = [], []
+        for b in pruned.map_batches(members, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            tgt_parts.append(b["tgt"].to_numpy(zero_copy_only=False))
+            val_parts.append(b["value"].to_numpy(zero_copy_only=False))
+        all_tgt = np.concatenate(tgt_parts or [np.empty(0, np.int64)])
+        all_val = np.concatenate(val_parts or [np.empty(0)])
+        for i, t in open_targets:
+            vals = all_val[all_tgt == i]
+            if t["count"] > max_collect:
+                t["value"] = vals[0]
+            else:
+                t["value"] = np.partition(vals, t["rank"] - 1)[t["rank"] - 1]
+
+    return pd.DataFrame(
+        {
+            "group": [t["g"] for t in targets],
+            "q": pd.Series([t["q"] for t in targets], dtype=np.float64),
+            "value": pd.Series([t["value"] for t in targets], dtype=np.float64),
+        }
+    )

@@ -262,3 +262,61 @@ def test_snapshot_diff_crafted(ray_session):
 
 def test_snapshot_diff_vs_duckdb(ray_session, sf_dir):
     _oracle_check("snapshot_diff", sf_dir, tables=("orders",))
+
+
+# ---------------------------------------------------------------------------
+# grouped quantiles / BM25
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_quantiles_crafted(ray_session):
+    from data_linter_ray.functions.quantiles import grouped_quantiles
+
+    t = pa.table(
+        {
+            "g": ["a"] * 100 + ["b"] * 4 + ["c"] * 2 + [None] * 3,
+            "v": [float(i) for i in range(100)]
+            + [10.0, 20.0, 30.0, 40.0]
+            + [None, None]
+            + [1.0, 2.0, 3.0],
+        }
+    )
+    out = grouped_quantiles(
+        ray.data.from_arrow(t).repartition(3), "v", "g", [0.5, 1.0],
+        max_collect=10,  # force the multi-round path for group a
+    )
+    d = {(r.group, r.q): r.value for r in out.itertuples()}
+    assert d[("a", 0.5)] == 49.0 and d[("a", 1.0)] == 99.0
+    assert d[("b", 0.5)] == 20.0 and d[("b", 1.0)] == 40.0
+    assert np.isnan(d[("c", 0.5)])  # all-null group
+    assert ("", 0.5) not in d and (None, 0.5) not in d  # null group dropped
+
+
+def test_grouped_quantiles_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("grouped_quantiles", sf_dir)
+
+
+def test_bm25_crafted(ray_session):
+    from data_linter_ray.functions.search import bm25_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "apple banana apple",
+                "apple",
+                "cherry cherry cherry",
+                "banana apple apple apple apple apple",
+            ],
+        }
+    )
+    out = bm25_topk(ray.data.from_arrow(t).repartition(2), "apple banana", k=3)
+    # doc 3 has no query terms → excluded even with k=3 slots left
+    assert 3 not in set(out["doc_id"])
+    assert len(out) == 3
+    # doc 1 holds both terms with short length → ranks first
+    assert out["doc_id"].iloc[0] == 1
+
+
+def test_bm25_topk_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("bm25_topk", sf_dir, tables=("documents",))
