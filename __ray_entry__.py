@@ -1304,6 +1304,52 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir, ["doc_id", "text"]), BM25_QUERY, k=25)
 
 
+def q_value_iqr_outliers(sf_dir: str):
+    """Tukey-fence outliers: exact q1/q3 via the sort-free quantile
+    scans, fences derived with the same FP expression as the SQL, one
+    streaming filter pass. Composition: quantiles → filter."""
+    from data_linter_ray.functions.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    qs = exact_quantiles(
+        ds.select_columns(["value"]), "value", [0.25, 0.75]
+    )
+    q1 = float(qs.loc[qs["q"] == 0.25, "value"].iloc[0])
+    q3 = float(qs.loc[qs["q"] == 0.75, "value"].iloc[0])
+    lo = q1 - 1.5 * (q3 - q1)
+    hi = q3 + 1.5 * (q3 - q1)
+
+    def fence(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        return t.filter(
+            pc.and_kleene(
+                v.is_valid(),
+                pc.or_(pc.less(v, lo), pc.greater(v, hi)),
+            )
+        )
+
+    return ds.map_batches(fence, batch_format="pyarrow")
+
+
+def q_fuzzy_entities(sf_dir: str):
+    """Entity resolution: connected components over the Levenshtein≤1
+    name pairs (fuzzy blocking → exact verify → union-find / hash-min
+    label propagation). Each customer maps to the min id reachable
+    through fuzzy matches."""
+    from data_linter_ray.functions.dedup import dedup_components
+    from data_linter_ray.functions.fuzzy import fuzzy_key_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    pairs = fuzzy_key_pairs(ds, "c_custkey", "c_name")
+    return dedup_components(pairs).rename_columns(
+        {"doc_id": "c_custkey", "component_id": "entity_id"}
+    )
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-group quantile_disc WITHOUT sort/shuffle: per-group
     histogram lanes in the same multi-round refinement scans; group
@@ -1479,6 +1525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "snapshot_diff": q_snapshot_diff,
         "grouped_quantiles": q_grouped_quantiles,
+        "value_iqr_outliers": q_value_iqr_outliers,
+        "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
         "lineitem_verdict": q_lineitem_verdict,
         "customer_acctbal_violations": q_customer_acctbal_violations,
@@ -1694,6 +1742,28 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY tf.tok) AS score "
             "FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats "
             "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 25"
+        ),
+        "value_iqr_outliers": (
+            "WITH q AS (SELECT quantile_disc(value, 0.25) AS q1, "
+            "quantile_disc(value, 0.75) AS q3 FROM events) "
+            "SELECT event_id, value FROM events, q "
+            "WHERE value < q1 - 1.5 * (q3 - q1) "
+            "OR value > q3 + 1.5 * (q3 - q1)"
+        ),
+        "fuzzy_entities": (
+            "WITH RECURSIVE pairs AS ("
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL "
+            "AND a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL "
+            "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
+            "AND levenshtein(a.c_name, b.c_name) <= 1), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, r) AS (SELECT a, a FROM edges "
+            "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b) "
+            "SELECT node AS c_custkey, min(r) AS entity_id "
+            "FROM reach GROUP BY node"
         ),
         "grouped_quantiles": (
             "WITH lq AS (SELECT event_type AS \"group\", "

@@ -161,6 +161,8 @@ QUERY_NAMES = [
     "snapshot_diff",
     "grouped_quantiles",
     "bm25_topk",
+    "value_iqr_outliers",
+    "fuzzy_entities",
 ]
 
 

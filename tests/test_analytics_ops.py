@@ -320,3 +320,31 @@ def test_bm25_crafted(ray_session):
 
 def test_bm25_topk_vs_duckdb(ray_session, sf_dir):
     _oracle_check("bm25_topk", sf_dir, tables=("documents",))
+
+
+def test_value_iqr_outliers_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("value_iqr_outliers", sf_dir)
+
+
+def test_fuzzy_entities_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("fuzzy_entities", sf_dir, tables=("customer",))
+
+
+def test_fuzzy_entities_transitive(ray_session):
+    """a-b and b-c fuzzy-match (but a-c is dist 2) → one entity."""
+    from data_linter_ray.functions.dedup import dedup_components
+    from data_linter_ray.functions.fuzzy import fuzzy_key_pairs
+
+    t = pa.table(
+        {
+            "id": pa.array([10, 20, 30, 40], pa.int64()),
+            "s": ["abcd", "abce", "abcf", "zzzz"],
+        }
+    )
+    pairs = fuzzy_key_pairs(ray.data.from_arrow(t), "id", "s")
+    comp = dedup_components(pairs).to_pandas().set_index("doc_id")
+    # abcd-abce-abcf chain: all three land in entity 10; zzzz is alone
+    assert comp.loc[10, "component_id"] == 10
+    assert comp.loc[20, "component_id"] == 10
+    assert comp.loc[30, "component_id"] == 10
+    assert 40 not in comp.index  # unmatched nodes are not emitted
