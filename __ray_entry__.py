@@ -835,13 +835,15 @@ def q_star_ref_check(sf_dir: str):
 
 
 def q_orders_by_nation(sf_dir: str):
-    """Star-schema equi-join (orders ⋈ customer on custkey, Ray hash
-    join sized by join_width) → per-nation aggregate. Only
+    """Star-schema equi-join (orders ⋈ customer on custkey) → per-nation
+    aggregate. The join dispatcher broadcasts the dimension side (Acero
+    per-batch hash join — neither side shuffles); the shuffle path stays
+    reachable via strategy="shuffle" and is parity-tested. Only
     order-independent aggregates (count/min/max) so the value-hash
     compare vs SQL is exact."""
     from ray.data.aggregate import Count, Max, Min
 
-    from data_linter_ray.exchange import join_width
+    from data_linter_ray.functions.joins import equi_join
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -849,9 +851,7 @@ def q_orders_by_nation(sf_dir: str):
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    joined = orders.join(
-        cust, "inner", join_width(orders, cust), on=("o_custkey",), right_on=("c_custkey",)
-    )
+    joined = equi_join(orders, cust, on=("o_custkey",), right_on=("c_custkey",))
     return joined.groupby("c_nationkey").aggregate(
         Count(alias_name="n"),
         Min("o_totalprice", alias_name="min_price"),

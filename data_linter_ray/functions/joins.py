@@ -1,0 +1,103 @@
+"""Equi-join dispatcher: broadcast map-side join vs shuffle hash join.
+
+Ray Data's ``Dataset.join`` is a full two-sided hash exchange with one
+aggregator actor per partition — the right tool when both sides are
+big, pure overhead when one side is a dimension table. The house rule
+(brief: "broadcast small sides with ray.put + lookup inside
+map_batches instead of a shuffle join") gets a first-class operator:
+
+* ``strategy="broadcast"`` — the right side is materialized once,
+  ``ray.put`` into the object store, and every left batch joins
+  against it with pyarrow's Acero hash join (C++, zero Python rows).
+  One streaming pass over the left; the right side never shuffles and
+  the LEFT side never shuffles either.
+* ``strategy="shuffle"`` — delegates to ``Dataset.join`` sized by
+  ``exchange.join_width``.
+* ``strategy="auto"`` — broadcast when the right side's estimated
+  decoded size (plan metadata only, ``exchange._estimated_bytes``)
+  fits ``broadcast_threshold_bytes``, else shuffle. Mirrors the
+  referential checker's BROADCAST_ROW_THRESHOLD dispatch
+  (stages/referential.py).
+
+Reference provenance: the reference joins file-lists to table configs
+driver-side (reference validation.py); this generalizes the engine's
+join surface for table-scale sides.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from data_linter_ray.exchange import _estimated_bytes, join_width
+
+#: decoded-bytes cap for the broadcast side (object-store resident copy
+#: per node at cluster scale — keep well under a worker heap)
+BROADCAST_JOIN_THRESHOLD_BYTES = 256 << 20
+
+
+def equi_join(
+    left: Dataset,
+    right: Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    how: str = "inner",
+    strategy: str = "auto",
+    num_partitions: int | None = None,
+    broadcast_threshold_bytes: int = BROADCAST_JOIN_THRESHOLD_BYTES,
+) -> Dataset:
+    """Inner / left-outer equi-join. ``how`` ∈ {"inner", "left_outer"};
+    join-key name collisions follow ``Dataset.join`` semantics (the
+    right key columns are dropped)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported how: {how}")
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy: {strategy}")
+    right_on = right_on or on
+
+    if strategy == "auto":
+        est = _estimated_bytes(right)
+        strategy = (
+            "broadcast"
+            if 0 < est <= broadcast_threshold_bytes
+            else "shuffle"
+        )
+
+    if strategy == "shuffle":
+        return left.join(
+            right,
+            how,
+            num_partitions or join_width(left, right),
+            on=on,
+            right_on=right_on,
+        )
+
+    # broadcast: collect the right side into one arrow table (bounded by
+    # the threshold — the documented broadcast-small rule), ship ONCE
+    right_tbl = pa.concat_tables(
+        ray.get(
+            [
+                r
+                for b in right.materialize().iter_internal_ref_bundles()
+                for r in b.block_refs
+            ]
+        )
+    ).combine_chunks()
+    # Dataset.join drops the right key columns on name mismatch; mirror
+    # that by renaming right keys to the left names pre-join
+    if tuple(right_on) != tuple(on):
+        right_tbl = right_tbl.rename_columns(
+            [
+                on[right_on.index(c)] if c in right_on else c
+                for c in right_tbl.column_names
+            ]
+        )
+    rt_ref = ray.put(right_tbl)
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        rt = ray.get(rt_ref) if isinstance(rt_ref, ray.ObjectRef) else rt_ref
+        return t.join(rt, keys=list(on), join_type=join_type)
+
+    return left.map_batches(join_batch, batch_format="pyarrow")

@@ -65,12 +65,23 @@ def group_moments(ds: Dataset, value_col: str, by: str) -> pd.DataFrame:
             }
         )
 
-    parts = (
-        ds.select_columns([by, value_col])
+    # the partial table holds one row per (batch, group) — KB scale for
+    # enum-like groups — so the final fold is a driver-side pandas
+    # groupby, not a distributed exchange (saves an all-to-all plus its
+    # aggregator-actor startup; same pattern as profile/quantiles)
+    batches = [
+        b.to_pandas()
+        for b in ds.select_columns([by, value_col])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(by)
-        .sum(["_n", "_s", "_ss"])
-        .to_pandas()
+        .iter_batches(batch_format="pyarrow")
+    ]
+    allp = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame(
+        {by: [], "_n": [], "_s": [], "_ss": []}
+    )
+    parts = (
+        allp.groupby(by, as_index=False, sort=True)[["_n", "_s", "_ss"]]
+        .sum()
+        .rename(columns={"_n": "sum(_n)", "_s": "sum(_s)", "_ss": "sum(_ss)"})
     )
     n = parts["sum(_n)"].to_numpy(np.float64)
     s = parts["sum(_s)"].to_numpy(np.float64)
@@ -100,13 +111,16 @@ def zscore_outliers(
 
     class Filter:
         def __init__(self):
-            self.stats = ray.get(stats_ref)
+            stats = ray.get(stats_ref)
+            self.mean_by = {k: v[0] for k, v in stats.items()}
+            self.std_by = {k: v[1] for k, v in stats.items()}
 
         def __call__(self, t: pa.Table) -> pa.Table:
             df = t.select(cols).to_pandas()
-            ms = df[by].map(lambda k: self.stats.get(k, (np.nan, np.nan)))
-            mean = np.array([p[0] for p in ms], np.float64)
-            std = np.array([p[1] for p in ms], np.float64)
+            # vectorized lookup (Series.map over a dict-per-row lambda
+            # would be per-row Python)
+            mean = df[by].map(self.mean_by).to_numpy(np.float64)
+            std = df[by].map(self.std_by).to_numpy(np.float64)
             v = df[value_col].to_numpy(np.float64)
             mask = (std > 0) & (np.abs(v - mean) > z * std)
             return pa.Table.from_pandas(df[mask], preserve_index=False)

@@ -348,3 +348,46 @@ def test_fuzzy_entities_transitive(ray_session):
     assert comp.loc[20, "component_id"] == 10
     assert comp.loc[30, "component_id"] == 10
     assert 40 not in comp.index  # unmatched nodes are not emitted
+
+
+# ---------------------------------------------------------------------------
+# equi-join dispatcher
+# ---------------------------------------------------------------------------
+
+
+def test_equi_join_broadcast_shuffle_parity(ray_session, sf_dir):
+    from data_linter_ray.functions.joins import equi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    def norm(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    bc = norm(equi_join(orders, cust, on=("o_custkey",),
+                        right_on=("c_custkey",), strategy="broadcast"))
+    sh = norm(equi_join(orders, cust, on=("o_custkey",),
+                        right_on=("c_custkey",), strategy="shuffle"))
+    pd.testing.assert_frame_equal(bc, sh, check_dtype=False)
+
+
+def test_equi_join_left_outer_broadcast(ray_session):
+    from data_linter_ray.functions.joins import equi_join
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "x": ["a", "b", "c"]}))
+    right = ray.data.from_arrow(pa.table({"rk": [1, 3], "y": [10, 30]}))
+    out = (
+        equi_join(left, right, on=("k",), right_on=("rk",),
+                  how="left_outer", strategy="broadcast")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["y"].tolist()[0] == 10 and pd.isna(out["y"].iloc[1])
+    assert "rk" not in out.columns  # right key folded into left key
