@@ -1350,6 +1350,16 @@ def q_fuzzy_entities(sf_dir: str):
     )
 
 
+def q_overlap_pairs(sf_dir: str):
+    """MOSS-style overlap detection: doc pairs sharing >= 3 selected
+    0-mod-8 5-gram fingerprints, df-capped (fingerprints in > 50 docs
+    ignored — the deterministic MOSS rule, not a silent truncation).
+    md5-mode fingerprints so the SQL oracle is bit-exact."""
+    from data_linter_ray.functions.text import overlap_pairs
+
+    return overlap_pairs(_docs(sf_dir, ["doc_id", "text"]), hash="md5")
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-group quantile_disc WITHOUT sort/shuffle: per-group
     histogram lanes in the same multi-round refinement scans; group
@@ -1362,6 +1372,44 @@ def q_grouped_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "value", "event_type", [0.25, 0.5, 0.9])
 
 
+_SNAPSHOT_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+def _orders_view_a(t: pa.Table) -> pa.Table:
+    k = t["o_orderkey"]
+    return t.filter(pc.and_kleene(k.is_valid(), pc.equal(pc.bit_wise_and(k, 1), 0)))
+
+
+def _orders_view_b(t: pa.Table) -> pa.Table:
+    k = t["o_orderkey"]
+    t = t.filter(
+        pc.and_kleene(
+            k.is_valid(),
+            pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 3), 3)), 0),
+        )
+    )
+    k = t["o_orderkey"]
+    bump = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 5), 5)), 0)
+    price = pc.if_else(
+        bump, pc.multiply(t["o_totalprice"], 2.0), t["o_totalprice"]
+    )
+    return t.set_column(
+        t.schema.get_field_index("o_totalprice"), "o_totalprice", price
+    )
+
+
+def _orders_snapshots(sf_dir: str):
+    def read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=_SNAPSHOT_COLS
+        )
+
+    return (
+        read().map_batches(_orders_view_a, batch_format="pyarrow"),
+        read().map_batches(_orders_view_b, batch_format="pyarrow"),
+    )
+
+
 def q_snapshot_diff(sf_dir: str):
     """Row-level snapshot diff between two deterministic views of
     orders (A = even keys; B = keys%3==0 with price doubled on %5==0):
@@ -1369,35 +1417,43 @@ def q_snapshot_diff(sf_dir: str):
     merge + null-safe compare, only the delta leaves the partition."""
     from data_linter_ray.functions.diff import snapshot_diff
 
-    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
-
-    def view_a(t: pa.Table) -> pa.Table:
-        k = t["o_orderkey"]
-        return t.filter(pc.and_kleene(k.is_valid(), pc.equal(pc.bit_wise_and(k, 1), 0)))
-
-    def view_b(t: pa.Table) -> pa.Table:
-        k = t["o_orderkey"]
-        t = t.filter(
-            pc.and_kleene(
-                k.is_valid(),
-                pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 3), 3)), 0),
-            )
-        )
-        k = t["o_orderkey"]
-        bump = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 5), 5)), 0)
-        price = pc.if_else(
-            bump, pc.multiply(t["o_totalprice"], 2.0), t["o_totalprice"]
-        )
-        return t.set_column(
-            t.schema.get_field_index("o_totalprice"), "o_totalprice", price
-        )
-
-    def read():
-        return ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
-
-    a = read().map_batches(view_a, batch_format="pyarrow")
-    b = read().map_batches(view_b, batch_format="pyarrow")
+    a, b = _orders_snapshots(sf_dir)
     return snapshot_diff(a, b, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+
+
+def q_incremental_violations(sf_dir: str):
+    """Incremental validation — the 100-TB re-run story: validate ONLY
+    the rows the new snapshot added or changed (snapshot_diff → delta
+    keys broadcast → one filtered check pass over snapshot B). The
+    delta key set is small by design (that is what makes incremental
+    runs cheap); a large delta should switch to the bloom/anti-join
+    referential strategy instead of the broadcast."""
+    from data_linter_ray.functions.diff import snapshot_diff
+
+    a, b = _orders_snapshots(sf_dir)
+    delta = snapshot_diff(a, b, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+
+    def not_removed(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["status"], "removed"))
+
+    keys = pa.array(
+        delta.map_batches(not_removed, batch_format="pyarrow")
+        .select_columns(["o_orderkey"])
+        .to_pandas()["o_orderkey"],
+        pa.int64(),
+    )
+    keys_ref = ray.put(keys)
+
+    def check(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        t = t.filter(pc.is_in(t["o_orderkey"], value_set=ks))
+        v = t["o_totalprice"]
+        return t.select(["o_orderkey", "o_totalprice"]).filter(
+            pc.and_kleene(v.is_valid(), pc.greater(v, 400_000.0))
+        )
+
+    _, b2 = _orders_snapshots(sf_dir)
+    return b2.map_batches(check, batch_format="pyarrow")
 
 
 def q_profile_drift(sf_dir: str):
@@ -1525,6 +1581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "snapshot_diff": q_snapshot_diff,
         "grouped_quantiles": q_grouped_quantiles,
+        "overlap_pairs": q_overlap_pairs,
+        "incremental_violations": q_incremental_violations,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -1764,6 +1822,37 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b) "
             "SELECT node AS c_custkey, min(r) AS entity_id "
             "FROM reach GROUP BY node"
+        ),
+        "incremental_violations": (
+            "WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+            "FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 2 = 0), "
+            "b AS (SELECT o_orderkey, o_orderstatus, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 "
+            "ELSE o_totalprice END AS o_totalprice "
+            "FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 3 = 0), "
+            "delta AS (SELECT b.o_orderkey FROM b LEFT JOIN a USING (o_orderkey) "
+            "WHERE a.o_orderkey IS NULL "
+            "OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus "
+            "OR a.o_totalprice IS DISTINCT FROM b.o_totalprice) "
+            "SELECT b.o_orderkey, b.o_totalprice FROM b "
+            "JOIN delta USING (o_orderkey) WHERE b.o_totalprice > 400000"
+        ),
+        "overlap_pairs": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), x -> x <> '') AS tk "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 5 "
+            "THEN list_transform(generate_series(1, len(tk)-4), "
+            "i -> tk[i]||chr(31)||tk[i+1]||chr(31)||tk[i+2]||chr(31)||tk[i+3]||chr(31)||tk[i+4]) "
+            "ELSE [] END) AS g FROM toks), "
+            "h AS (SELECT DISTINCT doc_id, md5_number_lower(g) AS hv FROM grams), "
+            "f AS (SELECT doc_id, hv FROM h WHERE hv % 8 = 0), "
+            "df AS (SELECT hv FROM f GROUP BY hv HAVING count(*) <= 50), "
+            "ff AS (SELECT f.* FROM f JOIN df USING (hv)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*)::BIGINT AS n_shared "
+            "FROM ff a JOIN ff b ON a.hv = b.hv AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 3"
         ),
         "grouped_quantiles": (
             "WITH lq AS (SELECT event_type AS \"group\", "

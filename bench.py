@@ -163,6 +163,8 @@ QUERY_NAMES = [
     "bm25_topk",
     "value_iqr_outliers",
     "fuzzy_entities",
+    "overlap_pairs",
+    "incremental_violations",
 ]
 
 

@@ -609,3 +609,89 @@ def repetition_stats(ds: Dataset, id_col: str = "doc_id", text_col: str = "text"
     return ds.select_columns([id_col, text_col]).map_batches(
         stats, batch_format="pyarrow"
     )
+
+
+def overlap_pairs(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    mod_p: int = 8,
+    min_shared: int = 3,
+    max_df: int = 50,
+    hash: str = "fast",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """MOSS-style document-overlap detection (Schleimer/Wilkerson/Aiken
+    SIGMOD 2003 §1; Manber 1994): pairs of documents sharing at least
+    ``min_shared`` selected 0-mod-p k-gram fingerprints → Dataset
+    (id_a, id_b, n_shared).
+
+    Fingerprints appearing in more than ``max_df`` documents are
+    DROPPED before pair generation (MOSS's "ignore matches in too many
+    documents" rule) — a deterministic, SQL-mirrorable df cap rather
+    than a silent truncation, and the bound that keeps per-bucket pair
+    fan-out quadratic only in ``max_df``.
+
+    Scale shape: fingerprint pass (vectorized, ``hash="fast"`` uint64
+    pipeline; ``"md5"`` for the oracle) → ONE coarse fp-hash exchange
+    where each partition applies the df cap and emits its buckets'
+    pairs → pair-keyed exchange sums shared counts and applies
+    ``min_shared``. No all-pairs stage anywhere.
+    """
+    import pandas as pd
+
+    from data_linter_ray.exchange import exchange_width
+
+    P = num_partitions or exchange_width(ds)
+    fps = with_modp_fingerprints(
+        ds, id_col=id_col, text_col=text_col, k=k, mod_p=mod_p, hash=hash
+    )
+
+    def fp_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["fp"].to_pandas(), index=False
+        ).to_numpy(np.uint64)
+        return t.append_column("_part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("fp", sort=False):
+            m = len(grp)
+            if m < 2 or m > max_df:
+                continue
+            ids = np.sort(grp[id_col].to_numpy())
+            r, c = np.triu_indices(m, k=1)
+            outs.append(pd.DataFrame({"id_a": ids[r], "id_b": ids[c]}))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = (
+        fps.map_batches(fp_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.select(["id_a", "id_b"]).to_pandas(), index=False
+        ).to_numpy(np.uint64)
+        return t.append_column("_p2", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], as_index=False).size()
+        agg = agg[agg["size"] >= min_shared].rename(columns={"size": "n_shared"})
+        agg["n_shared"] = agg["n_shared"].astype(np.int64)
+        return agg[["id_a", "id_b", "n_shared"]]
+
+    return (
+        pairs.map_batches(pair_part, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(count_shared, batch_format="pandas")
+    )

@@ -391,3 +391,64 @@ def test_equi_join_left_outer_broadcast(ray_session):
     assert out["k"].tolist() == [1, 2, 3]
     assert out["y"].tolist()[0] == 10 and pd.isna(out["y"].iloc[1])
     assert "rk" not in out.columns  # right key folded into left key
+
+
+# ---------------------------------------------------------------------------
+# MOSS overlap / incremental validation
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_pairs_crafted(ray_session):
+    from data_linter_ray.functions.text import overlap_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                base,                       # 1 and 2 share almost all 5-grams
+                base + " extra",
+                "one two three four five six seven eight nine ten",
+                base,                       # 4 = exact copy of 1
+            ],
+        }
+    )
+    out = (
+        overlap_pairs(
+            ray.data.from_arrow(t).repartition(2),
+            k=5, mod_p=1, min_shared=2, max_df=10, hash="fast",
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in out.itertuples()}
+    # doc 1 has 6 5-grams; all shared with copies
+    assert pairs[(1, 4)] == 6
+    assert pairs[(1, 2)] == 6 and pairs[(2, 4)] == 6
+    assert not any(3 in p for p in pairs)
+
+
+def test_overlap_pairs_df_cap(ray_session):
+    from data_linter_ray.functions.text import overlap_pairs
+
+    # the same text in 5 docs with max_df=4 → every fingerprint exceeds
+    # the df cap → no pairs at all (MOSS "too common" rule)
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "text": ["common words repeated here exactly the same way"] * 5,
+        }
+    )
+    out = overlap_pairs(
+        ray.data.from_arrow(t), k=5, mod_p=1, min_shared=1, max_df=4, hash="fast"
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_overlap_pairs_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("overlap_pairs", sf_dir, tables=("documents",))
+
+
+def test_incremental_violations_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("incremental_violations", sf_dir, tables=("orders",))
