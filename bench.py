@@ -237,10 +237,10 @@ def single_run(args) -> dict:
         "sf": sf,
         "num_cpus": args.cpus,
         # last recorded `bench.py --scaling` result (see BASELINE.md for
-        # the run log and the N-vs-4N methodology): round-3 median of 4
-        # full runs at 32M docs (0.814 / 0.838 / 0.800 / 0.752)
-        "scaling_efficiency_recorded": 0.807,
-        "scaling_pair_recorded": "median of 3 runs: 2cpu=571952 docs/s vs 8cpu=1861576 docs/s, 32M docs",
+        # the run log and the N-vs-4N methodology): round-4 median of 3
+        # full runs at 32M docs (0.761 / 0.803 / 0.844)
+        "scaling_efficiency_recorded": 0.803,
+        "scaling_pair_recorded": "median of 3 runs (r4): 2cpu=566816 docs/s vs 8cpu=1837248 docs/s, 32M docs",
     }
 
 
