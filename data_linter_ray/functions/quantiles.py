@@ -218,6 +218,12 @@ def grouped_quantiles(
 
     K = n_buckets
     pruned = ds.select_columns([group_col, value_col])
+    # the per-batch histogram partial is J×K int64 (J = open intervals ≤
+    # groups × fractions); cap it at ~32 MB by shrinking K for wide
+    # group domains — more refinement rounds, same exactness, bounded
+    # partial size. (J is known only after pass 0; the cap below uses
+    # the worst case len(groups)×len(qs).)
+    _MAX_PARTIAL_CELLS = 1 << 22
 
     def stats_partial(t: pa.Table) -> pa.Table:
         t = t.filter(t[group_col].is_valid())
@@ -246,6 +252,10 @@ def grouped_quantiles(
             if lo is not None:
                 e[1] = min(e[1], lo)
                 e[2] = max(e[2], hi)
+
+    worst_j = max(1, len(acc) * len(qs))
+    if worst_j * K > _MAX_PARTIAL_CELLS:
+        K = max(16, _MAX_PARTIAL_CELLS // worst_j)
 
     targets = []
     for g in sorted(acc):
