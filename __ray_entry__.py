@@ -1360,6 +1360,67 @@ def q_overlap_pairs(sf_dir: str):
     return overlap_pairs(_docs(sf_dir, ["doc_id", "text"]), hash="md5")
 
 
+def q_big_spenders(sf_dir: str):
+    """Semi join: customers with at least one order over 450k — the
+    right side reduces to distinct keys per batch (combiner) and
+    broadcasts once; the customer side streams through an Acero
+    left-semi join, no shuffle anywhere."""
+    from data_linter_ray.functions.joins import semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_kleene(
+                t["o_totalprice"].is_valid(),
+                pc.greater(t["o_totalprice"], 450_000.0),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return semi_join(cust, orders, on=("c_custkey",), right_on=("o_custkey",))
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Anti join: customers with no order above 400k (SQL NOT EXISTS —
+    null-keyed customers are kept). Same broadcast-keys shape as the
+    semi join."""
+    from data_linter_ray.functions.joins import anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_kleene(
+                t["o_totalprice"].is_valid(),
+                pc.greater(t["o_totalprice"], 400_000.0),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return anti_join(cust, orders, on=("c_custkey",), right_on=("o_custkey",))
+
+
+def q_corpus_mixture(sf_dir: str):
+    """Domain-mixing stratified sample: per-language deterministic
+    keep fractions (en 1/2, es 1/3, de 3/4, tail 1/10) — id-mod rules,
+    stable across partitionings/engines, one stateless streaming pass."""
+    from data_linter_ray.functions.sampling import stratified_fraction
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return stratified_fraction(
+        ds, "lang", "doc_id",
+        {"en": (1, 2), "es": (1, 3), "de": (3, 4)},
+        default=(1, 10),
+    )
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-group quantile_disc WITHOUT sort/shuffle: per-group
     histogram lanes in the same multi-round refinement scans; group
@@ -1583,6 +1644,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": q_grouped_quantiles,
         "overlap_pairs": q_overlap_pairs,
         "incremental_violations": q_incremental_violations,
+        "big_spenders": q_big_spenders,
+        "customers_no_orders": q_customers_no_orders,
+        "corpus_mixture": q_corpus_mixture,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -1822,6 +1886,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b) "
             "SELECT node AS c_custkey, min(r) AS entity_id "
             "FROM reach GROUP BY node"
+        ),
+        "corpus_mixture": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND "
+            "CASE lang WHEN 'en' THEN doc_id % 2 < 1 "
+            "WHEN 'es' THEN doc_id % 3 < 1 "
+            "WHEN 'de' THEN doc_id % 4 < 3 "
+            "ELSE doc_id % 10 < 1 END"
+        ),
+        "big_spenders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) "
+            "AND c_custkey IS NOT NULL"
+        ),
+        "customers_no_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
         ),
         "incremental_violations": (
             "WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice "

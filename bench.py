@@ -165,6 +165,9 @@ QUERY_NAMES = [
     "fuzzy_entities",
     "overlap_pairs",
     "incremental_violations",
+    "big_spenders",
+    "customers_no_orders",
+    "corpus_mixture",
 ]
 
 

@@ -22,6 +22,12 @@ Hash collisions only ever create false CANDIDATES; every candidate is
 exactly verified (hamming for equal lengths, aligned-suffix check for
 ±1 lengths), so the output is exact.
 
+Granularity note: edits are BYTE-level over the UTF-8 encoding —
+identical to character Levenshtein for ASCII (hypothesis-verified
+against a reference DP over the full ASCII range), while a multi-byte
+code point counts as its byte length. For char-exact semantics over
+non-ASCII keys, transcode to a fixed-width representation upstream.
+
 Scale shape: per-batch vectorized variant emit (≤ len+1 entries per
 row) → coarse hash-partition exchange on the entry key → per-bucket
 pair generation (``max_bucket`` cap with the engine-wide ``truncated``

@@ -101,3 +101,67 @@ def equi_join(
         return t.join(rt, keys=list(on), join_type=join_type)
 
     return left.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _filter_join(
+    left: Dataset,
+    right: Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None,
+    join_type: str,
+) -> Dataset:
+    """Shared semi/anti machinery: the right side contributes ONLY its
+    key columns (deduped per batch before the broadcast — a combiner, so
+    the collected table is |distinct keys|, not |rows|), then every left
+    batch runs an Acero left-semi / left-anti join. The left side never
+    shuffles and keeps its exact schema."""
+    right_on = right_on or on
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        g = t.select(list(right_on)).drop_null().group_by(list(right_on)).aggregate([])
+        return g
+
+    keys_tbl = pa.concat_tables(
+        [
+            b
+            for b in right.map_batches(key_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+    ).group_by(list(right_on)).aggregate([]).combine_chunks()
+    if tuple(right_on) != tuple(on):
+        keys_tbl = keys_tbl.rename_columns(
+            [on[right_on.index(c)] for c in keys_tbl.column_names]
+        )
+    ref = ray.put(keys_tbl)
+
+    def jb(t: pa.Table) -> pa.Table:
+        kt = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        return t.join(kt, keys=list(on), join_type=join_type)
+
+    return left.map_batches(jb, batch_format="pyarrow")
+
+
+def semi_join(
+    left: Dataset,
+    right: Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+) -> Dataset:
+    """Rows of ``left`` whose key exists in ``right`` (null keys never
+    match — SQL IN semantics). The right side is reduced to its
+    distinct keys per batch and broadcast once; bounded by the key
+    domain, the same rule as the referential broadcast
+    (stages/referential.py — use its bloom strategy for unbounded
+    domains)."""
+    return _filter_join(left, right, on, right_on, "left semi")
+
+
+def anti_join(
+    left: Dataset,
+    right: Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+) -> Dataset:
+    """Rows of ``left`` whose key does NOT exist in ``right`` (null
+    left keys are kept, matching SQL NOT EXISTS — not NOT IN)."""
+    return _filter_join(left, right, on, right_on, "left anti")

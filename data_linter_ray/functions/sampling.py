@@ -175,3 +175,50 @@ def assign_split(
         return t.append_column(out_col, pa.array(names[idx], pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_fraction(
+    ds: Dataset,
+    stratum_col: str,
+    id_col: str,
+    fractions: dict[str, tuple[int, int]],
+    default: tuple[int, int] = (0, 1),
+) -> Dataset:
+    """Per-stratum deterministic downsampling — the domain-mixing
+    primitive of a training-data pipeline ("keep 1/2 of en, 1/10 of the
+    crawl tail"): a row of stratum s survives iff
+    ``id % den_s < num_s``. Strata absent from ``fractions`` use
+    ``default`` ((0, 1) = drop). Null strata/ids are dropped.
+
+    Same reproducibility contract as :func:`deterministic_fraction`
+    (stable across runs, partitionings, engines — no seeded RNG), and
+    mirrors into SQL as one CASE expression, so mixtures are
+    oracle-checkable. Stateless projection: zero shuffle, streams."""
+    items = sorted(fractions.items())
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(t[stratum_col].is_valid(), t[id_col].is_valid())
+        )
+        ids = t[id_col]
+        strat = t[stratum_col]
+        mask = None
+        dn, dd = default
+        rem_cache: dict[int, pa.Array] = {}
+
+        def rem(den: int):
+            if den not in rem_cache:
+                rem_cache[den] = pc.subtract(
+                    ids, pc.multiply(pc.divide(ids, den), den)
+                )
+            return rem_cache[den]
+
+        mask = pc.less(rem(dd), dn) if dd > 0 else pa.array(
+            np.zeros(t.num_rows, dtype=bool)
+        )
+        for s, (num, den) in items:
+            # rows of stratum s follow their own rule, overriding default
+            mask = pc.if_else(pc.equal(strat, s), pc.less(rem(den), num), mask)
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -452,3 +452,55 @@ def test_overlap_pairs_vs_duckdb(ray_session, sf_dir):
 
 def test_incremental_violations_vs_duckdb(ray_session, sf_dir):
     _oracle_check("incremental_violations", sf_dir, tables=("orders",))
+
+
+# ---------------------------------------------------------------------------
+# semi/anti join + stratified mixture
+# ---------------------------------------------------------------------------
+
+
+def test_semi_anti_join_null_semantics(ray_session):
+    from data_linter_ray.functions.joins import anti_join, semi_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, None, 4], pa.int64()), "x": ["a", "b", "c", "d"]})
+    )
+    right = ray.data.from_arrow(pa.table({"rk": pa.array([2, None, 2], pa.int64())}))
+    semi = semi_join(left, right, on=("k",), right_on=("rk",)).to_pandas()
+    anti = anti_join(left, right, on=("k",), right_on=("rk",)).to_pandas()
+    # IN semantics: null keys never match
+    assert semi["x"].tolist() == ["b"]
+    # NOT EXISTS: null-keyed left rows are KEPT
+    assert sorted(anti["x"]) == ["a", "c", "d"]
+
+
+def test_big_spenders_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("big_spenders", sf_dir, tables=("customer", "orders"))
+
+
+def test_customers_no_orders_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("customers_no_orders", sf_dir, tables=("customer", "orders"))
+
+
+def test_stratified_fraction_crafted(ray_session):
+    from data_linter_ray.functions.sampling import stratified_fraction
+
+    t = pa.table(
+        {
+            "s": ["a"] * 10 + ["b"] * 10 + ["c"] * 10 + [None],
+            "i": pa.array(list(range(30)) + [99], pa.int64()),
+        }
+    )
+    out = stratified_fraction(
+        ray.data.from_arrow(t).repartition(3), "s", "i",
+        {"a": (1, 2), "b": (1, 1)}, default=(0, 1),
+    ).to_pandas()
+    by = out.groupby("s")["i"].apply(list).to_dict()
+    assert by["a"] == [0, 2, 4, 6, 8] or sorted(by["a"]) == [0, 2, 4, 6, 8]
+    assert sorted(by["b"]) == list(range(10, 20))  # keep-all stratum
+    assert "c" not in by  # default (0,1) drops
+    assert len(out) == 15  # null stratum dropped
+
+
+def test_corpus_mixture_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("corpus_mixture", sf_dir, tables=("documents",))
