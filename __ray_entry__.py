@@ -1421,6 +1421,120 @@ def q_corpus_mixture(sf_dir: str):
     )
 
 
+def q_entity_union(sf_dir: str):
+    """Schema-harmonized multi-source union (UNION ALL BY NAME):
+    customers ∪ suppliers with the supplier side missing acctbal —
+    per-batch alignment to the union schema (typed nulls), zero
+    shuffle."""
+    from data_linter_ray.functions.evolve import union_by_name
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["c_custkey"],
+                "name": t["c_name"],
+                "acctbal": t["c_acctbal"],
+                "src": pa.array(["customer"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["s_suppkey"],
+                "name": t["s_name"],
+                "src": pa.array(["supplier"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return union_by_name([cust, supp])
+
+
+def q_apply_changes(sf_dir: str):
+    """CDC MERGE: apply a deterministic upsert/delete changelog to the
+    orders snapshot (updates %7, deletes %11 at higher seq, inserts
+    %13 under new keys) — pad-union + one key-hash exchange +
+    vectorized latest-change-wins resolution."""
+    from data_linter_ray.functions.evolve import apply_changes
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def base_read():
+        return ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def make_changes(t: pa.Table) -> pa.Table:
+        t = t.filter(t["o_orderkey"].is_valid())
+        k = t["o_orderkey"]
+
+        def mod_is(den, r=0):
+            return pc.equal(
+                pc.subtract(k, pc.multiply(pc.divide(k, den), den)), r
+            )
+
+        upd = t.filter(mod_is(7))
+        dele = t.filter(mod_is(11))
+        ins = t.filter(mod_is(13))
+        parts = []
+        if upd.num_rows:
+            parts.append(
+                pa.table(
+                    {
+                        "o_orderkey": upd["o_orderkey"],
+                        "o_orderstatus": pa.array(
+                            ["UPDATED"] * upd.num_rows, pa.string()
+                        ),
+                        "o_totalprice": pc.add(upd["o_totalprice"], 1000.0),
+                        "seq": pa.array([1] * upd.num_rows, pa.int64()),
+                        "op": pa.array(["U"] * upd.num_rows, pa.string()),
+                    }
+                )
+            )
+        if dele.num_rows:
+            parts.append(
+                pa.table(
+                    {
+                        "o_orderkey": dele["o_orderkey"],
+                        "o_orderstatus": pa.nulls(dele.num_rows, pa.string()),
+                        "o_totalprice": pa.nulls(dele.num_rows, pa.float64()),
+                        "seq": pa.array([2] * dele.num_rows, pa.int64()),
+                        "op": pa.array(["D"] * dele.num_rows, pa.string()),
+                    }
+                )
+            )
+        if ins.num_rows:
+            parts.append(
+                pa.table(
+                    {
+                        "o_orderkey": pc.add(ins["o_orderkey"], 10_000_000),
+                        "o_orderstatus": pa.array(["NEW"] * ins.num_rows, pa.string()),
+                        "o_totalprice": pa.array([42.0] * ins.num_rows, pa.float64()),
+                        "seq": pa.array([1] * ins.num_rows, pa.int64()),
+                        "op": pa.array(["U"] * ins.num_rows, pa.string()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "seq": pa.array([], pa.int64()),
+                    "op": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    changes = base_read().map_batches(make_changes, batch_format="pyarrow")
+    return apply_changes(base_read(), changes, "o_orderkey", "seq")
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-group quantile_disc WITHOUT sort/shuffle: per-group
     histogram lanes in the same multi-round refinement scans; group
@@ -1647,6 +1761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_spenders": q_big_spenders,
         "customers_no_orders": q_customers_no_orders,
         "corpus_mixture": q_corpus_mixture,
+        "entity_union": q_entity_union,
+        "apply_changes": q_apply_changes,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -1886,6 +2002,35 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b) "
             "SELECT node AS c_custkey, min(r) AS entity_id "
             "FROM reach GROUP BY node"
+        ),
+        "entity_union": (
+            "SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, "
+            "'customer' AS src FROM customer "
+            "UNION ALL BY NAME "
+            "SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src "
+            "FROM supplier"
+        ),
+        "apply_changes": (
+            "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+            "FROM orders WHERE o_orderkey IS NOT NULL), "
+            "ch AS ("
+            "SELECT o_orderkey, 'UPDATED' AS o_orderstatus, "
+            "o_totalprice + 1000 AS o_totalprice, 1 AS seq, 'U' AS op "
+            "FROM base WHERE o_orderkey % 7 = 0 "
+            "UNION ALL SELECT o_orderkey, CAST(NULL AS VARCHAR), "
+            "CAST(NULL AS DOUBLE), 2, 'D' FROM base WHERE o_orderkey % 11 = 0 "
+            "UNION ALL SELECT o_orderkey + 10000000, 'NEW', 42.0, 1, 'U' "
+            "FROM base WHERE o_orderkey % 13 = 0), "
+            "latest AS (SELECT *, row_number() OVER "
+            "(PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch), "
+            "w AS (SELECT * FROM latest WHERE rn = 1) "
+            "SELECT coalesce(w.o_orderkey, b.o_orderkey) AS o_orderkey, "
+            "CASE WHEN w.o_orderkey IS NOT NULL THEN w.o_orderstatus "
+            "ELSE b.o_orderstatus END AS o_orderstatus, "
+            "CASE WHEN w.o_orderkey IS NOT NULL THEN w.o_totalprice "
+            "ELSE b.o_totalprice END AS o_totalprice "
+            "FROM base b FULL OUTER JOIN w ON b.o_orderkey = w.o_orderkey "
+            "WHERE w.op IS NULL OR w.op <> 'D'"
         ),
         "corpus_mixture": (
             "SELECT doc_id, lang FROM documents "

@@ -168,6 +168,8 @@ QUERY_NAMES = [
     "big_spenders",
     "customers_no_orders",
     "corpus_mixture",
+    "entity_union",
+    "apply_changes",
 ]
 
 

@@ -504,3 +504,71 @@ def test_stratified_fraction_crafted(ray_session):
 
 def test_corpus_mixture_vs_duckdb(ray_session, sf_dir):
     _oracle_check("corpus_mixture", sf_dir, tables=("documents",))
+
+
+# ---------------------------------------------------------------------------
+# union-by-name / CDC apply
+# ---------------------------------------------------------------------------
+
+
+def test_union_by_name_crafted(ray_session):
+    from data_linter_ray.functions.evolve import union_by_name
+
+    a = ray.data.from_arrow(pa.table({"x": [1, 2], "y": ["a", "b"]}))
+    b = ray.data.from_arrow(pa.table({"y": ["c"], "z": [9.5]}))
+    out = union_by_name([a, b]).to_pandas()
+    assert sorted(out.columns) == ["x", "y", "z"]
+    assert out["x"].tolist()[:2] == [1, 2] and pd.isna(out["x"].iloc[2])
+    assert pd.isna(out["z"].iloc[0]) and out["z"].iloc[2] == 9.5
+
+
+def test_union_by_name_type_conflict_raises(ray_session):
+    from data_linter_ray.functions.evolve import union_by_name
+
+    a = ray.data.from_arrow(pa.table({"x": pa.array([1], pa.int64())}))
+    b = ray.data.from_arrow(pa.table({"x": pa.array(["s"], pa.string())}))
+    with pytest.raises(TypeError, match="conflicting types"):
+        union_by_name([a, b])
+
+
+def test_apply_changes_crafted(ray_session):
+    from data_linter_ray.functions.evolve import apply_changes
+
+    base = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, None], pa.int64()),
+                "v": ["a", "b", "c", "x"],
+            }
+        )
+    )
+    changes = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([2, 2, 3, 4], pa.int64()),
+                "v": ["b1", "b2", None, "new"],
+                "seq": pa.array([1, 2, 1, 1], pa.int64()),
+                "op": ["U", "D", "U", "U"],
+            }
+        )
+    )
+    out = (
+        apply_changes(base.repartition(2), changes.repartition(2), "k", "seq")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # key 2: U then D at higher seq → deleted; key 3: upsert with null
+    # payload overwrites; key 4: insert; null base key dropped
+    assert sorted(out.index) == [1, 3, 4]
+    assert out.loc[1, "v"] == "a"
+    assert out.loc[3, "v"] is None or pd.isna(out.loc[3, "v"])
+    assert out.loc[4, "v"] == "new"
+
+
+def test_entity_union_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("entity_union", sf_dir, tables=("customer", "supplier"))
+
+
+def test_apply_changes_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("apply_changes", sf_dir, tables=("orders",))
