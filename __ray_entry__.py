@@ -1535,6 +1535,18 @@ def q_apply_changes(sf_dir: str):
     return apply_changes(base_read(), changes, "o_orderkey", "seq")
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Spherical k-means over the embeddings table: sample-trained
+    centroids broadcast once, one streaming assignment matmul pass.
+    Iterative float training is not SQL-expressible — rows-only."""
+    from data_linter_ray.functions.similarity import kmeans_cluster
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_cluster(ds, id_col="vec_id", n_clusters=8, iters=5)
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-group quantile_disc WITHOUT sort/shuffle: per-group
     histogram lanes in the same multi-round refinement scans; group
@@ -1763,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mixture": q_corpus_mixture,
         "entity_union": q_entity_union,
         "apply_changes": q_apply_changes,
+        "embedding_clusters": q_embedding_clusters,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,

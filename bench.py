@@ -170,6 +170,7 @@ QUERY_NAMES = [
     "corpus_mixture",
     "entity_union",
     "apply_changes",
+    "embedding_clusters",
 ]
 
 

@@ -509,3 +509,95 @@ def quantize_embeddings(
     return ds.select_columns([id_col, emb_col]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def kmeans_fit(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 5,
+    sample_n: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic spherical k-means training → [k, d] centroids.
+
+    Unlike :func:`kmeans_lite` (seeded ``random_sample``, which is NOT
+    stable across runs — Ray task ordering changes the sample), the
+    training sample here is id-mod selected (every ``step``-th id) and
+    id-sorted, so identical inputs give identical centroids on every
+    run and partitioning."""
+    n = ds.count()
+    step = max(1, n // max(sample_n, 1))
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.filter(t[id_col].is_valid())
+        k = t[id_col]
+        return t.filter(
+            pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, step), step)), 0)
+        )
+
+    sample = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    X = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def kmeans_cluster(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 5,
+    sample_n: int = 10_000,
+    seed: int = 42,
+) -> Dataset:
+    """Spherical k-means clustering as a first-class operator →
+    Dataset (id, cluster, sim): each row's nearest centroid by cosine
+    and the similarity to it.
+
+    Scale shape (the IVF recipe, made public): centroids train
+    driver-side on a bounded random sample (``sample_n``), ship ONCE
+    via ``ray.put``, and assignment is one streaming matmul pass over
+    the corpus — no shuffle, no iteration over the full data.
+    Deterministic given the seed (argmax ties resolve to the lowest
+    centroid index). Iterative float training is not SQL-expressible,
+    so the driver records a rows-only check; validity is pinned in
+    pytest (assignment optimality + determinism)."""
+    import ray
+
+    C = kmeans_fit(
+        ds, id_col=id_col, emb_col=emb_col, n_clusters=n_clusters,
+        iters=iters, sample_n=sample_n, seed=seed,
+    )
+    ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cen = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        M = _normalize(_stack(t[emb_col]))
+        S = M @ cen.T
+        best = S.argmax(axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(best.astype(np.int64)),
+                "sim": pa.array(S[np.arange(len(best)), best]),
+            }
+        )
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )

@@ -572,3 +572,35 @@ def test_entity_union_vs_duckdb(ray_session, sf_dir):
 
 def test_apply_changes_vs_duckdb(ray_session, sf_dir):
     _oracle_check("apply_changes", sf_dir, tables=("orders",))
+
+
+def test_kmeans_cluster_validity_and_determinism(ray_session, sf_dir):
+    from data_linter_ray.functions.similarity import kmeans_cluster
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out1 = (
+        kmeans_cluster(ds, id_col="vec_id", n_clusters=4, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    out2 = (
+        kmeans_cluster(ds, id_col="vec_id", n_clusters=4, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out1, out2)  # deterministic given seed
+    assert out1["cluster"].between(0, 3).all()
+    assert out1["cluster"].nunique() > 1  # non-degenerate on real data
+    # every point's recorded sim is the max over all centroids: verify
+    # optimality by recomputing against the same training
+    from data_linter_ray.functions.similarity import _normalize, kmeans_fit
+
+    C = kmeans_fit(ds, id_col="vec_id", n_clusters=4, iters=3)
+    emb = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    M = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    S = M @ C.T
+    assert (out1["cluster"].to_numpy() == S.argmax(axis=1)).all()
