@@ -1547,6 +1547,30 @@ def q_embedding_clusters(sf_dir: str):
     return kmeans_cluster(ds, id_col="vec_id", n_clusters=8, iters=5)
 
 
+def q_value_percent_rank(sf_dir: str):
+    """SQL percent_rank() without a sort: the range-bucket global rank
+    plus one vectorized (rank-1)/(n-1) projection — identical integer
+    inputs to the same IEEE division as the SQL, so the float column
+    hash-matches."""
+    from data_linter_ray.functions.ranking import global_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    ranked = global_rank(ds, "value", "event_id").materialize()
+    n = ranked.count()
+
+    def pr(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "pr", pa.array((r - 1.0) / float(n - 1), pa.float64())
+        )
+
+    return ranked.map_batches(pr, batch_format="pyarrow")
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-group quantile_disc WITHOUT sort/shuffle: per-group
     histogram lanes in the same multi-round refinement scans; group
@@ -1776,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_union": q_entity_union,
         "apply_changes": q_apply_changes,
         "embedding_clusters": q_embedding_clusters,
+        "value_percent_rank": q_value_percent_rank,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2015,6 +2040,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b) "
             "SELECT node AS c_custkey, min(r) AS entity_id "
             "FROM reach GROUP BY node"
+        ),
+        "value_percent_rank": (
+            'SELECT event_id, value, rank() OVER (ORDER BY value) AS "rank", '
+            "percent_rank() OVER (ORDER BY value) AS pr "
+            "FROM events WHERE value IS NOT NULL"
         ),
         "entity_union": (
             "SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, "

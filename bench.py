@@ -171,6 +171,7 @@ QUERY_NAMES = [
     "entity_union",
     "apply_changes",
     "embedding_clusters",
+    "value_percent_rank",
 ]
 
 

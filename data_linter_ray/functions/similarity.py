@@ -167,33 +167,6 @@ def embedding_near_duplicates(
     )
 
 
-def kmeans_lite(
-    ds: Dataset,
-    n_clusters: int = 16,
-    iters: int = 5,
-    sample_n: int = 10_000,
-    emb_col: str = "embedding",
-    seed: int = 42,
-) -> np.ndarray:
-    """Driver-side k-means on a bounded sample → [n_clusters, d] centroids.
-    (Training on a sample is the standard IVF recipe; assignment stays
-    distributed.)"""
-    n = ds.count()
-    frac = min(1.0, sample_n / max(n, 1))
-    sample = ds.select_columns([emb_col]).random_sample(frac, seed=seed).to_pandas()
-    X = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
-    rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
-    for _ in range(iters):
-        assign = (X @ C.T).argmax(axis=1)
-        for c in range(len(C)):
-            members = X[assign == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
-        C = _normalize(C)
-    return C
-
-
 def _capped_bucket_pairs(
     g: pd.DataFrame, ids_col: str, emb_col: str, threshold: float, max_bucket: int
 ) -> pd.DataFrame:
@@ -250,7 +223,8 @@ def ivf_near_duplicates(
 
     if n_probe < 1 or n_probe > n_clusters:
         raise ValueError(f"n_probe must be in [1, n_clusters], got {n_probe}")
-    C = kmeans_lite(ds, n_clusters=n_clusters, emb_col=emb_col)
+    # deterministic training: same input → same clusters on every run
+    C = kmeans_fit(ds, id_col=id_col, emb_col=emb_col, n_clusters=n_clusters)
     c_ref = ray.put(C)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -522,11 +496,11 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Deterministic spherical k-means training → [k, d] centroids.
 
-    Unlike :func:`kmeans_lite` (seeded ``random_sample``, which is NOT
-    stable across runs — Ray task ordering changes the sample), the
-    training sample here is id-mod selected (every ``step``-th id) and
-    id-sorted, so identical inputs give identical centroids on every
-    run and partitioning."""
+    The training sample is id-mod selected (every ``step``-th id) and
+    id-sorted — NOT a seeded ``random_sample``, whose row set depends
+    on Ray task ordering — so identical inputs give identical centroids
+    on every run and partitioning. Training on a bounded sample is the
+    standard IVF recipe; assignment stays distributed."""
     n = ds.count()
     step = max(1, n // max(sample_n, 1))
 

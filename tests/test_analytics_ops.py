@@ -604,3 +604,7 @@ def test_kmeans_cluster_validity_and_determinism(ray_session, sf_dir):
     M = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
     S = M @ C.T
     assert (out1["cluster"].to_numpy() == S.argmax(axis=1)).all()
+
+
+def test_value_percent_rank_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("value_percent_rank", sf_dir)
