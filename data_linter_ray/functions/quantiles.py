@@ -45,11 +45,19 @@ import ray
 from ray.data import Dataset
 
 
+def _bucket_idx(v: np.ndarray, lo: float, w: float, K: int) -> np.ndarray:
+    # clip in FLOAT domain before the int cast: with subnormal widths
+    # (v - lo)/w overflows to inf, and floor(inf).astype(int64) is
+    # C-undefined — clipping first maps ±inf to the end buckets
+    # deterministically on every platform.
+    with np.errstate(over="ignore", invalid="ignore"):
+        return np.clip(np.floor((v - lo) / w), 0, K - 1).astype(np.int64)
+
+
 def _chain_mask(v: np.ndarray, chain: list[tuple[float, float, int]], K: int) -> np.ndarray:
     mask = np.ones(len(v), dtype=bool)
     for lo, w, b in chain:
-        idx = np.clip(np.floor((v - lo) / w).astype(np.int64), 0, K - 1)
-        mask &= idx == b
+        mask &= _bucket_idx(v, lo, w, K) == b
     return mask
 
 
@@ -110,20 +118,35 @@ def exact_quantiles(
             col = tb[value_col]
             v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
             out = np.zeros((J, K), dtype=np.int64)
+            vmin = np.full(J, np.inf)
+            vmax = np.full(J, -np.inf)
             for j, (lo, w, chain) in enumerate(intervals):
                 m = _chain_mask(v, chain, K)
-                idx = np.clip(
-                    np.floor((v[m] - lo) / w).astype(np.int64), 0, K - 1
-                )
-                out[j] = np.bincount(idx, minlength=K)
-            return pa.table({"_h": pa.array([out.tobytes()], pa.binary())})
+                mv = v[m]
+                out[j] = np.bincount(_bucket_idx(mv, lo, w, K), minlength=K)
+                if len(mv):
+                    vmin[j] = mv.min()
+                    vmax[j] = mv.max()
+            return pa.table(
+                {
+                    "_h": pa.array([out.tobytes()], pa.binary()),
+                    "_mm": pa.array(
+                        [np.concatenate([vmin, vmax]).tobytes()], pa.binary()
+                    ),
+                }
+            )
 
         total = np.zeros((J, K), dtype=np.int64)
+        gmin = np.full(J, np.inf)
+        gmax = np.full(J, -np.inf)
         for b in pruned.map_batches(hist, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
         ):
-            for payload in b["_h"].to_pylist():
+            for payload, mm in zip(b["_h"].to_pylist(), b["_mm"].to_pylist()):
                 total += np.frombuffer(payload, np.int64).reshape(J, K)
+                mmv = np.frombuffer(mm, np.float64)
+                gmin = np.minimum(gmin, mmv[:J])
+                gmax = np.maximum(gmax, mmv[J:])
 
         for t in active:
             j = key_of[(t["lo"], t["w"], tuple(t["chain"]))]
@@ -132,34 +155,41 @@ def exact_quantiles(
             below = int(cum[b - 1]) if b else 0
             t["chain"] = t["chain"] + [(t["lo"], t["w"], b)]
             t["rank"] -= below
+            no_progress = int(total[j][b]) == t["count"]
             t["count"] = int(total[j][b])
-            t["lo"] = t["lo"] + b * t["w"]
-            t["w"] = t["w"] / K
+            if no_progress:
+                # fixed-width narrowing stalled: every member fell in one
+                # bucket. The interval's TRUE member range [gmin, gmax]
+                # (measured this pass) re-anchors the grid — vital for
+                # extreme dynamic range (e.g. subnormals vs 1.0, where
+                # floor((v-lo)/w) cannot separate values until w shrinks
+                # by ~1e45). gmin==gmax ⇒ every member equal ⇒ done.
+                if gmin[j] == gmax[j]:
+                    t["value"] = gmin[j]
+                else:
+                    t["lo"] = gmin[j]
+                    t["w"] = (gmax[j] - gmin[j]) / K or 1.0
+            else:
+                t["lo"] = t["lo"] + b * t["w"]
+                t["w"] = t["w"] / K
 
     # final collect: ONE scan gathers every open target's interval
     # members as (tgt, value) rows — 8 targets is 8× fewer passes than
-    # a scan per target. Stuck intervals (count still > max_collect
-    # after max_rounds: the interval is narrower than float64
-    # resolution, every member equal) only need one member, so their
-    # per-batch contribution is truncated to a single row.
+    # a scan per target. Targets still over max_collect after
+    # max_rounds (adversarial duplicate/dynamic-range mixes) collect
+    # their full member set — correct, with the memory note documented.
     open_targets = [
         (i, t) for i, t in enumerate(targets) if t["value"] is None
     ]
     if open_targets:
-        plans = [
-            (i, list(t["chain"]), t["count"] > max_collect)
-            for i, t in open_targets
-        ]
+        plans = [(i, list(t["chain"])) for i, t in open_targets]
 
         def members(tb: pa.Table, plans=plans) -> pa.Table:
             col = tb[value_col].drop_null()
             v = col.to_numpy(zero_copy_only=False).astype(np.float64)
             tgt_out, val_out = [], []
-            for i, chain, stuck in plans:
-                m = _chain_mask(v, chain, K)
-                mv = v[m]
-                if stuck and len(mv) > 1:
-                    mv = mv[:1]
+            for i, chain in plans:
+                mv = v[_chain_mask(v, chain, K)]
                 tgt_out.append(np.full(len(mv), i, dtype=np.int64))
                 val_out.append(mv)
             return pa.table(
@@ -179,10 +209,7 @@ def exact_quantiles(
         all_val = np.concatenate(val_parts or [np.empty(0)])
         for i, t in open_targets:
             vals = all_val[all_tgt == i]
-            if t["count"] > max_collect:
-                t["value"] = vals[0]
-            else:
-                t["value"] = np.partition(vals, t["rank"] - 1)[t["rank"] - 1]
+            t["value"] = np.partition(vals, t["rank"] - 1)[t["rank"] - 1]
 
     return pd.DataFrame(
         {
@@ -296,8 +323,7 @@ def grouped_quantiles(
                 gm = gcol == g
                 vm = v[gm]
                 m = _chain_mask(vm, chain, K)
-                idx = np.clip(np.floor((vm[m] - lo) / w).astype(np.int64), 0, K - 1)
-                out[j] = np.bincount(idx, minlength=K)
+                out[j] = np.bincount(_bucket_idx(vm[m], lo, w, K), minlength=K)
             return pa.table({"_h": pa.array([out.tobytes()], pa.binary())})
 
         total = np.zeros((J, K), dtype=np.int64)
