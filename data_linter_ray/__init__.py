@@ -19,3 +19,28 @@ __version__ = "0.3.0"
 
 from data_linter_ray.metadata import ColumnSpec, TableSchema  # noqa: F401
 from data_linter_ray.result import ValidatorResult  # noqa: F401
+
+
+def _quiet_unhashable_schema_warning() -> None:
+    """Silence one upstream cosmetic warning, narrowly.
+
+    ``pyarrow.Schema`` raises ``TypeError: unhashable type: 'dict'`` when
+    the schema carries pandas metadata (every pandas-written parquet
+    file), and Ray Data's ``unify_schemas`` tries ``set(schemas)`` as a
+    fast path and WARNs on that failure before falling back to the
+    correct slow path (transform_pyarrow.py:181, Ray 2.49). The fallback
+    is taken either way — the message is pure noise on any
+    pandas-authored input. Filter exactly that message, nothing else.
+    """
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_F())
+
+
+_quiet_unhashable_schema_warning()

@@ -97,3 +97,69 @@ def _estimated_bytes(ds) -> int:
         except Exception:
             pass
     return total * DECODE_INFLATION
+
+
+def keyed_scatter_gather(mat, part_col: str, num_partitions: int, reduce_fn):
+    """Manual hash exchange: scatter a MATERIALIZED dataset's blocks by
+    an int64 partition column in [0, num_partitions), gather each
+    partition in one reduce task, return the reduced blocks as a new
+    Dataset (``from_arrow_refs`` — nothing lands on the driver).
+
+    Why not ``groupby(part_col).map_groups``: Ray Data's sort-based
+    groupby samples key values to pick reduce boundaries; any key
+    holding more than 1/P of the mass duplicates a sampled boundary and
+    yields empty, schema-less sort partitions (executor warns, dataset
+    schema degrades) — and the sample+sort passes cost real time. This
+    exchange is deterministic: partition i IS key i. All tasks are pure
+    functions of their inputs, so lineage-based retry holds.
+
+    ``reduce_fn(part_index, table) -> table`` runs once per partition
+    and MUST return a consistently-typed table even for empty input
+    (pin the schema — mixed block schemas bite downstream consumers).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    P = int(num_partitions)
+
+    def _scatter(*tables):
+        t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        pv = t[part_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(pv, kind="stable")
+        st = t.take(pa.array(order))
+        bounds = np.searchsorted(pv[order], np.arange(P + 1))
+        out = [st.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P)]
+        return out[0] if P == 1 else tuple(out)
+
+    def _reduce(i, *parts):
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            merged = None
+        elif len(parts) == 1:
+            merged = parts[0]
+        else:
+            merged = pa.concat_tables(parts)
+        return reduce_fn(i, merged)
+
+    scatter_task = ray.remote(_scatter)
+    reduce_task = ray.remote(_reduce)
+
+    block_refs = [
+        r for bundle in mat.iter_internal_ref_bundles() for r in bundle.block_refs
+    ]
+    if not block_refs:
+        return rd.from_arrow_refs([reduce_task.remote(0)])
+    # group blocks so scatter-task (and returned-ref) count stays ~2×P
+    group = max(1, len(block_refs) // (2 * P))
+    groups = [block_refs[i : i + group] for i in range(0, len(block_refs), group)]
+    per_block = [
+        scatter_task.options(num_returns=P).remote(*g) if P > 1
+        else [scatter_task.remote(*g)]
+        for g in groups
+    ]
+    reduced = [
+        reduce_task.remote(p, *[pb[p] for pb in per_block]) for p in range(P)
+    ]
+    return rd.from_arrow_refs(reduced)

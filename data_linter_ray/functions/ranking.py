@@ -19,11 +19,22 @@ used by ``functions.packing`` applies:
 Output is integer-exact (no float scores), so it hash-matches SQL
 ``rank() OVER (ORDER BY value)`` bit-for-bit. Null values are excluded
 (SQL ranks them last; a null has no position in a numeric order —
-filter first if a convention is needed). Skew note: buckets are
-fixed-width value ranges; a pathological single-value column puts
-everything in one bucket — the pass-1 histogram exposes this on the
-driver before pass 2 moves any data, where a caller can fall back to a
-sort or sub-split by a secondary key.
+filter first if a convention is needed).
+
+Skew handling: the fine buckets are fixed-width VALUE ranges, so a
+skewed column (most mass near one value, a long outlier tail) piles
+rows into a few fine buckets. Exchanging on the fine bucket id would
+both unbalance pass 2 and feed Ray's sample-based sort a key stream
+dominated by one value — duplicate sampled boundaries then yield
+empty, schema-less sort partitions. Since pass 1 already puts the
+exact per-bucket histogram on the driver, the exchange key is instead
+an equi-DEPTH super-bucket: consecutive fine buckets greedily packed
+to ~N/P rows each. Each super-bucket is still a contiguous value
+range, so the in-partition strict-rank (sort + searchsorted) plus the
+super-bucket's exclusive global offset stays exact. A single value
+holding > N/P rows caps the balance at that value's mass (rank needs
+equal values co-located); this is the theoretical floor, not a design
+limit.
 """
 
 from __future__ import annotations
@@ -34,7 +45,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-from data_linter_ray.exchange import exchange_width
+from data_linter_ray.exchange import exchange_width, keyed_scatter_gather
 
 
 def global_rank(
@@ -79,23 +90,61 @@ def global_rank(
     ):
         for payload in b["_h"].to_pylist():
             total += np.frombuffer(payload, np.int64)
-    offsets = np.concatenate([[0], np.cumsum(total)[:-1]])
-    offsets_ref = ray.put(offsets)
 
-    # pass 2: bucket exchange + in-bucket vectorized strict-rank
-    def rank_bucket(g: pa.Table) -> pa.Table:
-        base = ray.get(offsets_ref)[int(g["_bucket"][0].as_py())]
+    # equi-depth super-buckets: pack consecutive fine buckets to ~N/P
+    # rows each (driver-side walk over K integers). sb_of maps fine
+    # bucket → super bucket; sb_base is each super bucket's exclusive
+    # global row offset.
+    n = int(total.sum())
+    P = max(1, min(K, exchange_width(ds)))
+    target = max(1, -(-n // P))  # ceil(n / P)
+    sb_of = np.zeros(K, np.int64)
+    sb, acc = 0, 0
+    for k in range(K):
+        if acc >= target and total[k] > 0:
+            sb, acc = sb + 1, 0
+        sb_of[k] = sb
+        acc += int(total[k])
+    cum = np.concatenate([[0], np.cumsum(total)[:-1]])
+    n_sb = int(sb_of[-1]) + 1
+    first = np.full(n_sb, -1, np.int64)
+    for k in range(K - 1, -1, -1):
+        first[sb_of[k]] = k
+    sb_base = cum[first]
+
+    def with_super(t: pa.Table) -> pa.Table:
+        b = t["_bucket"].to_numpy(zero_copy_only=False)
+        return t.append_column("_sb", pa.array(sb_of[b]))
+
+    # pass 2: deterministic super-bucket exchange (keyed_scatter_gather
+    # — partition i IS super-bucket i, so no sample-based sort and no
+    # empty schema-less partitions) + in-partition vectorized
+    # strict-rank. Partition = contiguous value range, so base +
+    # in-partition strictly-smaller count is the global strict count.
+    sch = bucketed.schema()
+    out_schema = pa.schema(
+        [
+            (id_col, sch.base_schema.field(id_col).type),
+            (value_col, sch.base_schema.field(value_col).type),
+            (out_col, pa.int64()),
+        ]
+    )
+
+    def rank_part(i: int, g: pa.Table | None) -> pa.Table:
+        if g is None or g.num_rows == 0:
+            return out_schema.empty_table()
+        base = sb_base[i]
         v = g[value_col].to_numpy(zero_copy_only=False)
         sv = np.sort(v, kind="stable")
         r = base + np.searchsorted(sv, v, side="left") + 1
         return pa.table(
             {
-                id_col: g[id_col],
-                value_col: g[value_col],
+                id_col: g[id_col].combine_chunks(),
+                value_col: g[value_col].combine_chunks(),
                 out_col: pa.array(r.astype(np.int64)),
-            }
+            },
+            schema=out_schema,
         )
 
-    return bucketed.groupby("_bucket").map_groups(
-        rank_bucket, batch_format="pyarrow"
-    )
+    mat = bucketed.map_batches(with_super, batch_format="pyarrow").materialize()
+    return keyed_scatter_gather(mat, "_sb", n_sb, rank_part)
