@@ -1739,6 +1739,71 @@ def q_events_summary(sf_dir: str):
     )
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Pairwise Pearson correlation of lineitem's four numeric measures
+    in ONE column-pruned streaming scan: per-batch sufficient-statistic
+    partials (n, Σx, Σy, Σx², Σy², Σxy per pair), driver fold, the
+    textbook closed form. Rounded to 6 dp on both sides (partial-sum
+    fold order differs from SQL's sequential SUM in the last ulps)."""
+    from data_linter_ray.functions.stats import corr_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return corr_matrix(ds, cols, round_to=6)
+
+
+def q_value_percentiles_cont(sf_dir: str):
+    """SQL quantile_cont (linear interpolation) without any sort: the
+    two neighboring exact order statistics per q from the multi-round
+    histogram-refinement scan, then DuckDB's own two-sided weighted
+    interpolation expression — bit-identical floats."""
+    from data_linter_ray.functions.quantiles import percentile_cont
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return percentile_cont(ds, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def q_customer_order_activity(sf_dir: str):
+    """FULL OUTER equi-join: every customer against their order count —
+    customers with no orders keep a null count, order keys missing from
+    customer would surface coalesced into the key column (SQL USING
+    semantics). Order side pre-aggregated (count per custkey) before
+    the join, so the exchange carries one row per customer, not one per
+    order."""
+    from ray.data.aggregate import Count
+
+    from data_linter_ray.functions.joins import equi_join
+
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    return equi_join(
+        customers, orders, on=("c_custkey",), right_on=("o_custkey",),
+        how="full_outer",
+    )
+
+
+def q_user_retention(sf_dir: str):
+    """Weekly cohort retention over events: users keyed to the epoch
+    week of their first activity, distinct-user counts per
+    (cohort_week, week) cell. One hash exchange of per-batch-distinct
+    (user, week) pairs — no driver user map, no broadcast."""
+    from data_linter_ray.functions.cohort import retention_matrix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = retention_matrix(ds, "user_id", "ts")
+    return out.rename(
+        columns={"cohort_period": "cohort_week", "period": "week"}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -1801,6 +1866,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apply_changes": q_apply_changes,
         "embedding_clusters": q_embedding_clusters,
         "value_percent_rank": q_value_percent_rank,
+        "lineitem_corr": q_lineitem_corr,
+        "value_percentiles_cont": q_value_percentiles_cont,
+        "customer_order_activity": q_customer_order_activity,
+        "user_retention": q_user_retention,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2045,6 +2114,50 @@ def oracle_sql() -> dict[str, str]:
             'SELECT event_id, value, rank() OVER (ORDER BY value) AS "rank", '
             "percent_rank() OVER (ORDER BY value) AS pr "
             "FROM events WHERE value IS NOT NULL"
+        ),
+        "lineitem_corr": (
+            # the same closed-form expression the engine evaluates over
+            # its folded partials, rounded to 6 dp on both sides
+            "WITH p AS ("
+            + " UNION ALL ".join(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+                f"count(*) AS n, sum({a}) AS sx, sum({b}) AS sy, "
+                f"sum({a}*{a}) AS sxx, sum({b}*{b}) AS syy, "
+                f"sum({a}*{b}) AS sxy FROM lineitem "
+                f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL"
+                for a, b in [
+                    ("l_discount", "l_extendedprice"),
+                    ("l_discount", "l_quantity"),
+                    ("l_discount", "l_tax"),
+                    ("l_extendedprice", "l_quantity"),
+                    ("l_extendedprice", "l_tax"),
+                    ("l_quantity", "l_tax"),
+                ]
+            )
+            + ") SELECT col_x, col_y, n, "
+            "round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) "
+            'AS "corr" FROM p'
+        ),
+        "value_percentiles_cont": (
+            " UNION ALL ".join(
+                f"SELECT {q} AS q, quantile_cont(value, {q}) AS value FROM events"
+                for q in [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+            )
+        ),
+        "customer_order_activity": (
+            "SELECT c_custkey, c_mktsegment, n_orders FROM customer "
+            "FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders "
+            "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey"
+        ),
+        "user_retention": (
+            "WITH act AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "first AS (SELECT user_id, min(week) AS cohort_week "
+            "FROM act GROUP BY user_id) "
+            "SELECT cohort_week, week, count(*) AS n_users "
+            "FROM act JOIN first USING (user_id) "
+            "GROUP BY cohort_week, week"
         ),
         "entity_union": (
             "SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, "

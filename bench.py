@@ -172,6 +172,10 @@ QUERY_NAMES = [
     "apply_changes",
     "embedding_clusters",
     "value_percent_rank",
+    "lineitem_corr",
+    "value_percentiles_cont",
+    "customer_order_activity",
+    "user_retention",
 ]
 
 

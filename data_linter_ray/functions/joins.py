@@ -47,10 +47,19 @@ def equi_join(
     num_partitions: int | None = None,
     broadcast_threshold_bytes: int = BROADCAST_JOIN_THRESHOLD_BYTES,
 ) -> Dataset:
-    """Inner / left-outer equi-join. ``how`` ∈ {"inner", "left_outer"};
-    join-key name collisions follow ``Dataset.join`` semantics (the
-    right key columns are dropped)."""
-    if how not in ("inner", "left_outer"):
+    """Inner / left-outer / full-outer equi-join. ``how`` ∈ {"inner",
+    "left_outer", "full_outer"}; join-key name collisions follow
+    ``Dataset.join`` semantics (the right key columns are dropped; on
+    full-outer, right-unmatched rows surface their key COALESCEd into
+    the left key column — SQL ``USING`` semantics).
+
+    Full-outer on the broadcast path is a composition: the streaming
+    left-outer map-side join, plus a second key-pruned pass over the
+    left that folds the set of MATCHED right keys (bounded by the
+    broadcast side's size, never the left's), then the right side's
+    unmatched remainder is padded with typed nulls and unioned on. The
+    big side still never shuffles."""
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported how: {how}")
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown strategy: {strategy}")
@@ -100,7 +109,52 @@ def equi_join(
         rt = ray.get(rt_ref) if isinstance(rt_ref, ray.ObjectRef) else rt_ref
         return t.join(rt, keys=list(on), join_type=join_type)
 
-    return left.map_batches(join_batch, batch_format="pyarrow")
+    joined = left.map_batches(join_batch, batch_format="pyarrow")
+    if how != "full_outer":
+        return joined
+
+    # full-outer remainder: fold the matched right keys from a pruned
+    # second pass over the left (each batch emits the semi-join of the
+    # DISTINCT right keys against its own keys — ≤ |right keys| rows,
+    # so the driver fold is bounded by the broadcast side)
+    right_keys = right_tbl.select(list(on)).group_by(list(on)).aggregate([])
+    rk_ref = ray.put(right_keys)
+
+    def matched_partial(t: pa.Table) -> pa.Table:
+        rk = ray.get(rk_ref) if isinstance(rk_ref, ray.ObjectRef) else rk_ref
+        bk = t.select(list(on)).group_by(list(on)).aggregate([])
+        return rk.join(bk, keys=list(on), join_type="left semi")
+
+    matched_parts = list(
+        left.select_columns(list(on))
+        .map_batches(matched_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    matched = (
+        pa.concat_tables(matched_parts) if matched_parts else right_keys
+    ).group_by(list(on)).aggregate([])
+    if not matched_parts:
+        matched = matched.slice(0, 0)
+    unmatched = right_tbl.join(matched, keys=list(on), join_type="left anti")
+    # pad to the joined schema: left non-key columns become typed nulls,
+    # right columns keep their values; column order mirrors Acero's
+    # left-outer output (left columns, then right non-key columns)
+    left_schema = left.schema().base_schema
+    arrays, names = [], []
+    for f in left_schema:
+        names.append(f.name)
+        if f.name in on:
+            arrays.append(unmatched[f.name].cast(f.type))
+        else:
+            arrays.append(pa.nulls(unmatched.num_rows, f.type))
+    for c in unmatched.column_names:
+        if c not in on:
+            names.append(c)
+            arrays.append(unmatched[c])
+    pad = pa.table(dict(zip(names, arrays)))
+    if unmatched.num_rows == 0:
+        return joined
+    return joined.union(ray.data.from_arrow(pad))
 
 
 def _filter_join(

@@ -398,3 +398,66 @@ def grouped_quantiles(
             "value": pd.Series([t["value"] for t in targets], dtype=np.float64),
         }
     )
+
+
+def percentile_cont(
+    ds: Dataset,
+    value_col: str,
+    qs: list[float],
+    *,
+    n_buckets: int = 1024,
+    max_collect: int = 65536,
+    max_rounds: int = 8,
+):
+    """→ pandas DataFrame (q, value): SQL ``quantile_cont`` — the
+    LINEARLY INTERPOLATED percentile — still without any sort shuffle.
+
+    Composition over :func:`exact_quantiles`: the interpolated
+    percentile at q touches at most two order statistics, ranks
+    floor(RN)+1 and ceil(RN)+1 where RN = (n−1)·q. Both are fetched in
+    ONE exact_quantiles call (it batches all targets per scan) by
+    encoding rank k as the fraction (k−0.5)/n — ceil(n·(k−0.5)/n) = k
+    with a 0.5-row safety margin against float roundoff. The
+    interpolation uses the weighted two-sided form
+    (CRN−RN)·v_lo + (RN−FRN)·v_hi — the exact expression DuckDB's
+    quantile_cont evaluates, so results are bit-identical to SQL when
+    the order statistics are (they are: exact data values).
+    """
+    import pandas as pd
+
+    pruned = ds.select_columns([value_col])
+    n = int(
+        pruned.aggregate(
+            ray.data.aggregate.Count(value_col, ignore_nulls=True)
+        )[f"count({value_col})"]
+    )
+    if n == 0:
+        return pd.DataFrame(
+            {"q": pd.Series(qs, dtype=np.float64), "value": np.nan}
+        )
+
+    plans = []  # (q, RN, FRN, CRN) with 0-indexed ranks
+    ranks: set[int] = set()
+    for q in qs:
+        rn = (n - 1) * float(q)
+        frn, crn = math.floor(rn), math.ceil(rn)
+        plans.append((float(q), rn, frn, crn))
+        ranks.update((frn + 1, crn + 1))
+    by_rank = dict(
+        zip(
+            sorted(ranks),
+            exact_quantiles(
+                ds,
+                value_col,
+                [(k - 0.5) / n for k in sorted(ranks)],
+                n_buckets=n_buckets,
+                max_collect=max_collect,
+                max_rounds=max_rounds,
+            )["value"],
+        )
+    )
+    vals = []
+    for q, rn, frn, crn in plans:
+        lo, hi = by_rank[frn + 1], by_rank[crn + 1]
+        vals.append(lo if crn == frn else (crn - rn) * lo + (rn - frn) * hi)
+    return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64), "value": vals})

@@ -1,0 +1,86 @@
+"""Column statistics across rows: Pearson correlation / covariance.
+
+Profiling operator for numeric feature sets (reward columns, telemetry,
+embedding-derived scalars): the full pairwise correlation matrix of C
+columns in ONE streaming scan. Per-batch partials are the classic
+sufficient statistics per ordered pair — (n, Σx, Σy, Σx², Σy², Σxy)
+over rows where BOTH columns are non-null (SQL ``corr`` pairwise
+deletion) — C² float64 lanes per batch, folded on the driver (KB
+scale, same partials-as-data pattern as profile/quantiles/outliers).
+No shuffle; the scan is column-pruned to exactly the requested set.
+
+Float parity note: partial sums fold in a different order than a
+sequential SQL SUM, so raw corr values differ from an oracle in the
+last few ulps. ``round_to`` (used by the oracle query at 6 dp) makes
+both sides land on the identical double except when a value sits
+within ~1e-12 of a rounding boundary — the documented trade, same
+rationale as the engine's other float-emitting oracles.
+
+Reference provenance: the reference has no cross-column statistics
+(per-column checks only, reference pandas_validator.py); this extends
+the profiling surface the way SURVEY.md §2.8 extends scalar functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def corr_matrix(
+    ds: Dataset,
+    cols: list[str],
+    *,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """→ DataFrame(col_x, col_y, n, corr) for every unordered pair
+    (col_x < col_y lexicographically), Pearson correlation with SQL
+    pairwise-null deletion. Pairs with zero variance on either side
+    (or n == 0) emit NaN, matching SQL ``corr``."""
+    cols = sorted(cols)
+    C = len(cols)
+    pairs = [(i, j) for i in range(C) for j in range(i + 1, C)]
+    LANES = 6  # n, sx, sy, sxx, syy, sxy
+
+    def partial(t: pa.Table) -> pa.Table:
+        vs = [
+            t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols
+        ]
+        valid = [~np.isnan(v) for v in vs]
+        out = np.zeros((len(pairs), LANES), np.float64)
+        for p, (i, j) in enumerate(pairs):
+            m = valid[i] & valid[j]
+            x, y = vs[i][m], vs[j][m]
+            out[p] = (len(x), x.sum(), y.sum(), (x * x).sum(), (y * y).sum(), (x * y).sum())
+        return pa.table({"_p": pa.array([out.tobytes()], pa.binary())})
+
+    total = np.zeros((len(pairs), LANES), np.float64)
+    for b in (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for payload in b["_p"].to_pylist():
+            total += np.frombuffer(payload, np.float64).reshape(len(pairs), LANES)
+
+    n, sx, sy, sxx, syy, sxy = (total[:, k] for k in range(LANES))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # the explicit textbook expression — the oracle SQL computes the
+        # SAME expression over SUM aggregates, so only sum fold order
+        # differs (handled by round_to)
+        corr = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        )
+    if round_to is not None:
+        corr = np.round(corr, round_to)
+    return pd.DataFrame(
+        {
+            "col_x": [cols[i] for i, _ in pairs],
+            "col_y": [cols[j] for _, j in pairs],
+            "n": n.astype(np.int64),
+            "corr": corr,
+        }
+    )

@@ -1,0 +1,200 @@
+"""Correlation / interpolated-percentile / full-outer-join / cohort
+retention — crafted edge cases plus DuckDB parity on real testdata."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _oracle_check(name: str, sf_dir: str, tables):
+    import __ray_entry__ as e
+
+    got = e.queries()[name](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    exp = con.execute(e.oracle_sql()[name]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    return a
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_corr_matrix_crafted(ray_session):
+    from data_linter_ray.functions.stats import corr_matrix
+
+    x = np.arange(100, dtype=np.float64)
+    t = pa.table(
+        {
+            "a": pa.array(x),
+            "b": pa.array(2.0 * x + 3.0),        # corr(a, b) = 1
+            "c": pa.array(-x),                    # corr(a, c) = -1
+            "d": pa.array(np.full(100, 7.0)),     # zero variance → NaN
+        }
+    )
+    out = corr_matrix(
+        ray.data.from_arrow(t).repartition(4), ["a", "b", "c", "d"], round_to=9
+    )
+    got = {(r.col_x, r.col_y): r.corr for r in out.itertuples()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert np.isnan(got[("a", "d")])
+    assert (out["n"] == 100).all()
+
+
+def test_corr_matrix_pairwise_null_deletion(ray_session):
+    from data_linter_ray.functions.stats import corr_matrix
+
+    # a-b complete on rows 0-3 (corr -1); b null on row 4 where a has an
+    # outlier — pairwise deletion must ignore it for the (a, b) pair
+    t = pa.table(
+        {
+            "a": pa.array([1.0, 2.0, 3.0, 4.0, 1000.0]),
+            "b": pa.array([4.0, 3.0, 2.0, 1.0, None]),
+        }
+    )
+    out = corr_matrix(ray.data.from_arrow(t), ["a", "b"], round_to=9)
+    assert out["n"].tolist() == [4]
+    assert out["corr"].tolist() == [-1.0]
+
+
+def test_lineitem_corr_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("lineitem_corr", sf_dir, ("lineitem",))
+
+
+# ---------------------------------------------------------------------------
+# percentile_cont
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_cont_crafted(ray_session):
+    from data_linter_ray.functions.quantiles import percentile_cont
+
+    vals = [10.0, 20.0, 30.0, 40.0]  # quartile interpolation points
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(2)
+    out = percentile_cont(ds, "v", [0.0, 0.25, 0.5, 1.0])
+    got = dict(zip(out["q"], out["value"]))
+    assert got[0.0] == 10.0
+    assert got[0.25] == 17.5    # RN = 0.75 between 10 and 20
+    assert got[0.5] == 25.0
+    assert got[1.0] == 40.0
+
+
+def test_percentile_cont_matches_numpy_random(ray_session):
+    from data_linter_ray.functions.quantiles import percentile_cont
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=5001)
+    qs = [0.01, 0.37, 0.5, 0.93]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(5)
+    # force multi-round refinement with a tiny collect cap
+    out = percentile_cont(ds, "v", qs, n_buckets=16, max_collect=64)
+    exp = np.quantile(vals, qs)  # numpy 'linear' == SQL quantile_cont
+    assert np.allclose(out["value"].to_numpy(), exp, rtol=0, atol=1e-12)
+
+
+def test_value_percentiles_cont_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("value_percentiles_cont", sf_dir, ("events",))
+
+
+# ---------------------------------------------------------------------------
+# full-outer equi_join
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_full_outer_both_sides_exclusive(ray_session, strategy):
+    from data_linter_ray.functions.joins import equi_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "a": ["x", "y", "z"]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 4], pa.int64()), "b": pa.array([20, 30, 40], pa.int64())})
+    )
+    out = (
+        equi_join(left, right, on=("k",), how="full_outer", strategy=strategy)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    # left-only row: null right payload; right-only row: null left payload
+    assert pd.isna(out.loc[0, "b"]) and out.loc[0, "a"] == "x"
+    assert pd.isna(out.loc[3, "a"]) and out.loc[3, "b"] == 40
+
+
+def test_full_outer_broadcast_right_key_rename(ray_session):
+    from data_linter_ray.functions.joins import equi_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "a": ["x"]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([9], pa.int64()), "b": pa.array([90], pa.int64())})
+    )
+    out = (
+        equi_join(
+            left, right, on=("k",), right_on=("rk",),
+            how="full_outer", strategy="broadcast",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # the unmatched right key surfaces coalesced into the left key column
+    assert out["k"].tolist() == [1, 9]
+    assert pd.isna(out.loc[1, "a"]) and out.loc[1, "b"] == 90
+
+
+def test_customer_order_activity_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("customer_order_activity", sf_dir, ("customer", "orders"))
+
+
+# ---------------------------------------------------------------------------
+# retention_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_retention_matrix_crafted(ray_session):
+    from data_linter_ray.functions.cohort import retention_matrix
+
+    week = 604800 * 1_000_000  # µs
+    # user 1: weeks 0,1,2 — cohort 0; user 2: weeks 1,1,3 — cohort 1
+    # (duplicate activity in one week counts once); user 3: week 2 only
+    ts = np.array(
+        [0, week, 2 * week, week, week + 5, 3 * week, 2 * week],
+        dtype="datetime64[us]",
+    )
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    out = retention_matrix(
+        ray.data.from_arrow(t).repartition(3), "u", "ts", num_partitions=4
+    )
+    cells = {(r.cohort_period, r.period): r.n_users for r in out.itertuples()}
+    assert cells == {
+        (0, 0): 1, (0, 1): 1, (0, 2): 1,   # user 1
+        (1, 1): 1, (1, 3): 1,              # user 2
+        (2, 2): 1,                         # user 3
+    }
+
+
+def test_user_retention_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("user_retention", sf_dir, ("events",))
