@@ -99,7 +99,9 @@ def _estimated_bytes(ds) -> int:
     return total * DECODE_INFLATION
 
 
-def keyed_scatter_gather(mat, part_col: str, num_partitions: int, reduce_fn):
+def keyed_scatter_gather(
+    mat, part_col: str, num_partitions: int, reduce_fn, *, skip_empty: bool = False
+):
     """Manual hash exchange: scatter a MATERIALIZED dataset's blocks by
     an int64 partition column in [0, num_partitions), gather each
     partition in one reduce task, return the reduced blocks as a new
@@ -116,6 +118,13 @@ def keyed_scatter_gather(mat, part_col: str, num_partitions: int, reduce_fn):
     ``reduce_fn(part_index, table) -> table`` runs once per partition
     and MUST return a consistently-typed table even for empty input
     (pin the schema — mixed block schemas bite downstream consumers).
+
+    With ``skip_empty=True`` the scatter side also returns a per-
+    partition row-count vector (one extra tiny return per scatter task,
+    the ``_split_preagg_block`` P+1 pattern); the driver folds the
+    counts and schedules reduce tasks ONLY for non-empty partitions, so
+    ``reduce_fn`` never sees empty input and needs no pinned empty
+    schema. An all-empty exchange returns an empty zero-column dataset.
     """
     import numpy as np
     import pyarrow as pa
@@ -125,13 +134,25 @@ def keyed_scatter_gather(mat, part_col: str, num_partitions: int, reduce_fn):
     P = int(num_partitions)
 
     def _scatter(*tables):
+        # Ray Data passes empty blocks through map_batches WITHOUT
+        # calling the UDF, so an empty block can carry a stale upstream
+        # schema (even missing part_col). Empty parts are dropped by
+        # the reduce side regardless, so skip empty inputs wholesale.
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            out = [pa.table({})] * P
+            if skip_empty:
+                out.append(np.zeros(P, np.int64))
+            return out[0] if len(out) == 1 else tuple(out)
         t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         pv = t[part_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(pv, kind="stable")
         st = t.take(pa.array(order))
         bounds = np.searchsorted(pv[order], np.arange(P + 1))
         out = [st.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P)]
-        return out[0] if P == 1 else tuple(out)
+        if skip_empty:
+            out.append(np.diff(bounds).astype(np.int64))
+        return out[0] if len(out) == 1 else tuple(out)
 
     def _reduce(i, *parts):
         parts = [p for p in parts if p.num_rows]
@@ -150,16 +171,51 @@ def keyed_scatter_gather(mat, part_col: str, num_partitions: int, reduce_fn):
         r for bundle in mat.iter_internal_ref_bundles() for r in bundle.block_refs
     ]
     if not block_refs:
+        if skip_empty:
+            return rd.from_arrow(pa.table({}))
         return rd.from_arrow_refs([reduce_task.remote(0)])
     # group blocks so scatter-task (and returned-ref) count stays ~2×P
     group = max(1, len(block_refs) // (2 * P))
     groups = [block_refs[i : i + group] for i in range(0, len(block_refs), group)]
+    n_ret = P + 1 if skip_empty else P
     per_block = [
-        scatter_task.options(num_returns=P).remote(*g) if P > 1
+        scatter_task.options(num_returns=n_ret).remote(*g) if n_ret > 1
         else [scatter_task.remote(*g)]
         for g in groups
     ]
+    live = range(P)
+    if skip_empty:
+        counts = np.sum(ray.get([pb[P] for pb in per_block]), axis=0)
+        live = [p for p in range(P) if counts[p] > 0]
+        if not live:
+            return rd.from_arrow(pa.table({}))
     reduced = [
-        reduce_task.remote(p, *[pb[p] for pb in per_block]) for p in range(P)
+        reduce_task.remote(p, *[pb[p] for pb in per_block]) for p in live
     ]
     return rd.from_arrow_refs(reduced)
+
+
+def exchange_map_groups(
+    ds, part_col: str, num_partitions: int, fn, *, batch_format: str = "pandas"
+):
+    """Drop-in replacement for ``ds.groupby(part_col).map_groups(fn,
+    batch_format=...)`` over a dense int partition column: one
+    deterministic :func:`keyed_scatter_gather` exchange, ``fn`` applied
+    to each non-empty partition as a pandas DataFrame (or a pyarrow
+    Table with ``batch_format="pyarrow"``; ``part_col`` still present,
+    as with map_groups). No boundary sampling, no sort, no empty
+    schema-less partitions."""
+    import pyarrow as pa
+
+    def reduce(i, t):
+        out = fn(t.to_pandas() if batch_format == "pandas" else t)
+        if not isinstance(out, pa.Table):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        # pandas metadata makes pa.Schema unhashable (upstream warning
+        # noise) and serves no downstream purpose here
+        return out.replace_schema_metadata(None)
+
+    mat = ds if type(ds).__name__ == "MaterializedDataset" else ds.materialize()
+    return keyed_scatter_gather(
+        mat, part_col, num_partitions, reduce, skip_empty=True
+    )

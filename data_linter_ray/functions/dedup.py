@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from data_linter_ray.exchange import exchange_width
+from data_linter_ray.exchange import exchange_map_groups, exchange_width
 from data_linter_ray.state.sketches import hash_array
 
 # ---------------------------------------------------------------------------
@@ -67,23 +67,16 @@ def exact_dedup(
         h = t["_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
         return t.append_column("_bucket", pa.array((h % P).astype(np.int64)))
 
-    local = (
-        pruned.map_batches(
-            _local_survivors(text_col, id_col, extra), batch_format="pyarrow"
-        )
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .repartition(P)
-        .materialize()
-    )
+    local = pruned.map_batches(
+        _local_survivors(text_col, id_col, extra), batch_format="pyarrow"
+    ).map_batches(add_bucket, batch_format="pyarrow")
 
     def pick_min(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="stable")
         return g.drop_duplicates(subset=["_h"], keep="first")
 
-    return (
-        local.groupby("_bucket")
-        .map_groups(pick_min, batch_format="pandas")
-        .drop_columns(["_h", "_bucket"])
+    return exchange_map_groups(local, "_bucket", P, pick_min).drop_columns(
+        ["_h", "_bucket"]
     )
 
 
@@ -151,12 +144,11 @@ def _bucketed_pairs(
             return pair_fn(g.iloc[0:0], False)
         return pd.concat(outs, ignore_index=True)
 
-    return (
-        buckets.map_batches(add_part, batch_format="pyarrow")
-        .repartition(P)
-        .materialize()  # fast-path the Sort behind groupby (see uniqueness.py)
-        .groupby("_part")
-        .map_groups(pairs_in_partition, batch_format="pandas")
+    return exchange_map_groups(
+        buckets.map_batches(add_part, batch_format="pyarrow"),
+        "_part",
+        P,
+        pairs_in_partition,
     )
 
 
@@ -181,14 +173,9 @@ def _dedupe_pairs(cand: Dataset, agg: dict, width: int | None = None) -> Dataset
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["id_a", "id_b"], as_index=False).agg(agg)
 
-    return (
-        cand.map_batches(local, batch_format="pyarrow")
-        .repartition(P)
-        .materialize()
-        .groupby("_bucket")
-        .map_groups(merge, batch_format="pandas")
-        .select_columns(["id_a", "id_b"] + cols)
-    )
+    return exchange_map_groups(
+        cand.map_batches(local, batch_format="pyarrow"), "_bucket", P, merge
+    ).select_columns(["id_a", "id_b"] + cols)
 
 
 # ---------------------------------------------------------------------------
@@ -642,11 +629,8 @@ def drop_near_duplicates(
             "_is_loser_row", pa.array(np.ones(t.num_rows, dtype=bool))
         )
 
-    both = (
-        ds.map_batches(tag_corpus, batch_format="pyarrow")
-        .union(losers_ds.map_batches(tag_losers, batch_format="pyarrow"))
-        .repartition(P)
-        .materialize()
+    both = ds.map_batches(tag_corpus, batch_format="pyarrow").union(
+        losers_ds.map_batches(tag_losers, batch_format="pyarrow")
     )
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
@@ -655,7 +639,7 @@ def drop_near_duplicates(
         rows = rows[~rows[id_col].isin(loser_ids)]
         return rows.drop(columns=["_part", "_is_loser_row"])
 
-    return both.groupby("_part").map_groups(anti, batch_format="pandas")
+    return exchange_map_groups(both, "_part", P, anti)
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
-from data_linter_ray.exchange import exchange_width
+from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
 
 def snapshot_diff(
@@ -102,4 +102,4 @@ def snapshot_diff(
             }
         )
 
-    return unioned.groupby("_part").map_groups(diff_part, batch_format="pandas")
+    return exchange_map_groups(unioned, "_part", P, diff_part)

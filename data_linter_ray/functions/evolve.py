@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
-from data_linter_ray.exchange import exchange_width
+from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
 
 def union_by_name(datasets: list[Dataset]) -> Dataset:
@@ -130,4 +130,4 @@ def apply_changes(
             cols[c] = arr
         return pa.table(cols)
 
-    return unioned.groupby("_part").map_groups(resolve, batch_format="pandas")
+    return exchange_map_groups(unioned, "_part", P, resolve)

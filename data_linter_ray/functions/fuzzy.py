@@ -50,7 +50,7 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
-from data_linter_ray.exchange import exchange_width
+from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
 logger = logging.getLogger(__name__)
 
@@ -250,11 +250,13 @@ def fuzzy_key_pairs(
             g.reset_index(drop=True), preserve_index=False
         ).replace_schema_metadata(None)
 
-    cands = (
-        ds.select_columns([id_col, name_col])
-        .map_batches(variants, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    cands = exchange_map_groups(
+        ds.select_columns([id_col, name_col]).map_batches(
+            variants, batch_format="pyarrow"
+        ),
+        "_part",
+        P,
+        bucket_pairs,
     )
 
     def pair_part(t: pa.Table) -> pa.Table:
@@ -263,8 +265,9 @@ def fuzzy_key_pairs(
         ).to_numpy(dtype=np.uint64)
         return t.append_column("_p2", pa.array((h % np.uint64(P)).astype(np.int64)))
 
-    return (
-        cands.map_batches(pair_part, batch_format="pyarrow")
-        .groupby("_p2")
-        .map_groups(dedupe_verify, batch_format="pandas")
+    return exchange_map_groups(
+        cands.map_batches(pair_part, batch_format="pyarrow"),
+        "_p2",
+        P,
+        dedupe_verify,
     )

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-from data_linter_ray.exchange import exchange_width
+from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
 WS = r"\s+"
 
@@ -130,4 +130,6 @@ def pack_offsets(
             }
         )
 
-    return counted.groupby("_bucket").map_groups(scan_bucket, batch_format="pyarrow")
+    return exchange_map_groups(
+        counted, "_bucket", K, scan_bucket, batch_format="pyarrow"
+    )

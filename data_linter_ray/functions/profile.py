@@ -102,7 +102,7 @@ def top_values(
     driver-side materialization."""
     import pandas as pd
 
-    from data_linter_ray.exchange import exchange_width
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
     P = num_partitions or exchange_width(ds)
 
@@ -124,13 +124,11 @@ def top_values(
         agg = agg.sort_values(["n", "value"], ascending=[False, True]).head(k)
         return agg[["value", "n"]]
 
-    parts = (
-        ds.select_columns([column])
-        .map_batches(local_counts, batch_format="pyarrow")
-        .repartition(P)
-        .materialize()
-        .groupby("_part")
-        .map_groups(part_topk, batch_format="pandas")
+    parts = exchange_map_groups(
+        ds.select_columns([column]).map_batches(local_counts, batch_format="pyarrow"),
+        "_part",
+        P,
+        part_topk,
     )
     top = parts.to_pandas()
     top = top.sort_values(["n", "value"], ascending=[False, True]).head(k)

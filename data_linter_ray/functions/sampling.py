@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from data_linter_ray.exchange import exchange_width
+from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
 
 def sample_per_key(
@@ -67,13 +67,11 @@ def sample_per_key(
         ).head(n)
         return g[cols]
 
-    return (
-        ds.select_columns(cols)
-        .map_batches(local_topn, batch_format="pyarrow")
-        .repartition(P)
-        .materialize()
-        .groupby("_part")
-        .map_groups(final_topn, batch_format="pandas")
+    return exchange_map_groups(
+        ds.select_columns(cols).map_batches(local_topn, batch_format="pyarrow"),
+        "_part",
+        P,
+        final_topn,
     )
 
 
@@ -114,13 +112,11 @@ def group_topk(
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return topk(g)[cols]
 
-    return (
-        ds.select_columns(cols)
-        .map_batches(local, batch_format="pyarrow")
-        .repartition(P)
-        .materialize()
-        .groupby("_part")
-        .map_groups(final, batch_format="pandas")
+    return exchange_map_groups(
+        ds.select_columns(cols).map_batches(local, batch_format="pyarrow"),
+        "_part",
+        P,
+        final,
     )
 
 

@@ -364,7 +364,7 @@ def token_doc_frequency(
     document — then a token-hash partitioned sum."""
     import pandas as pd
 
-    from data_linter_ray.exchange import exchange_width
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
     from data_linter_ray.state.sketches import hash_array
 
     P = num_partitions or exchange_width(ds)
@@ -399,13 +399,11 @@ def token_doc_frequency(
         agg = g.groupby("token", as_index=False)["df"].sum()
         return agg[agg["df"] >= min_df][["token", "df"]]
 
-    return (
-        ds.select_columns([text_col])
-        .map_batches(local_df, batch_format="pyarrow")
-        .repartition(P)
-        .materialize()
-        .groupby("_part")
-        .map_groups(final_sum, batch_format="pandas")
+    return exchange_map_groups(
+        ds.select_columns([text_col]).map_batches(local_df, batch_format="pyarrow"),
+        "_part",
+        P,
+        final_sum,
     )
 
 
@@ -428,7 +426,7 @@ def duplicate_sentences(
     two-level shape as :func:`token_doc_frequency`."""
     import pandas as pd
 
-    from data_linter_ray.exchange import exchange_width
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
     from data_linter_ray.state.sketches import hash_array
 
     P = num_partitions or exchange_width(ds)
@@ -458,13 +456,11 @@ def duplicate_sentences(
         agg = g.groupby("sentence", as_index=False)["n_docs"].sum()
         return agg[agg["n_docs"] >= min_docs][["sentence", "n_docs"]]
 
-    return (
-        ds.select_columns([text_col])
-        .map_batches(local, batch_format="pyarrow")
-        .repartition(P)
-        .materialize()
-        .groupby("_part")
-        .map_groups(final, batch_format="pandas")
+    return exchange_map_groups(
+        ds.select_columns([text_col]).map_batches(local, batch_format="pyarrow"),
+        "_part",
+        P,
+        final,
     )
 
 
@@ -641,7 +637,7 @@ def overlap_pairs(
     """
     import pandas as pd
 
-    from data_linter_ray.exchange import exchange_width
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
     P = num_partitions or exchange_width(ds)
     fps = with_modp_fingerprints(
@@ -672,10 +668,8 @@ def overlap_pairs(
             )
         return pd.concat(outs, ignore_index=True)
 
-    pairs = (
-        fps.map_batches(fp_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = exchange_map_groups(
+        fps.map_batches(fp_part, batch_format="pyarrow"), "_part", P, bucket_pairs
     )
 
     def pair_part(t: pa.Table) -> pa.Table:
@@ -690,8 +684,9 @@ def overlap_pairs(
         agg["n_shared"] = agg["n_shared"].astype(np.int64)
         return agg[["id_a", "id_b", "n_shared"]]
 
-    return (
-        pairs.map_batches(pair_part, batch_format="pyarrow")
-        .groupby("_p2")
-        .map_groups(count_shared, batch_format="pandas")
+    return exchange_map_groups(
+        pairs.map_batches(pair_part, batch_format="pyarrow"),
+        "_p2",
+        P,
+        count_shared,
     )

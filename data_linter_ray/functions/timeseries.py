@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
-from data_linter_ray.exchange import exchange_width
+from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
 
 def asof_join(
@@ -144,7 +144,7 @@ def asof_join(
         # (metadata stripped — it would resurrect the pandas Int64 dtype)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    return unioned.groupby("_part").map_groups(join_part, batch_format="pandas")
+    return exchange_map_groups(unioned, "_part", P, join_part)
 
 
 #: per-partition intermediate-row budget for the plain merge fast path;
@@ -294,7 +294,7 @@ def range_join(
         # as in asof_join: plain-arrow blocks, one schema per run
         return pa.Table.from_pandas(res, preserve_index=False).replace_schema_metadata(None)
 
-    return unioned.groupby("_part").map_groups(join_part, batch_format="pandas")
+    return exchange_map_groups(unioned, "_part", P, join_part)
 
 
 def _schema_types(ds: Dataset) -> dict:
@@ -352,8 +352,6 @@ def sessionize(
         out = g.groupby([g[by], sid]).agg(**spec).reset_index(level=0)
         return out.reset_index(drop=True)
 
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(islands, batch_format="pandas")
+    return exchange_map_groups(
+        ds.map_batches(add_part, batch_format="pyarrow"), "_part", P, islands
     )

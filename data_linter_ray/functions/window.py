@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
-from data_linter_ray.exchange import exchange_width
+from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
 
 def _hash_partition(ds: Dataset, key: str, cols: list[str], P: int) -> Dataset:
@@ -111,11 +111,7 @@ def keyed_window(
                 res[c] = res[c].astype(np.int64)
         return pa.Table.from_pandas(res, preserve_index=False).replace_schema_metadata(None)
 
-    return (
-        _hash_partition(ds, key, cols, P)
-        .groupby("_part")
-        .map_groups(win, batch_format="pandas")
-    )
+    return exchange_map_groups(_hash_partition(ds, key, cols, P), "_part", P, win)
 
 
 def funnel(
@@ -169,8 +165,4 @@ def funnel(
             res[f"t{i + 1}"] = res[f"t{i + 1}"].astype("datetime64[us]")
         return pa.Table.from_pandas(res, preserve_index=False).replace_schema_metadata(None)
 
-    return (
-        _hash_partition(ds, key, cols, P)
-        .groupby("_part")
-        .map_groups(fun, batch_format="pandas")
-    )
+    return exchange_map_groups(_hash_partition(ds, key, cols, P), "_part", P, fun)

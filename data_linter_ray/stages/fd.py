@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from data_linter_ray.exchange import exchange_width
+from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
 DEFAULT_BUCKETS = 64
 
@@ -52,14 +52,9 @@ def fd_violations(
             "_bucket", pa.array((h % num_buckets).astype(np.int64))
         )
 
-    pre = (
-        ds.select_columns([det, dep])
-        .map_batches(local_pairs, batch_format="pyarrow")
-        .repartition(exchange_width(ds))
-        .materialize()
+    pre = ds.select_columns([det, dep]).map_batches(
+        local_pairs, batch_format="pyarrow"
     )
-    # materialized for the same reason as stages/uniqueness.py: Ray's
-    # sort-based groupby degrades when streamed behind another operator
 
     def find(g):
         s = (
@@ -70,4 +65,4 @@ def fd_violations(
         )
         return s[s["n_values"] > 1]
 
-    return pre.groupby("_bucket").map_groups(find, batch_format="pandas")
+    return exchange_map_groups(pre, "_bucket", num_buckets, find)

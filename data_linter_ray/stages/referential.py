@@ -133,16 +133,12 @@ def referential_violations_shuffle(
             names=["key", "n_fk", "has_pk", "_bucket"],
         )
 
-    from data_linter_ray.exchange import exchange_width
+    from data_linter_ray.exchange import exchange_map_groups
 
-    tagged = (
-        ds.select_columns([fk])
-        .map_batches(fk_partials, batch_format="pyarrow")
-        .union(
-            ref_ds.select_columns([pk]).map_batches(pk_partials, batch_format="pyarrow")
-        )
-        .repartition(exchange_width(ds, ref_ds))
-        .materialize()  # fast-path the Sort behind groupby (see uniqueness.py)
+    tagged = ds.select_columns([fk]).map_batches(
+        fk_partials, batch_format="pyarrow"
+    ).union(
+        ref_ds.select_columns([pk]).map_batches(pk_partials, batch_format="pyarrow")
     )
 
     def dangling(g: pd.DataFrame) -> pd.DataFrame:
@@ -159,7 +155,7 @@ def referential_violations_shuffle(
             }
         )
 
-    return tagged.groupby("_bucket").map_groups(dangling, batch_format="pandas")
+    return exchange_map_groups(tagged, "_bucket", num_buckets, dangling)
 
 
 def referential_violations(

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from data_linter_ray.checks import UNIQUE_TEST
-from data_linter_ray.exchange import MIN_PARTITIONS, exchange_width
+from data_linter_ray.exchange import MIN_PARTITIONS, exchange_map_groups, exchange_width
 from data_linter_ray.stages.checker import VIOLATION_SCHEMA, _stringify
 
 
@@ -65,16 +65,13 @@ def duplicate_keys(ds: Dataset, key: str, num_buckets: int = DEFAULT_BUCKETS) ->
     (batch, key) in the exchange, so skew is bounded by block count."""
     pre = ds.select_columns([key]).map_batches(
         _local_counts(key, num_buckets), batch_format="pyarrow"
-    ).repartition(exchange_width(ds)).materialize()
-    # ^ materialized: Ray's Sort (inside groupby) degrades ~10x when
-    # streamed behind another operator; a materialized, coalesced input
-    # keeps the exchange at its measured-fast path
+    )
 
     def find_dups(g):
         s = g.groupby(key, as_index=False)["n"].sum()
         return s[s["n"] > 1]
 
-    return pre.groupby("_bucket").map_groups(find_dups, batch_format="pandas")
+    return exchange_map_groups(pre, "_bucket", num_buckets, find_dups)
 
 
 def uniqueness_violations(ds: Dataset, key: str) -> Dataset:
