@@ -1777,10 +1777,14 @@ def q_customer_order_activity(sf_dir: str):
     customers = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    # materialized: the aggregate is one row per ordering customer, so
+    # the auto dispatcher sees its true (tiny) size and takes the
+    # broadcast path instead of a 2-sided hash-join actor pool
     orders = (
         ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"))
+        .materialize()
     )
     return equi_join(
         customers, orders, on=("c_custkey",), right_on=("o_custkey",),
@@ -1802,6 +1806,20 @@ def q_user_retention(sf_dir: str):
     return out.rename(
         columns={"cohort_period": "cohort_week", "period": "week"}
     )
+
+
+def q_lm_scores(sf_dir: str):
+    """Unigram-LM corpus-quality scores (perplexity proxy): token
+    counts trained on the corpus itself in one count exchange, then a
+    broadcast scoring pass emitting each doc's mean token logprob.
+    Exact-vocabulary mode; folds mirror the SQL ordered aggregate
+    bit-for-bit (np.add.at sequential segmented sums + glibc log)."""
+    from data_linter_ray.functions.lm import unigram_logprob
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return unigram_logprob(ds, "doc_id", "text")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1870,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles_cont": q_value_percentiles_cont,
         "customer_order_activity": q_customer_order_activity,
         "user_retention": q_user_retention,
+        "lm_scores": q_lm_scores,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2148,6 +2167,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment, n_orders FROM customer "
             "FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders "
             "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey"
+        ),
+        "lm_scores": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '')) AS tok "
+            "FROM documents WHERE doc_id IS NOT NULL), "
+            "counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+            "tot AS (SELECT sum(c) AS t FROM counts), "
+            "dtf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+            "GROUP BY doc_id, tok) "
+            "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+            "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
+            "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
         ),
         "user_retention": (
             "WITH act AS (SELECT DISTINCT user_id, "

@@ -176,6 +176,7 @@ QUERY_NAMES = [
     "value_percentiles_cont",
     "customer_order_activity",
     "user_retention",
+    "lm_scores",
 ]
 
 

@@ -198,3 +198,66 @@ def test_retention_matrix_crafted(ray_session):
 
 def test_user_retention_vs_duckdb(ray_session, sf_dir):
     _oracle_check("user_retention", sf_dir, ("events",))
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_crafted(ray_session):
+    import math
+
+    from data_linter_ray.functions.lm import unigram_logprob
+
+    # corpus: 5 'a' (3 + 2 from "a.a"), 2 'b', T = 7
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a a A", "b a.a", "B", ""], pa.string()),
+        }
+    )
+    out = (
+        unigram_logprob(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the empty doc emits nothing
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    la, lb = math.log(5 / 7), math.log(2 / 7)
+    assert out["n_tokens"].tolist() == [3, 3, 1]
+    assert out.loc[0, "mean_logprob"] == (3 * la) / 3
+    assert out.loc[1, "mean_logprob"] == (2 * la + 1 * lb) / 3
+    assert out.loc[2, "mean_logprob"] == lb
+
+
+def test_unigram_logprob_vocab_cap_oov_floor(ray_session):
+    import math
+
+    from data_linter_ray.functions.lm import unigram_logprob
+
+    # 'a' x4 dominates; with vocab_size=1 'b' and 'c' fall to the
+    # alpha/T floor
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a a a", "b c"], pa.string()),
+        }
+    )
+    out = (
+        unigram_logprob(
+            ray.data.from_arrow(t), vocab_size=1, alpha=0.5, num_partitions=1
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    T = 6
+    assert out.loc[0, "mean_logprob"] == math.log(4 / T)
+    assert out.loc[1, "mean_logprob"] == math.log(0.5 / T)
+
+
+def test_lm_scores_vs_duckdb(ray_session, sf_dir):
+    got = _oracle_check("lm_scores", sf_dir, ("documents",))
+    assert len(got) > 0
