@@ -1822,6 +1822,21 @@ def q_lm_scores(sf_dir: str):
     return unigram_logprob(ds, "doc_id", "text")
 
 
+def q_user_value_rolling(sf_dir: str):
+    """Per-user 5-row rolling aggregates over events ordered by (ts,
+    event_id): integer-cents rolling sum (associative, so exact on both
+    sides — DuckDB's windowed float sum is segment-tree-ordered and
+    cannot be float-matched), non-null count, and max. One key-hash
+    exchange + pandas C rolling kernels."""
+    from data_linter_ray.functions.window import keyed_rolling
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return keyed_rolling(ds, "user_id", "ts", "event_id", "value", window=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -1889,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_activity": q_customer_order_activity,
         "user_retention": q_user_retention,
         "lm_scores": q_lm_scores,
+        "user_value_rolling": q_user_value_rolling,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2179,6 +2195,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "user_value_rolling": (
+            "SELECT user_id, event_id, ts, "
+            "sum(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_sum_cents, "
+            "count(value) OVER w AS roll_n, "
+            "max(value) OVER w AS roll_max "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
         ),
         "user_retention": (
             "WITH act AS (SELECT DISTINCT user_id, "

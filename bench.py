@@ -177,6 +177,7 @@ QUERY_NAMES = [
     "customer_order_activity",
     "user_retention",
     "lm_scores",
+    "user_value_rolling",
 ]
 
 

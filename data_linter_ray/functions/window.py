@@ -166,3 +166,64 @@ def funnel(
         return pa.Table.from_pandas(res, preserve_index=False).replace_schema_metadata(None)
 
     return exchange_map_groups(_hash_partition(ds, key, cols, P), "_part", P, fun)
+
+
+def keyed_rolling(
+    ds: Dataset,
+    key: str,
+    order: str,
+    tie: str,
+    value: str,
+    *,
+    window: int = 5,
+    scale: int = 100,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-key ROWS-frame rolling aggregates (the feature-engineering
+    staple): for every row, over the ``window`` rows ending at it
+    (ordered by ``(order, tie)`` within ``key``):
+
+    - ``roll_sum_cents``  sum of ``round(value·scale)`` as int64 —
+      integer on purpose: DuckDB computes windowed float sums with a
+      segment tree whose combine order is unspecified, so float-exact
+      parity is impossible; integer sums are associative and exact on
+      BOTH sides. Null when the frame holds no non-null value.
+    - ``roll_n``          count of non-null values in the frame
+    - ``roll_max``        max value in the frame (exact selection)
+
+    Rows with a null key or null order are dropped (they have no frame
+    position); null VALUES keep their row in the frame but contribute
+    nothing — SQL window-aggregate semantics. One key-hash exchange,
+    pandas C rolling kernels per partition."""
+    P = num_partitions or exchange_width(ds)
+    cols = [key, order, tie, value]
+
+    def roll(g: pd.DataFrame) -> pa.Table:
+        g = g.dropna(subset=[key, order]).sort_values(
+            [key, order, tie], kind="mergesort"
+        ).reset_index(drop=True)
+        v = g[value].to_numpy(np.float64)
+        cents = pd.Series(np.rint(v * scale), index=g.index)
+        grp_c = cents.groupby(g[key], sort=False)
+        # g is key-sorted, so groupby.rolling output (grouped order)
+        # equals row order after dropping the group level
+        rs = grp_c.rolling(window, min_periods=1).sum().reset_index(drop=True)
+        rn = grp_c.rolling(window, min_periods=1).count().reset_index(drop=True)
+        rmax = (
+            g.groupby(g[key], sort=False)[value]
+            .rolling(window, min_periods=1)
+            .max()
+            .reset_index(drop=True)
+        )
+        return pa.table(
+            {
+                key: pa.Array.from_pandas(g[key], type=pa.int64()),
+                tie: pa.Array.from_pandas(g[tie], type=pa.int64()),
+                order: pa.Array.from_pandas(g[order]),
+                "roll_sum_cents": pa.Array.from_pandas(rs, type=pa.int64()),
+                "roll_n": pa.Array.from_pandas(rn, type=pa.int64()),
+                "roll_max": pa.Array.from_pandas(rmax, type=pa.float64()),
+            }
+        )
+
+    return exchange_map_groups(_hash_partition(ds, key, cols, P), "_part", P, roll)

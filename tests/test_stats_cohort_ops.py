@@ -261,3 +261,43 @@ def test_unigram_logprob_vocab_cap_oov_floor(ray_session):
 def test_lm_scores_vs_duckdb(ray_session, sf_dir):
     got = _oracle_check("lm_scores", sf_dir, ("documents",))
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# keyed rolling aggregates
+# ---------------------------------------------------------------------------
+
+
+def test_keyed_rolling_crafted(ray_session):
+    from data_linter_ray.functions.window import keyed_rolling
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:00:02",
+         "2024-01-01 00:00:03", "2024-01-01 00:00:04", None]
+    )
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "i": pa.array([10, 11, 12, 13, 20, 21], pa.int64()),
+            # null value keeps its row in the frame but contributes 0
+            "v": pa.array([1.0, None, 3.0, 5.0, 7.0, 9.0], pa.float64()),
+        }
+    )
+    out = (
+        keyed_rolling(
+            ray.data.from_arrow(t).repartition(3), "k", "ts", "i", "v", window=2
+        )
+        .to_pandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    # the null-ts row is dropped
+    assert out["i"].tolist() == [10, 11, 12, 13, 20]
+    assert out["roll_sum_cents"].tolist() == [100, 100, 300, 800, 700]
+    assert out["roll_n"].tolist() == [1, 1, 1, 2, 1]
+    assert out["roll_max"].tolist() == [1.0, 1.0, 3.0, 5.0, 7.0]
+
+
+def test_user_value_rolling_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("user_value_rolling", sf_dir, ("events",))
