@@ -47,19 +47,20 @@ def equi_join(
     num_partitions: int | None = None,
     broadcast_threshold_bytes: int = BROADCAST_JOIN_THRESHOLD_BYTES,
 ) -> Dataset:
-    """Inner / left-outer / full-outer equi-join. ``how`` ∈ {"inner",
-    "left_outer", "full_outer"}; join-key name collisions follow
-    ``Dataset.join`` semantics (the right key columns are dropped; on
-    full-outer, right-unmatched rows surface their key COALESCEd into
-    the left key column — SQL ``USING`` semantics).
+    """Inner / left-outer / right-outer / full-outer equi-join.
+    ``how`` ∈ {"inner", "left_outer", "right_outer", "full_outer"};
+    join-key name collisions follow ``Dataset.join`` semantics (the
+    right key columns are dropped; on right/full-outer, right-unmatched
+    rows surface their key COALESCEd into the left key column — SQL
+    ``USING`` semantics).
 
-    Full-outer on the broadcast path is a composition: the streaming
-    left-outer map-side join, plus a second key-pruned pass over the
-    left that folds the set of MATCHED right keys (bounded by the
-    broadcast side's size, never the left's), then the right side's
-    unmatched remainder is padded with typed nulls and unioned on. The
-    big side still never shuffles."""
-    if how not in ("inner", "left_outer", "full_outer"):
+    Right/full-outer on the broadcast path is a composition: the
+    streaming inner (right) / left-outer (full) map-side join, plus a
+    second key-pruned pass over the left that folds the set of MATCHED
+    right keys (bounded by the broadcast side's size, never the
+    left's), then the right side's unmatched remainder is padded with
+    typed nulls and unioned on. The big side still never shuffles."""
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unsupported how: {how}")
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown strategy: {strategy}")
@@ -103,17 +104,19 @@ def equi_join(
             ]
         )
     rt_ref = ray.put(right_tbl)
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = (
+        "inner" if how in ("inner", "right_outer") else "left outer"
+    )
 
     def join_batch(t: pa.Table) -> pa.Table:
         rt = ray.get(rt_ref) if isinstance(rt_ref, ray.ObjectRef) else rt_ref
         return t.join(rt, keys=list(on), join_type=join_type)
 
     joined = left.map_batches(join_batch, batch_format="pyarrow")
-    if how != "full_outer":
+    if how not in ("right_outer", "full_outer"):
         return joined
 
-    # full-outer remainder: fold the matched right keys from a pruned
+    # right/full-outer remainder: fold the matched right keys from a pruned
     # second pass over the left (each batch emits the semi-join of the
     # DISTINCT right keys against its own keys — ≤ |right keys| rows,
     # so the driver fold is bounded by the broadcast side)

@@ -301,3 +301,25 @@ def test_keyed_rolling_crafted(ray_session):
 
 def test_user_value_rolling_vs_duckdb(ray_session, sf_dir):
     _oracle_check("user_value_rolling", sf_dir, ("events",))
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_right_outer_join(ray_session, strategy):
+    from data_linter_ray.functions.joins import equi_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "a": ["x", "y"]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 4], pa.int64()), "b": pa.array([20, 40], pa.int64())})
+    )
+    out = (
+        equi_join(left, right, on=("k",), how="right_outer", strategy=strategy)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # left-only key 1 excluded; right-only key 4 padded with null left
+    assert out["k"].tolist() == [2, 4]
+    assert out.loc[0, "a"] == "y" and out.loc[0, "b"] == 20
+    assert pd.isna(out.loc[1, "a"]) and out.loc[1, "b"] == 40
