@@ -78,28 +78,29 @@ def flag_contaminated(
     count of distinct shared grams."""
     grams_ref = ray.put(benchmark_gram_hashes(benchmark, text_col, ngram))
 
-    class Flagger:
-        def __init__(self):
-            self.bench = ray.get(grams_ref)  # once per actor
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            sh, sp = _doc_distinct_grams(t[text_col], ngram)
-            n_rows = len(t)
-            if len(sh) and len(self.bench):
-                idx = np.searchsorted(self.bench, sh)
-                idx[idx == len(self.bench)] = 0  # clamp; equality check below decides
-                hit = self.bench[idx] == sh
-                n_shared = np.bincount(sp[hit], minlength=n_rows).astype(np.int64)
-            else:
-                n_shared = np.zeros(n_rows, np.int64)
-            keep = n_shared > 0
-            return pa.table(
-                {
-                    id_col: t[id_col].take(pa.array(np.flatnonzero(keep))),
-                    "n_shared": pa.array(n_shared[keep]),
-                }
-            )
+    # plain task fn (not an actor pool): the benchmark hash array is a
+    # numpy array in plasma — ray.get per batch is a zero-copy shared
+    # memory view, so there is no per-actor init to amortize and pool
+    # startup (~100-200 ms/actor) would be pure overhead
+    def flagger(t: pa.Table) -> pa.Table:
+        bench = ray.get(grams_ref)
+        sh, sp = _doc_distinct_grams(t[text_col], ngram)
+        n_rows = len(t)
+        if len(sh) and len(bench):
+            idx = np.searchsorted(bench, sh)
+            idx[idx == len(bench)] = 0  # clamp; equality check below decides
+            hit = bench[idx] == sh
+            n_shared = np.bincount(sp[hit], minlength=n_rows).astype(np.int64)
+        else:
+            n_shared = np.zeros(n_rows, np.int64)
+        keep = n_shared > 0
+        return pa.table(
+            {
+                id_col: t[id_col].take(pa.array(np.flatnonzero(keep))),
+                "n_shared": pa.array(n_shared[keep]),
+            }
+        )
 
     return corpus.select_columns([id_col, text_col]).map_batches(
-        Flagger, batch_format="pyarrow", concurrency=(1, 8)
+        flagger, batch_format="pyarrow"
     )

@@ -144,45 +144,48 @@ def unigram_logprob(
     floor = math.log(alpha / T)
     logp_ref = ray.put(logp)
 
-    class Score:
-        def __init__(self):
-            self.logp = ray.get(logp_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(t[id_col].is_valid())
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            flat, parents = _doc_tokens(t, text_col)
-            df = pd.DataFrame({"d": parents, "tok": flat.to_pandas()})
-            # distinct (doc, token) tf, folded in ascending token order
-            # per doc — the oracle's sum(tf*logp ORDER BY tok)
-            tf = (
-                df.groupby(["d", "tok"], as_index=False)
-                .size()
-                .sort_values(["d", "tok"], kind="mergesort")
-            )
-            lp = tf["tok"].map(self.logp).fillna(floor).to_numpy(np.float64)
-            contrib = tf["size"].to_numpy(np.int64) * lp
-            d = tf["d"].to_numpy(np.int64)
-            # ordered segmented sum: np.add.at is UNBUFFERED and
-            # processes elements in array order, so each doc's fold is
-            # bit-exact left-to-right in ascending token order (the
-            # stable sort above) — np.add.reduceat / np.sum pairwise-sum
-            # and would drift from SQL's sum(... ORDER BY tok) in the
-            # last ulps (verified empirically)
-            docs, inv = np.unique(d, return_inverse=True)
-            sums = np.zeros(len(docs), np.float64)
-            np.add.at(sums, inv, contrib)
-            dls = np.bincount(inv, weights=tf["size"].to_numpy(np.float64)).astype(
-                np.int64
-            )
-            return pa.table(
-                {
-                    id_col: pa.array(ids[docs]),
-                    "n_tokens": pa.array(dls, pa.int64()),
-                    "mean_logprob": pa.array(sums / dls, pa.float64()),
-                }
-            )
+    # plain task function with a per-worker-process memo, not an actor
+    # pool: the only state is the broadcast logprob dict, deserialized
+    # once per worker via the mutable-default cache — actor startup
+    # (~100-200 ms each) would dominate this streaming stage
+    def score(t: pa.Table, _memo={}) -> pa.Table:
+        if "logp" not in _memo:
+            _memo["logp"] = ray.get(logp_ref)
+        lp_map = _memo["logp"]
+        t = t.filter(t[id_col].is_valid())
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        flat, parents = _doc_tokens(t, text_col)
+        df = pd.DataFrame({"d": parents, "tok": flat.to_pandas()})
+        # distinct (doc, token) tf, folded in ascending token order
+        # per doc — the oracle's sum(tf*logp ORDER BY tok)
+        tf = (
+            df.groupby(["d", "tok"], as_index=False)
+            .size()
+            .sort_values(["d", "tok"], kind="mergesort")
+        )
+        lp = tf["tok"].map(lp_map).fillna(floor).to_numpy(np.float64)
+        contrib = tf["size"].to_numpy(np.int64) * lp
+        d = tf["d"].to_numpy(np.int64)
+        # ordered segmented sum: np.add.at is UNBUFFERED and
+        # processes elements in array order, so each doc's fold is
+        # bit-exact left-to-right in ascending token order (the
+        # stable sort above) — np.add.reduceat / np.sum pairwise-sum
+        # and would drift from SQL's sum(... ORDER BY tok) in the
+        # last ulps (verified empirically)
+        docs, inv = np.unique(d, return_inverse=True)
+        sums = np.zeros(len(docs), np.float64)
+        np.add.at(sums, inv, contrib)
+        dls = np.bincount(inv, weights=tf["size"].to_numpy(np.float64)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[docs]),
+                "n_tokens": pa.array(dls, pa.int64()),
+                "mean_logprob": pa.array(sums / dls, pa.float64()),
+            }
+        )
 
     return ds.select_columns([id_col, text_col]).map_batches(
-        Score, batch_format="pyarrow", concurrency=(1, 8)
+        score, batch_format="pyarrow"
     )

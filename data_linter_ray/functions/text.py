@@ -498,11 +498,12 @@ def tfidf_top_terms(
         df_map.update(zip(b["token"].to_pylist(), b["df"].to_pylist()))
     ref = ray.put(df_map)
 
-    class Scorer:
-        def __init__(self):
-            self.df = ray.get(ref)  # once per actor
-
-        def __call__(self, t: pa.Table) -> pa.Table:
+    # plain task fn + per-worker memo (not an actor pool: the only
+    # state is one broadcast dict; pool startup would dominate)
+    def scorer(t: pa.Table, _memo={}) -> pa.Table:
+            if "df" not in _memo:
+                _memo["df"] = ray.get(ref)
+            df_lookup = _memo["df"]
             text = t[text_col]
             if isinstance(text, pa.ChunkedArray):
                 text = text.combine_chunks()
@@ -518,7 +519,7 @@ def tfidf_top_terms(
             tf = s.groupby(["doc", "tok"], as_index=False).size().rename(
                 columns={"size": "tf"}
             )
-            tf["df"] = tf["tok"].map(self.df).astype(np.int64)
+            tf["df"] = tf["tok"].map(df_lookup).astype(np.int64)
             tf["_score"] = tf["tf"].to_numpy(np.float64) * np.log(
                 float(n_docs) / tf["df"].to_numpy(np.float64)
             )
@@ -539,7 +540,7 @@ def tfidf_top_terms(
             )
 
     return ds.select_columns([id_col, text_col]).map_batches(
-        Scorer, batch_format="pyarrow", concurrency=(1, 8)
+        scorer, batch_format="pyarrow"
     )
 
 
