@@ -1837,6 +1837,33 @@ def q_user_value_rolling(sf_dir: str):
     return keyed_rolling(ds, "user_id", "ts", "event_id", "value", window=5)
 
 
+def q_grouped_percentiles_cont(sf_dir: str):
+    """Per-event-type SQL quantile_cont, exact and sort-free: both
+    neighboring order statistics per (group, q) resolved in the shared
+    multi-round refinement scans, then DuckDB's own interpolation
+    expression — bit-identical floats."""
+    from data_linter_ray.functions.quantiles import grouped_percentile_cont
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = grouped_percentile_cont(ds, "value", "event_type", [0.25, 0.5, 0.9])
+    return out.rename(columns={"group": "event_type"})
+
+
+def q_value_winsorized(sf_dir: str):
+    """Winsorized event values: exact 1st/99th-percentile fences from
+    one sort-free quantile resolution, then a streaming clamp pass —
+    fences are exact data values, so the capped column is bit-identical
+    to the SQL CASE expression."""
+    from data_linter_ray.functions.quantiles import winsorize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return winsorize(ds, "value", lo_q=0.01, hi_q=0.99)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -1905,6 +1932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": q_user_retention,
         "lm_scores": q_lm_scores,
         "user_value_rolling": q_user_value_rolling,
+        "grouped_percentiles_cont": q_grouped_percentiles_cont,
+        "value_winsorized": q_value_winsorized,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2195,6 +2224,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "value_winsorized": (
+            "WITH f AS (SELECT quantile_disc(value, 0.01) AS lo, "
+            "quantile_disc(value, 0.99) AS hi FROM events) "
+            "SELECT event_id, value, "
+            "CASE WHEN value < lo THEN lo WHEN value > hi THEN hi "
+            "ELSE value END AS value_capped FROM events, f"
+        ),
+        "grouped_percentiles_cont": (
+            " UNION ALL ".join(
+                f"SELECT event_type, {q} AS q, "
+                f"quantile_cont(value, {q}) AS value FROM events "
+                "WHERE event_type IS NOT NULL GROUP BY event_type"
+                for q in [0.25, 0.5, 0.9]
+            )
         ),
         "user_value_rolling": (
             "SELECT user_id, event_id, ts, "

@@ -178,6 +178,8 @@ QUERY_NAMES = [
     "user_retention",
     "lm_scores",
     "user_value_rolling",
+    "grouped_percentiles_cont",
+    "value_winsorized",
 ]
 
 

@@ -125,6 +125,13 @@ def keyed_scatter_gather(
     counts and schedules reduce tasks ONLY for non-empty partitions, so
     ``reduce_fn`` never sees empty input and needs no pinned empty
     schema. An all-empty exchange returns an empty zero-column dataset.
+
+    Width scaling: blocks are grouped so at most ~2P scatter tasks run,
+    each returning P objects — object-count is O(P²), fine at the
+    bytes-derived widths this engine uses (P ≈ input/1 GiB; P=1000 →
+    2M object-store entries across a fleet). Per-task memory is
+    bounded: a scatter task holds ~1/(2P) of the input, a reduce task
+    holds exactly one partition (~1/P).
     """
     import numpy as np
     import pyarrow as pa

@@ -219,28 +219,22 @@ def exact_quantiles(
     )
 
 
-def grouped_quantiles(
+def _grouped_ranks(
     ds: Dataset,
     value_col: str,
     group_col: str,
-    qs: list[float],
+    ranks_for,
     *,
     n_buckets: int = 1024,
     max_collect: int = 65536,
     max_rounds: int = 8,
 ):
-    """Exact per-group ``quantile_disc`` WITHOUT a sort or a per-group
-    shuffle: the same multi-round histogram refinement as
-    :func:`exact_quantiles`, with one (group, interval) histogram lane
-    per still-open target. Rows with a null group are excluded (the SQL
-    oracle mirrors); null values are ignored as usual.
-
-    Scale assumption (documented): the GROUP domain is enumerable —
-    pass 0 folds per-batch (group, n, min, max) partials on the driver,
-    so thousands of groups are fine, millions are not (use a key-hash
-    exchange + in-partition sort for high-cardinality grouping).
-
-    → pandas DataFrame (group, q, value)."""
+    """Shared engine for the grouped quantile family: resolve, for each
+    group g with n_g non-null values, the ``ranks_for(n_g)`` 1-indexed
+    order statistics — multi-round histogram refinement, no sort, no
+    per-group shuffle. Returns (acc {g: (n, lo, hi)},
+    {(g, rank): value}). See :func:`grouped_quantiles` for the scale
+    assumption (enumerable group domain)."""
     import pandas as pd
 
     K = n_buckets
@@ -280,19 +274,20 @@ def grouped_quantiles(
                 e[1] = min(e[1], lo)
                 e[2] = max(e[2], hi)
 
-    worst_j = max(1, len(acc) * len(qs))
+    ranks_by_g = {g: sorted(set(ranks_for(acc[g][0]))) for g in acc}
+    worst_j = max(1, sum(len(r) for r in ranks_by_g.values()))
     if worst_j * K > _MAX_PARTIAL_CELLS:
         K = max(16, _MAX_PARTIAL_CELLS // worst_j)
 
     targets = []
     for g in sorted(acc):
         n, lo0, hi0 = acc[g]
-        for q in qs:
+        for k in ranks_by_g[g]:
             if n == 0:
-                targets.append({"g": g, "q": float(q), "value": None, "count": 0,
+                targets.append({"g": g, "k": k, "value": None, "count": 0,
                                 "rank": 0, "chain": [], "lo": 0.0, "w": 1.0})
                 continue
-            t = {"g": g, "q": float(q), "rank": max(math.ceil(n * float(q)), 1),
+            t = {"g": g, "k": k, "rank": k,
                  "chain": [], "lo": lo0, "w": (hi0 - lo0) / K or 1.0,
                  "count": n, "value": None}
             if hi0 == lo0:
@@ -391,11 +386,102 @@ def grouped_quantiles(
             else:
                 t["value"] = np.partition(vals, t["rank"] - 1)[t["rank"] - 1]
 
+    return acc, {(t["g"], t["k"]): t["value"] for t in targets}
+
+
+def grouped_quantiles(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    qs: list[float],
+    *,
+    n_buckets: int = 1024,
+    max_collect: int = 65536,
+    max_rounds: int = 8,
+):
+    """Exact per-group ``quantile_disc`` WITHOUT a sort or a per-group
+    shuffle: the same multi-round histogram refinement as
+    :func:`exact_quantiles`, with one (group, interval) histogram lane
+    per still-open target. Rows with a null group are excluded (the SQL
+    oracle mirrors); null values are ignored as usual.
+
+    Scale assumption (documented): the GROUP domain is enumerable —
+    pass 0 folds per-batch (group, n, min, max) partials on the driver,
+    so thousands of groups are fine, millions are not (use a key-hash
+    exchange + in-partition sort for high-cardinality grouping).
+
+    → pandas DataFrame (group, q, value)."""
+    import pandas as pd
+
+    def ranks_for(n: int) -> list[int]:
+        return [max(math.ceil(n * float(q)), 1) for q in qs] if n else []
+
+    acc, by_rank = _grouped_ranks(
+        ds, value_col, group_col, ranks_for,
+        n_buckets=n_buckets, max_collect=max_collect, max_rounds=max_rounds,
+    )
+    rows = []
+    for g in sorted(acc):
+        n = acc[g][0]
+        for q in qs:
+            v = by_rank.get((g, max(math.ceil(n * float(q)), 1))) if n else None
+            rows.append((g, float(q), v))
     return pd.DataFrame(
         {
-            "group": [t["g"] for t in targets],
-            "q": pd.Series([t["q"] for t in targets], dtype=np.float64),
-            "value": pd.Series([t["value"] for t in targets], dtype=np.float64),
+            "group": [r[0] for r in rows],
+            "q": pd.Series([r[1] for r in rows], dtype=np.float64),
+            "value": pd.Series([r[2] for r in rows], dtype=np.float64),
+        }
+    )
+
+
+def grouped_percentile_cont(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    qs: list[float],
+    *,
+    n_buckets: int = 1024,
+    max_collect: int = 65536,
+    max_rounds: int = 8,
+):
+    """Per-group SQL ``quantile_cont`` (linear interpolation), exact and
+    sort-free: each (group, q) touches the order statistics at ranks
+    floor(RN)+1 / ceil(RN)+1 with RN = (n_g−1)·q — all resolved in the
+    same shared multi-round refinement scans — then DuckDB's two-sided
+    weighted interpolation expression (bit-identical floats).
+
+    → pandas DataFrame (group, q, value)."""
+    import pandas as pd
+
+    def ranks_for(n: int) -> list[int]:
+        ks = set()
+        for q in qs:
+            rn = (n - 1) * float(q)
+            ks.update((math.floor(rn) + 1, math.ceil(rn) + 1))
+        return sorted(ks) if n else []
+
+    acc, by_rank = _grouped_ranks(
+        ds, value_col, group_col, ranks_for,
+        n_buckets=n_buckets, max_collect=max_collect, max_rounds=max_rounds,
+    )
+    rows = []
+    for g in sorted(acc):
+        n = acc[g][0]
+        for q in qs:
+            if n == 0:
+                rows.append((g, float(q), None))
+                continue
+            rn = (n - 1) * float(q)
+            frn, crn = math.floor(rn), math.ceil(rn)
+            lo, hi = by_rank[(g, frn + 1)], by_rank[(g, crn + 1)]
+            v = lo if crn == frn else (crn - rn) * lo + (rn - frn) * hi
+            rows.append((g, float(q), v))
+    return pd.DataFrame(
+        {
+            "group": [r[0] for r in rows],
+            "q": pd.Series([r[1] for r in rows], dtype=np.float64),
+            "value": pd.Series([r[2] for r in rows], dtype=np.float64),
         }
     )
 
@@ -461,3 +547,35 @@ def percentile_cont(
         lo, hi = by_rank[frn + 1], by_rank[crn + 1]
         vals.append(lo if crn == frn else (crn - rn) * lo + (rn - frn) * hi)
     return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64), "value": vals})
+
+
+def winsorize(
+    ds: Dataset,
+    value_col: str,
+    *,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out_col: str | None = None,
+    **quantile_kwargs,
+):
+    """Winsorization (quantile capping): clamp ``value_col`` into its
+    [lo_q, hi_q] exact ``quantile_disc`` interval — the standard
+    heavy-tail mitigation before training on telemetry/reward columns.
+
+    Composition: one :func:`exact_quantiles` resolution (both fences in
+    the same scans) + one streaming clamp pass; no shuffle. The fences
+    are exact data values, so the clamped column matches the SQL CASE
+    expression bit-for-bit. Nulls stay null."""
+    import pyarrow.compute as pc
+
+    fences = exact_quantiles(ds, value_col, [lo_q, hi_q], **quantile_kwargs)
+    lo, hi = float(fences["value"][0]), float(fences["value"][1])
+    out = out_col or f"{value_col}_capped"
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        c = pc.if_else(pc.less(v, lo), pa.scalar(lo, pa.float64()), v)
+        c = pc.if_else(pc.greater(c, hi), pa.scalar(hi, pa.float64()), c)
+        return t.append_column(out, pc.cast(c, pa.float64()))
+
+    return ds.map_batches(clamp, batch_format="pyarrow")

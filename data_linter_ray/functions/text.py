@@ -501,43 +501,43 @@ def tfidf_top_terms(
     # plain task fn + per-worker memo (not an actor pool: the only
     # state is one broadcast dict; pool startup would dominate)
     def scorer(t: pa.Table, _memo={}) -> pa.Table:
-            if "df" not in _memo:
-                _memo["df"] = ray.get(ref)
-            df_lookup = _memo["df"]
-            text = t[text_col]
-            if isinstance(text, pa.ChunkedArray):
-                text = text.combine_chunks()
-            toks = pc.split_pattern_regex(
-                pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
-            )
-            flat = pc.list_flatten(toks)
-            parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-            keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
-            s = pd.DataFrame(
-                {"tok": flat.filter(pa.array(keep)).to_pandas(), "doc": parents[keep]}
-            )
-            tf = s.groupby(["doc", "tok"], as_index=False).size().rename(
-                columns={"size": "tf"}
-            )
-            tf["df"] = tf["tok"].map(df_lookup).astype(np.int64)
-            tf["_score"] = tf["tf"].to_numpy(np.float64) * np.log(
-                float(n_docs) / tf["df"].to_numpy(np.float64)
-            )
-            tf = tf.sort_values(
-                ["doc", "_score", "tok"], ascending=[True, False, True], kind="stable"
-            )
-            top = tf.groupby("doc", sort=False).head(k).copy()
-            top["rank"] = top.groupby("doc", sort=False).cumcount() + 1
-            ids = t[id_col].take(pa.array(top["doc"].to_numpy()))
-            return pa.table(
-                {
-                    id_col: ids,
-                    "term": pa.array(top["tok"], pa.string()),
-                    "rank": pa.array(top["rank"].to_numpy(np.int64)),
-                    "tf": pa.array(top["tf"].to_numpy(np.int64)),
-                    "df": pa.array(top["df"].to_numpy(np.int64)),
-                }
-            )
+        if "df" not in _memo:
+            _memo["df"] = ray.get(ref)
+        df_lookup = _memo["df"]
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+        s = pd.DataFrame(
+            {"tok": flat.filter(pa.array(keep)).to_pandas(), "doc": parents[keep]}
+        )
+        tf = s.groupby(["doc", "tok"], as_index=False).size().rename(
+            columns={"size": "tf"}
+        )
+        tf["df"] = tf["tok"].map(df_lookup).astype(np.int64)
+        tf["_score"] = tf["tf"].to_numpy(np.float64) * np.log(
+            float(n_docs) / tf["df"].to_numpy(np.float64)
+        )
+        tf = tf.sort_values(
+            ["doc", "_score", "tok"], ascending=[True, False, True], kind="stable"
+        )
+        top = tf.groupby("doc", sort=False).head(k).copy()
+        top["rank"] = top.groupby("doc", sort=False).cumcount() + 1
+        ids = t[id_col].take(pa.array(top["doc"].to_numpy()))
+        return pa.table(
+            {
+                id_col: ids,
+                "term": pa.array(top["tok"], pa.string()),
+                "rank": pa.array(top["rank"].to_numpy(np.int64)),
+                "tf": pa.array(top["tf"].to_numpy(np.int64)),
+                "df": pa.array(top["df"].to_numpy(np.int64)),
+            }
+        )
 
     return ds.select_columns([id_col, text_col]).map_batches(
         scorer, batch_format="pyarrow"

@@ -323,3 +323,59 @@ def test_right_outer_join(ray_session, strategy):
     assert out["k"].tolist() == [2, 4]
     assert out.loc[0, "a"] == "y" and out.loc[0, "b"] == 20
     assert pd.isna(out.loc[1, "a"]) and out.loc[1, "b"] == 40
+
+
+# ---------------------------------------------------------------------------
+# grouped percentile_cont
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_percentile_cont_crafted(ray_session):
+    from data_linter_ray.functions.quantiles import grouped_percentile_cont
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4 + ["b"] * 3 + ["c"], pa.string()),
+            # group c has only a null value → NULL quantile, group kept
+            "v": pa.array([10.0, 20.0, 30.0, 40.0, 1.0, 2.0, 4.0, None]),
+        }
+    )
+    out = grouped_percentile_cont(
+        ray.data.from_arrow(t).repartition(3), "v", "g", [0.25, 0.5]
+    )
+    got = {(r.group, r.q): r.value for r in out.itertuples()}
+    assert got[("a", 0.25)] == 17.5 and got[("a", 0.5)] == 25.0
+    assert got[("b", 0.5)] == 2.0 and got[("b", 0.25)] == 1.5
+    assert np.isnan(got[("c", 0.5)])
+
+
+def test_grouped_percentiles_cont_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("grouped_percentiles_cont", sf_dir, ("events",))
+
+
+def test_winsorize_crafted(ray_session):
+    from data_linter_ray.functions.quantiles import winsorize
+
+    vals = list(map(float, range(1, 101)))  # 1..100
+    t = pa.table(
+        {
+            "id": pa.array(range(101), pa.int64()),
+            "v": pa.array(vals + [None]),
+        }
+    )
+    out = (
+        winsorize(
+            ray.data.from_arrow(t).repartition(4), "v", lo_q=0.1, hi_q=0.9
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # fences = quantile_disc(0.1/0.9) = 10th / 90th smallest = 10, 90
+    assert out["v_capped"].min() == 10.0 and out["v_capped"].max() == 90.0
+    assert out.loc[49, "v_capped"] == 50.0       # interior untouched
+    assert pd.isna(out.loc[100, "v_capped"])     # null stays null
+
+
+def test_value_winsorized_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("value_winsorized", sf_dir, ("events",))
