@@ -1864,6 +1864,47 @@ def q_value_winsorized(sf_dir: str):
     return winsorize(ds, "value", lo_q=0.01, hi_q=0.99)
 
 
+def q_event_type_reach(sf_dir: str):
+    """Exact count(DISTINCT user_id) per event type — per-batch
+    distinct-pair combiner, one value-hash exchange, driver fold of
+    KB partials."""
+    from data_linter_ray.functions.stats import group_count_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return group_count_distinct(ds, "event_type", "user_id")
+
+
+def q_nearest_reference(sf_dir: str):
+    """Vector join: every non-label-0 embedding tagged with its nearest
+    label-0 reference vector (top-1 cosine). Reference matrix broadcast
+    once; each batch resolves its own top-k in one matmul — zero
+    shuffle. Rank output only (discrete), so SQL-hash-stable."""
+    from data_linter_ray.functions.similarity import cross_knn
+
+    import pyarrow.dataset as pads
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    # reference side: filter pushed into the read (row-group pruning +
+    # exact row filter in the scanner — no post-read Filter stage, so
+    # no empty pass-through blocks)
+    refset = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("label") == 0,
+    )
+    return cross_knn(
+        emb,
+        refset,
+        k=1,
+        left_filter=lambda t: t.filter(pc.not_equal(t["label"], 0)),
+        filter_cols=["label"],
+    ).drop_columns(["rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -1934,6 +1975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_rolling": q_user_value_rolling,
         "grouped_percentiles_cont": q_grouped_percentiles_cont,
         "value_winsorized": q_value_winsorized,
+        "event_type_reach": q_event_type_reach,
+        "nearest_reference": q_nearest_reference,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2224,6 +2267,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "event_type_reach": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events WHERE event_type IS NOT NULL "
+            "AND user_id IS NOT NULL GROUP BY event_type"
+        ),
+        "nearest_reference": (
+            "WITH refs AS (SELECT vec_id AS rid, embedding AS e "
+            "FROM embeddings WHERE label = 0), "
+            "qs AS (SELECT vec_id AS qid, embedding AS qe "
+            "FROM embeddings WHERE label <> 0), "
+            "sims AS (SELECT qid, rid, "
+            "list_cosine_similarity(qe, e) AS sim FROM qs, refs) "
+            "SELECT qid AS query_id, rid AS neighbor_id FROM ("
+            "SELECT qid, rid, row_number() OVER ("
+            "PARTITION BY qid ORDER BY sim DESC, rid) AS rn FROM sims) "
+            "WHERE rn = 1"
         ),
         "value_winsorized": (
             "WITH f AS (SELECT quantile_disc(value, 0.01) AS lo, "

@@ -180,6 +180,8 @@ QUERY_NAMES = [
     "user_value_rolling",
     "grouped_percentiles_cont",
     "value_winsorized",
+    "event_type_reach",
+    "nearest_reference",
 ]
 
 

@@ -575,3 +575,84 @@ def kmeans_cluster(
     return ds.select_columns([id_col, emb_col]).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+def cross_knn(
+    left: Dataset,
+    reference: Dataset,
+    k: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    left_filter=None,
+    filter_cols: list[str] | None = None,
+) -> Dataset:
+    """For EVERY left row, the top-k cosine neighbours from a separate
+    reference set — the vector-join used to tag new data against a
+    curated corpus (nearest labeled example, nearest centroid, dedupe
+    vs a reference crawl).
+
+    Returns (query_id, neighbor_id, rank), rank 1-based by descending
+    similarity with ties broken by ascending neighbor id. No float
+    column leaves the operator (ranks are discrete), so results are
+    SQL-hash-stable.
+
+    Scale shape: the reference matrix is collected once (bounded by the
+    broadcast-small rule — use IVF routing for reference sets beyond
+    object-store comfort), ``ray.put`` once, and every left batch
+    resolves its own top-k in ONE vectorized matmul + argpartition —
+    no exchange, no per-group dispatch, one streaming pass.
+
+    ``left_filter`` (a ``pa.Table -> pa.Table`` row filter needing
+    ``filter_cols``) runs INSIDE the top-k fn rather than as an
+    upstream ``Dataset.filter``: Ray passes empty blocks through
+    map_batches without calling the UDF, so an upstream filter that
+    empties a block would leak the INPUT schema into the output stream
+    (the mixed-block-schema hazard); fused in here, every non-empty
+    input block yields a correctly-typed (possibly 0-row) output."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    r_tbl = reference.select_columns([id_col, emb_col]).to_pandas()
+    rids = r_tbl[id_col].to_numpy()
+    R = _normalize(np.stack(r_tbl[emb_col].to_numpy()).astype(np.float64))
+    ref_ref = ray.put((rids, R))
+
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        ri, rm = ray.get(ref_ref) if isinstance(ref_ref, ray.ObjectRef) else ref_ref
+        if left_filter is not None:
+            t = left_filter(t)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        M = _normalize(_stack(t[emb_col]))
+        S = M @ rm.T  # [n_batch, n_ref]
+        n = S.shape[0]
+        kk = min(k, S.shape[1])
+        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = np.arange(n)[:, None]
+        sims = S[rows, idx]
+        nbr = ri[idx]
+        # per-row order by (-sim, neighbor id): two stable argsorts
+        o1 = np.argsort(nbr, axis=1, kind="stable")
+        sims = np.take_along_axis(sims, o1, 1)
+        nbr = np.take_along_axis(nbr, o1, 1)
+        o2 = np.argsort(-sims, axis=1, kind="stable")
+        nbr = np.take_along_axis(nbr, o2, 1)
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(ids, kk)),
+                "neighbor_id": pa.array(nbr.reshape(-1)),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1), n)),
+            },
+            schema=out_schema,
+        )
+
+    cols = sorted({id_col, emb_col, *(filter_cols or [])})
+    return left.select_columns(cols).map_batches(topk, batch_format="pyarrow")

@@ -84,3 +84,59 @@ def corr_matrix(
             "corr": corr,
         }
     )
+
+
+def group_count_distinct(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Exact ``count(DISTINCT value) GROUP BY group`` — the reach /
+    cardinality report. Scale shape (same as cohort retention): per
+    batch, DISTINCT (group, value) pairs (a combiner — a hot value
+    costs one row per batch, never one per occurrence) keyed by
+    ``hash(value) % P``; one :func:`~data_linter_ray.exchange.
+    keyed_scatter_gather` exchange co-locates equal values so the
+    per-partition pair dedupe is globally exact; per-partition
+    per-group counts are KB partials summed on the driver. Null groups
+    and null values are excluded (SQL semantics).
+
+    → DataFrame(group, n_distinct), sorted by group."""
+    import pyarrow.compute as pc
+    import ray  # noqa: F401  (exchange machinery)
+
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col]).drop_null()
+        g = t.group_by([group_col, value_col]).aggregate([])
+        h = hash_array(g[value_col].combine_chunks()) % np.uint64(P)
+        return g.append_column("_part", pa.array(h.astype(np.int64)))
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([group_col, value_col])
+        return (
+            d.groupby(group_col, as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n_distinct"})
+        )
+
+    parts = exchange_map_groups(
+        ds.select_columns([group_col, value_col]).map_batches(
+            pair_partial, batch_format="pyarrow"
+        ),
+        "_part",
+        P,
+        count_part,
+    ).to_pandas()
+    return (
+        parts.groupby(group_col, as_index=False)["n_distinct"]
+        .sum()
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )

@@ -379,3 +379,63 @@ def test_winsorize_crafted(ray_session):
 
 def test_value_winsorized_vs_duckdb(ray_session, sf_dir):
     _oracle_check("value_winsorized", sf_dir, ("events",))
+
+
+# ---------------------------------------------------------------------------
+# group_count_distinct / cross_knn
+# ---------------------------------------------------------------------------
+
+
+def test_group_count_distinct_crafted(ray_session):
+    from data_linter_ray.functions.stats import group_count_distinct
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", "b", "b", None, "c"], pa.string()),
+            # duplicate values across batches must count once; null
+            # value and null group excluded
+            "v": pa.array([1, 1, 2, 7, 7, 9, None], pa.int64()),
+        }
+    )
+    out = group_count_distinct(
+        ray.data.from_arrow(t).repartition(4), "g", "v", num_partitions=3
+    )
+    assert dict(zip(out["g"], out["n_distinct"])) == {"a": 2, "b": 1}
+
+
+def test_cross_knn_crafted(ray_session):
+    from data_linter_ray.functions.similarity import cross_knn
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([10, 11], pa.int64()),
+                "embedding": [[1.0, 0.0], [0.0, 1.0]],
+            }
+        )
+    )
+    refs = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], pa.int64()),
+                # ref 3 duplicates ref 2 → tie broken by ascending id
+                "embedding": [[0.9, 0.1], [0.1, 0.9], [0.1, 0.9]],
+            }
+        )
+    )
+    out = (
+        cross_knn(left, refs, k=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert out[out["query_id"] == 10]["neighbor_id"].tolist()[0] == 1
+    assert out[out["query_id"] == 11]["neighbor_id"].tolist() == [2, 3]
+
+
+def test_event_type_reach_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("event_type_reach", sf_dir, ("events",))
+
+
+def test_nearest_reference_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("nearest_reference", sf_dir, ("embeddings",))
