@@ -1905,6 +1905,18 @@ def q_nearest_reference(sf_dir: str):
     ).drop_columns(["rank"])
 
 
+def q_document_chunks(sf_dir: str):
+    """Sliding-window token chunking (64-token chunks, stride 32) —
+    vectorized flat-map expansion, doc-local, zero shuffle; exact
+    string equality vs the SQL list_slice mirror."""
+    from data_linter_ray.functions.text import chunk_documents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds, chunk=64, stride=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -1977,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_winsorized": q_value_winsorized,
         "event_type_reach": q_event_type_reach,
         "nearest_reference": q_nearest_reference,
+        "document_chunks": q_document_chunks,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2267,6 +2280,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "document_chunks": (
+            "WITH arr AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(text, '\s+'), t -> t <> '') AS a "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, a, "
+            "unnest(range(0, greatest(len(a), 1), 32)) AS s "
+            "FROM arr WHERE len(a) > 0) "
+            "SELECT doc_id, CAST(s / 32 AS BIGINT) AS chunk_id, "
+            "len(list_slice(a, s + 1, s + 64)) AS n_tokens, "
+            "array_to_string(list_slice(a, s + 1, s + 64), ' ') AS text "
+            "FROM idx"
         ),
         "event_type_reach": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "

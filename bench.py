@@ -182,6 +182,7 @@ QUERY_NAMES = [
     "value_winsorized",
     "event_type_reach",
     "nearest_reference",
+    "document_chunks",
 ]
 
 

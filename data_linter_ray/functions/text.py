@@ -691,3 +691,71 @@ def overlap_pairs(
         P,
         count_shared,
     )
+
+
+def chunk_documents(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk: int = 128,
+    stride: int = 64,
+) -> Dataset:
+    """Sliding-window token chunking — the RAG / pretraining splitter:
+    every document becomes rows (id, chunk_id, n_tokens, text) where
+    chunk ``j`` holds whitespace tokens ``[j·stride, j·stride+chunk)``
+    re-joined with single spaces. Chunk starts run at every stride
+    while tokens remain, so tail chunks may be shorter (and, when
+    stride < chunk, partially contained in their predecessor — the
+    standard overlapping-window convention). Documents with zero
+    tokens emit nothing; token case/whitespace beyond the split is
+    preserved.
+
+    Fully vectorized flat-map: one Arrow ``\\s+`` split per batch, the
+    overlapped chunk token indices built as a ragged arange (repeat +
+    cumsum), one ``flat.take`` and one ``binary_join_element_wise``-
+    style list join — zero per-chunk Python. Doc-local, zero shuffle.
+    """
+
+    def chunks(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        n_rows = t.num_rows
+        dl = np.bincount(parents, minlength=n_rows)  # tokens per doc
+        doc_off = np.concatenate([[0], np.cumsum(dl)])
+
+        n_chunks = -(-dl // stride)  # ceil; 0 for empty docs
+        doc_of_chunk = np.repeat(np.arange(n_rows), n_chunks)
+        # chunk_id within its doc: ragged arange over n_chunks
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        cid = np.arange(int(n_chunks.sum())) - np.repeat(first, n_chunks)
+        starts = cid * stride
+        lens = np.minimum(chunk, dl[doc_of_chunk] - starts)
+        # ragged arange of flat-token indices per chunk
+        tok_first = doc_off[doc_of_chunk] + starts
+        coff = np.concatenate([[0], np.cumsum(lens)])
+        idx = np.arange(int(lens.sum())) - np.repeat(coff[:-1] - tok_first, lens)
+        chunk_toks = pa.ListArray.from_arrays(
+            pa.array(coff, pa.int32()), flat.take(pa.array(idx))
+        )
+        joined = pc.binary_join(chunk_toks, " ")
+        ids = t[id_col].take(pa.array(doc_of_chunk))
+        return pa.table(
+            {
+                id_col: ids,
+                "chunk_id": pa.array(cid.astype(np.int64)),
+                "n_tokens": pa.array(lens.astype(np.int64)),
+                "text": joined,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunks, batch_format="pyarrow"
+    )

@@ -439,3 +439,32 @@ def test_event_type_reach_vs_duckdb(ray_session, sf_dir):
 
 def test_nearest_reference_vs_duckdb(ray_session, sf_dir):
     _oracle_check("nearest_reference", sf_dir, ("embeddings",))
+
+
+def test_chunk_documents_crafted(ray_session):
+    from data_linter_ray.functions.text import chunk_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b  c d e", "x", "   "], pa.string()),
+        }
+    )
+    out = (
+        chunk_documents(
+            ray.data.from_arrow(t).repartition(2), chunk=3, stride=2
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["doc_id"] == 1]
+    assert d1["text"].tolist() == ["a b c", "c d e", "e"]
+    assert d1["n_tokens"].tolist() == [3, 3, 1]
+    assert out[out["doc_id"] == 2]["text"].tolist() == ["x"]
+    # whitespace-only doc emits nothing
+    assert (out["doc_id"] == 3).sum() == 0
+
+
+def test_document_chunks_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("document_chunks", sf_dir, ("documents",))
