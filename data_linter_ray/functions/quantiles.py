@@ -314,19 +314,37 @@ def _grouped_ranks(
             gcol = tb[group_col].to_numpy(zero_copy_only=False)
             v = tb[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
             out = np.zeros((J, K), dtype=np.int64)
+            vmin = np.full(J, np.inf)
+            vmax = np.full(J, -np.inf)
             for j, (g, lo, w, chain) in enumerate(intervals):
                 gm = gcol == g
                 vm = v[gm]
                 m = _chain_mask(vm, chain, K)
-                out[j] = np.bincount(_bucket_idx(vm[m], lo, w, K), minlength=K)
-            return pa.table({"_h": pa.array([out.tobytes()], pa.binary())})
+                mv = vm[m]
+                out[j] = np.bincount(_bucket_idx(mv, lo, w, K), minlength=K)
+                if len(mv):
+                    vmin[j] = mv.min()
+                    vmax[j] = mv.max()
+            return pa.table(
+                {
+                    "_h": pa.array([out.tobytes()], pa.binary()),
+                    "_mm": pa.array(
+                        [np.concatenate([vmin, vmax]).tobytes()], pa.binary()
+                    ),
+                }
+            )
 
         total = np.zeros((J, K), dtype=np.int64)
+        gmin = np.full(J, np.inf)
+        gmax = np.full(J, -np.inf)
         for b in pruned.map_batches(hist, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
         ):
-            for payload in b["_h"].to_pylist():
+            for payload, mm in zip(b["_h"].to_pylist(), b["_mm"].to_pylist()):
                 total += np.frombuffer(payload, np.int64).reshape(J, K)
+                mmv = np.frombuffer(mm, np.float64)
+                gmin = np.minimum(gmin, mmv[:J])
+                gmax = np.maximum(gmax, mmv[J:])
 
         for t in active:
             j = key_of[(t["g"], t["lo"], t["w"], tuple(t["chain"]))]
@@ -335,19 +353,27 @@ def _grouped_ranks(
             below = int(cum[b - 1]) if b else 0
             t["chain"] = t["chain"] + [(t["lo"], t["w"], b)]
             t["rank"] -= below
+            no_progress = int(total[j][b]) == t["count"]
             t["count"] = int(total[j][b])
-            t["lo"] = t["lo"] + b * t["w"]
-            t["w"] = t["w"] / K
+            if no_progress:
+                # same stall handling as exact_quantiles: re-anchor the
+                # grid on the interval's true member range, or finish
+                # outright when every member is equal
+                if gmin[j] == gmax[j]:
+                    t["value"] = gmin[j]
+                else:
+                    t["lo"] = gmin[j]
+                    t["w"] = (gmax[j] - gmin[j]) / K or 1.0
+            else:
+                t["lo"] = t["lo"] + b * t["w"]
+                t["w"] = t["w"] / K
 
     open_targets = [
         (i, t) for i, t in enumerate(targets)
         if t["value"] is None and t["count"] > 0
     ]
     if open_targets:
-        plans = [
-            (i, t["g"], list(t["chain"]), t["count"] > max_collect)
-            for i, t in open_targets
-        ]
+        plans = [(i, t["g"], list(t["chain"])) for i, t in open_targets]
 
         def members(tb: pa.Table, plans=plans) -> pa.Table:
             tb = tb.filter(
@@ -356,12 +382,9 @@ def _grouped_ranks(
             gcol = tb[group_col].to_numpy(zero_copy_only=False)
             v = tb[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
             tgt_out, val_out = [], []
-            for i, g, chain, stuck in plans:
+            for i, g, chain in plans:
                 vm = v[gcol == g]
-                m = _chain_mask(vm, chain, K)
-                mv = vm[m]
-                if stuck and len(mv) > 1:
-                    mv = mv[:1]
+                mv = vm[_chain_mask(vm, chain, K)]
                 tgt_out.append(np.full(len(mv), i, dtype=np.int64))
                 val_out.append(mv)
             return pa.table(
@@ -381,10 +404,7 @@ def _grouped_ranks(
         all_val = np.concatenate(val_parts or [np.empty(0)])
         for i, t in open_targets:
             vals = all_val[all_tgt == i]
-            if t["count"] > max_collect:
-                t["value"] = vals[0]
-            else:
-                t["value"] = np.partition(vals, t["rank"] - 1)[t["rank"] - 1]
+            t["value"] = np.partition(vals, t["rank"] - 1)[t["rank"] - 1]
 
     return acc, {(t["g"], t["k"]): t["value"] for t in targets}
 

@@ -468,3 +468,26 @@ def test_chunk_documents_crafted(ray_session):
 
 def test_document_chunks_vs_duckdb(ray_session, sf_dir):
     _oracle_check("document_chunks", sf_dir, ("documents",))
+
+
+def test_grouped_quantiles_extreme_dynamic_range(ray_session):
+    # the grouped engine must survive the same stall the ungrouped
+    # re-anchoring fix covers: subnormals vs 1.0 in one group
+    from data_linter_ray.functions.quantiles import grouped_quantiles
+
+    tiny = 5e-324
+    vals = [tiny] * 40 + [1.0] * 10
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 50 + ["b"] * 3, pa.string()),
+            "v": pa.array(vals + [1.0, 2.0, 3.0]),
+        }
+    )
+    out = grouped_quantiles(
+        ray.data.from_arrow(t).repartition(3), "v", "g", [0.5, 0.9],
+        n_buckets=16, max_collect=4, max_rounds=6,
+    )
+    got = {(r.group, r.q): r.value for r in out.itertuples()}
+    assert got[("a", 0.5)] == tiny      # 25th smallest of 50
+    assert got[("a", 0.9)] == 1.0       # 45th smallest
+    assert got[("b", 0.5)] == 2.0
