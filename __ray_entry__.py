@@ -1917,6 +1917,26 @@ def q_document_chunks(sf_dir: str):
     return chunk_documents(ds, chunk=64, stride=32)
 
 
+def q_lineitem_check_violations(sf_dir: str):
+    """Cross-column CHECK constraint (l_tax + l_discount < 0.15) under
+    SQL three-valued logic: violations are rows where the predicate is
+    FALSE or NULL — one Arrow kleene-complement filter pass, streaming,
+    zero shuffle."""
+    import pyarrow.dataset as pads
+
+    from data_linter_ray.functions.constraints import expression_violations
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_tax", "l_discount"],
+    )
+    return expression_violations(
+        ds,
+        (pads.field("l_tax") + pads.field("l_discount")) < 0.15,
+        keep_cols=["l_orderkey", "l_linenumber", "l_tax", "l_discount"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -1990,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_reach": q_event_type_reach,
         "nearest_reference": q_nearest_reference,
         "document_chunks": q_document_chunks,
+        "lineitem_check_violations": q_lineitem_check_violations,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2280,6 +2301,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "lineitem_check_violations": (
+            "SELECT l_orderkey, l_linenumber, l_tax, l_discount "
+            "FROM lineitem WHERE NOT (l_tax + l_discount < 0.15) "
+            "OR (l_tax + l_discount) IS NULL"
         ),
         "document_chunks": (
             "WITH arr AS (SELECT doc_id, list_filter("

@@ -183,6 +183,7 @@ QUERY_NAMES = [
     "event_type_reach",
     "nearest_reference",
     "document_chunks",
+    "lineitem_check_violations",
 ]
 
 

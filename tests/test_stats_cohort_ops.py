@@ -491,3 +491,32 @@ def test_grouped_quantiles_extreme_dynamic_range(ray_session):
     assert got[("a", 0.5)] == tiny      # 25th smallest of 50
     assert got[("a", 0.9)] == 1.0       # 45th smallest
     assert got[("b", 0.5)] == 2.0
+
+
+def test_expression_violations_null_semantics(ray_session):
+    import pyarrow.dataset as pads
+
+    from data_linter_ray.functions.constraints import expression_violations
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "a": pa.array([1.0, 5.0, None, 2.0]),
+            "b": pa.array([1.0, 5.0, 1.0, None]),
+        }
+    )
+    # CHECK (a + b < 4): row 1 passes; row 2 fails (10); rows 3,4 have
+    # a NULL predicate — SQL CHECK treats unknown as a violation here
+    out = (
+        expression_violations(
+            ray.data.from_arrow(t).repartition(2),
+            (pads.field("a") + pads.field("b")) < 4,
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out["id"].tolist() == [2, 3, 4]
+
+
+def test_lineitem_check_violations_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("lineitem_check_violations", sf_dir, ("lineitem",))
