@@ -1937,6 +1937,32 @@ def q_lineitem_check_violations(sf_dir: str):
     )
 
 
+def q_deduped_chunks(sf_dir: str):
+    """Operator composition: sliding-window chunking feeding exact
+    dedup — the chunk-level dedupe step of a pretraining pipeline.
+    Chunk identity = doc_id·10^6 + chunk_id (docs here are far below
+    10^6 chunks); survivor = min id per distinct chunk text."""
+    from data_linter_ray.functions.dedup import exact_dedup
+    from data_linter_ray.functions.text import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    chunks = chunk_documents(docs, chunk=16, stride=16)
+
+    def with_cid(t: pa.Table) -> pa.Table:
+        cid = pc.add(
+            pc.multiply(t["doc_id"], pa.scalar(1_000_000, pa.int64())),
+            pc.cast(t["chunk_id"], pa.int64()),
+        )
+        return pa.table({"cid": cid, "text": t["text"]})
+
+    ided = chunks.map_batches(with_cid, batch_format="pyarrow")
+    return exact_dedup(ided, text_col="text", id_col="cid").select_columns(
+        ["cid", "text"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2011,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_reference": q_nearest_reference,
         "document_chunks": q_document_chunks,
         "lineitem_check_violations": q_lineitem_check_violations,
+        "deduped_chunks": q_deduped_chunks,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2301,6 +2328,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "deduped_chunks": (
+            "WITH arr AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(text, '\s+'), t -> t <> '') AS a "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, a, "
+            "unnest(range(0, greatest(len(a), 1), 16)) AS s "
+            "FROM arr WHERE len(a) > 0), "
+            "c AS (SELECT doc_id * 1000000 + CAST(s / 16 AS BIGINT) AS cid, "
+            "array_to_string(list_slice(a, s + 1, s + 16), ' ') AS text "
+            "FROM idx) "
+            "SELECT min(cid) AS cid, text FROM c GROUP BY text"
         ),
         "lineitem_check_violations": (
             "SELECT l_orderkey, l_linenumber, l_tax, l_discount "

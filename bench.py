@@ -184,6 +184,7 @@ QUERY_NAMES = [
     "nearest_reference",
     "document_chunks",
     "lineitem_check_violations",
+    "deduped_chunks",
 ]
 
 

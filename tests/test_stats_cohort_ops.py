@@ -520,3 +520,7 @@ def test_expression_violations_null_semantics(ray_session):
 
 def test_lineitem_check_violations_vs_duckdb(ray_session, sf_dir):
     _oracle_check("lineitem_check_violations", sf_dir, ("lineitem",))
+
+
+def test_deduped_chunks_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("deduped_chunks", sf_dir, ("documents",))
