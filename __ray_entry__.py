@@ -1963,6 +1963,36 @@ def q_deduped_chunks(sf_dir: str):
     )
 
 
+def q_event_props_stats(sf_dir: str):
+    """JSON-field extraction feeding an integer aggregate: props.k
+    pulled by one vectorized RE2 pass, then per-event-type
+    count/min/max/sum (all integers — exact)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from data_linter_ray.functions.jsonfields import with_json_field
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    ds = with_json_field(ds, "props", "k").drop_columns(["props"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(t["k"].is_valid(), t["event_type"].is_valid())
+        )
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+            Sum("k", alias_name="sum_k"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2038,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "document_chunks": q_document_chunks,
         "lineitem_check_violations": q_lineitem_check_violations,
         "deduped_chunks": q_deduped_chunks,
+        "event_props_stats": q_event_props_stats,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2328,6 +2359,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "event_props_stats": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
+            "SELECT event_type, count(*) AS n, min(k) AS min_k, "
+            "max(k) AS max_k, sum(k) AS sum_k FROM e "
+            "WHERE k IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY event_type"
         ),
         "deduped_chunks": (
             "WITH arr AS (SELECT doc_id, list_filter("

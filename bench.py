@@ -185,6 +185,7 @@ QUERY_NAMES = [
     "document_chunks",
     "lineitem_check_violations",
     "deduped_chunks",
+    "event_props_stats",
 ]
 
 

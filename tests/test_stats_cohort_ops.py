@@ -524,3 +524,22 @@ def test_lineitem_check_violations_vs_duckdb(ray_session, sf_dir):
 
 def test_deduped_chunks_vs_duckdb(ray_session, sf_dir):
     _oracle_check("deduped_chunks", sf_dir, ("documents",))
+
+
+def test_extract_json_field_shapes(ray_session):
+    from data_linter_ray.functions.jsonfields import extract_json_field
+
+    a = pa.array(
+        ['{"k": 69}', '{"j": 1, "k": -3}', '{"j": 2}', None, "junk",
+         '{"k": "notanint"}']
+    )
+    got = extract_json_field(a, "k", "int").to_pylist()
+    assert got == [69, -3, None, None, None, None]
+    s = pa.array(['{"name": "bob", "k": 1}', '{"name": 7}'])
+    assert extract_json_field(s, "name", "string").to_pylist() == ["bob", None]
+    d = pa.array(['{"x": 1.5e3}', '{"x": -2.25}'])
+    assert extract_json_field(d, "x", "double").to_pylist() == [1500.0, -2.25]
+
+
+def test_event_props_stats_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("event_props_stats", sf_dir, ("events",))
