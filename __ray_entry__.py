@@ -1993,6 +1993,31 @@ def q_event_props_stats(sf_dir: str):
     )
 
 
+def q_value_mad(sf_dir: str):
+    """Exact median absolute deviation: two sort-free exact-quantile
+    resolutions (the median, then the median of |value − median| over
+    a derived column). abs/sub are exact IEEE ops on exact order
+    statistics, so the result is bit-identical to SQL."""
+    import pandas as pd
+
+    from data_linter_ray.functions.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    med = float(exact_quantiles(ds, "value", [0.5])["value"][0])
+
+    def dev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"d": pc.abs(pc.subtract(t["value"], pa.scalar(med, pa.float64())))}
+        )
+
+    mad = float(
+        exact_quantiles(
+            ds.map_batches(dev, batch_format="pyarrow"), "d", [0.5]
+        )["value"][0]
+    )
+    return pd.DataFrame({"median": [med], "mad": [mad]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2069,6 +2094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_check_violations": q_lineitem_check_violations,
         "deduped_chunks": q_deduped_chunks,
         "event_props_stats": q_event_props_stats,
+        "value_mad": q_value_mad,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2359,6 +2385,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "value_mad": (
+            "WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events) "
+            "SELECT med AS median, "
+            "(SELECT quantile_disc(abs(value - med), 0.5) FROM events) AS mad "
+            "FROM m"
         ),
         "event_props_stats": (
             "WITH e AS (SELECT event_type, "

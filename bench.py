@@ -186,6 +186,7 @@ QUERY_NAMES = [
     "lineitem_check_violations",
     "deduped_chunks",
     "event_props_stats",
+    "value_mad",
 ]
 
 

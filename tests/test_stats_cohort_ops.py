@@ -543,3 +543,7 @@ def test_extract_json_field_shapes(ray_session):
 
 def test_event_props_stats_vs_duckdb(ray_session, sf_dir):
     _oracle_check("event_props_stats", sf_dir, ("events",))
+
+
+def test_value_mad_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("value_mad", sf_dir, ("events",))
