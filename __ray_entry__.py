@@ -2018,6 +2018,19 @@ def q_value_mad(sf_dir: str):
     return pd.DataFrame({"median": [med], "mad": [mad]})
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition matrix (consecutive pairs by ts,
+    event_id): one key-hash exchange + vectorized shift, tiny global
+    sum. Integer counts — exact vs the SQL lag() mirror."""
+    from data_linter_ray.functions.window import transition_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return transition_counts(ds, "user_id", "ts", "event_type", tie="event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2095,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deduped_chunks": q_deduped_chunks,
         "event_props_stats": q_event_props_stats,
         "value_mad": q_value_mad,
+        "event_transitions": q_event_transitions,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2385,6 +2399,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev_type FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_type IS NOT NULL) "
+            "SELECT prev_type AS from_type, event_type AS to_type, "
+            "count(*) AS n FROM o WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, event_type"
         ),
         "value_mad": (
             "WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events) "

@@ -187,6 +187,7 @@ QUERY_NAMES = [
     "deduped_chunks",
     "event_props_stats",
     "value_mad",
+    "event_transitions",
 ]
 
 

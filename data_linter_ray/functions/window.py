@@ -227,3 +227,45 @@ def keyed_rolling(
         )
 
     return exchange_map_groups(_hash_partition(ds, key, cols, P), "_part", P, roll)
+
+
+def transition_counts(
+    ds: Dataset,
+    key: str,
+    order: str,
+    type_col: str,
+    tie: str | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Markov transition matrix over per-key ordered event streams:
+    (from_type, to_type, n) counts of consecutive event-type pairs
+    within each key, ordered by ``(order, tie)`` — the product-analytics
+    "what happens next" table and the input to Markov-chain attribution.
+
+    One key-hash exchange co-locates each key's rows; inside a
+    partition one mergesort + a shift produces every adjacent pair
+    (C speed, no Python row loops), pairs crossing key boundaries are
+    masked out, and per-partition pair counts (small: |types|² per
+    partition) are summed by one tiny global groupby. Rows with null
+    key/order/type are excluded. Integer counts — exact vs SQL lag().
+    """
+    from ray.data.aggregate import Sum
+
+    P = num_partitions or exchange_width(ds)
+    cols = [c for c in [key, order, tie, type_col] if c is not None]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[key, order, type_col]).sort_values(
+            [key, order] + ([tie] if tie else []), kind="mergesort"
+        )
+        k = g[key].to_numpy()
+        ty = g[type_col].to_numpy()
+        same = k[1:] == k[:-1]
+        out = pd.DataFrame(
+            {"from_type": ty[:-1][same], "to_type": ty[1:][same]}
+        )
+        agg = out.groupby(["from_type", "to_type"], as_index=False).size()
+        return agg.rename(columns={"size": "n"})
+
+    parts = exchange_map_groups(_hash_partition(ds, key, cols, P), "_part", P, pairs)
+    return parts.groupby(["from_type", "to_type"]).aggregate(Sum("n", alias_name="n"))

@@ -547,3 +547,32 @@ def test_event_props_stats_vs_duckdb(ray_session, sf_dir):
 
 def test_value_mad_vs_duckdb(ray_session, sf_dir):
     _oracle_check("value_mad", sf_dir, ("events",))
+
+
+def test_transition_counts_crafted(ray_session):
+    from data_linter_ray.functions.window import transition_counts
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:00:02",
+         "2024-01-01 00:00:00", "2024-01-01 00:00:01", None]
+    )
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "i": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "e": pa.array(["a", "b", "a", "a", "b", "c"], pa.string()),
+        }
+    )
+    out = transition_counts(
+        ray.data.from_arrow(t).repartition(3), "u", "ts", "e", tie="i",
+        num_partitions=4,
+    ).to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    # user1: a→b, b→a; user2: a→b (null-ts row dropped, no pair to 'c');
+    # no cross-user pair
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_event_transitions_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("event_transitions", sf_dir, ("events",))
