@@ -2031,6 +2031,51 @@ def q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_type", tie="event_id")
 
 
+def q_users_both_halves(sf_dir: str):
+    """SQL INTERSECT: distinct users active in BOTH halves of the
+    month — per-batch distinct combiners, one row-hash exchange,
+    per-partition set logic. Both halves read with scan-level filter
+    pushdown."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from data_linter_ray.functions.setops import intersect_distinct
+
+    mid = _dt.datetime(2024, 1, 16)
+    first = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"],
+        filter=pads.field("ts") < mid,
+    )
+    second = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"],
+        filter=pads.field("ts") >= mid,
+    )
+    return intersect_distinct(first, second, ["user_id"])
+
+
+def q_users_first_half_only(sf_dir: str):
+    """SQL EXCEPT: distinct users NOT seen again after Jan 30 — the
+    churn set (the cut sits near the end of the data so the result is
+    non-degenerate at every scale factor)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from data_linter_ray.functions.setops import except_distinct
+
+    mid = _dt.datetime(2024, 1, 30)
+    first = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"],
+        filter=pads.field("ts") < mid,
+    )
+    second = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"],
+        filter=pads.field("ts") >= mid,
+    )
+    return except_distinct(first, second, ["user_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2109,6 +2154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": q_event_props_stats,
         "value_mad": q_value_mad,
         "event_transitions": q_event_transitions,
+        "users_both_halves": q_users_both_halves,
+        "users_first_half_only": q_users_first_half_only,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2399,6 +2446,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "users_both_halves": (
+            "SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16'"
+        ),
+        "users_first_half_only": (
+            "SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-30' "
+            "EXCEPT "
+            "SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-30'"
         ),
         "event_transitions": (
             "WITH o AS (SELECT user_id, event_type, "

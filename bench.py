@@ -188,6 +188,8 @@ QUERY_NAMES = [
     "event_props_stats",
     "value_mad",
     "event_transitions",
+    "users_both_halves",
+    "users_first_half_only",
 ]
 
 

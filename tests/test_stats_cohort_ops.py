@@ -576,3 +576,37 @@ def test_transition_counts_crafted(ray_session):
 
 def test_event_transitions_vs_duckdb(ray_session, sf_dir):
     _oracle_check("event_transitions", sf_dir, ("events",))
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+def test_set_ops_crafted_with_nulls(ray_session):
+    from data_linter_ray.functions.setops import except_distinct, intersect_distinct
+
+    a = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2, 3, None], pa.int64())})
+    ).repartition(2)
+    b = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 2, 4, None], pa.int64())})
+    ).repartition(2)
+    inter = sorted(
+        intersect_distinct(a, b, ["k"]).to_pandas()["k"].tolist(),
+        key=lambda x: (x is None or x != x, x if x == x and x is not None else 0),
+    )
+    # SQL INTERSECT matches NULL with NULL (IS NOT DISTINCT FROM)
+    vals = [v for v in inter if v == v]
+    assert sorted(int(v) for v in vals) == [2]
+    assert len(inter) == 2  # 2 and the null row
+    exc = except_distinct(a, b, ["k"]).to_pandas()["k"].dropna().tolist()
+    assert sorted(int(v) for v in exc) == [1, 3]
+
+
+def test_users_both_halves_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("users_both_halves", sf_dir, ("events",))
+
+
+def test_users_first_half_only_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("users_first_half_only", sf_dir, ("events",))
