@@ -190,6 +190,14 @@ QUERY_NAMES = [
     "event_transitions",
     "users_both_halves",
     "users_first_half_only",
+    "enum_violations",
+    "pattern_violations",
+    "length_violations",
+    "customer_acctbal_violations",
+    "orders_summary",
+    "langid",
+    "fingerprints",
+    "span_equality",
 ]
 
 
