@@ -2076,6 +2076,19 @@ def q_users_first_half_only(sf_dir: str):
     return except_distinct(first, second, ["user_id"])
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (class centroids): one streaming scan
+    of per-batch (label, count, Σvector) partials, driver fold; 6-dp
+    rounding on both sides absorbs partial-sum fold order."""
+    from data_linter_ray.functions.similarity import group_centroids
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    out = group_centroids(ds, "label", round_to=6)
+    return out.rename(columns={"group": "label"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2156,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "users_both_halves": q_users_both_halves,
         "users_first_half_only": q_users_first_half_only,
+        "label_centroids": q_label_centroids,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2446,6 +2460,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "label_centroids": (
+            "WITH u AS (SELECT label, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings "
+            "WHERE label IS NOT NULL AND embedding IS NOT NULL) "
+            "SELECT CAST(label AS BIGINT) AS label, dim, "
+            "round(sum(CAST(v AS DOUBLE)) / count(v), 6) AS centroid "
+            "FROM u GROUP BY label, dim"
         ),
         "users_both_halves": (
             "SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16' "

@@ -198,6 +198,7 @@ QUERY_NAMES = [
     "langid",
     "fingerprints",
     "span_equality",
+    "label_centroids",
 ]
 
 

@@ -656,3 +656,85 @@ def cross_knn(
 
     cols = sorted({id_col, emb_col, *(filter_cols or [])})
     return left.select_columns(cols).map_batches(topk, batch_format="pyarrow")
+
+
+def group_centroids(
+    ds: Dataset,
+    group_col: str,
+    emb_col: str = "embedding",
+    *,
+    round_to: int | None = None,
+):
+    """Per-group mean embedding (class centroids) — nearest-centroid
+    classification, IVF seeding, dataset-cartography input. One
+    streaming scan: per-batch (group, count, Σvector) partials (a
+    D-float64 lane per group per batch), folded on the driver
+    (groups × D doubles — KB scale for enumerable label domains, the
+    same broadcast-small assumption as the outlier moments).
+
+    → pandas DataFrame (group, dim, centroid) in tidy form, dim
+    1-based; ``round_to`` absorbs partial-sum fold order vs SQL (see
+    corr_matrix). Null groups and null embeddings are excluded."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pa.compute.and_(t[group_col].is_valid(), t[emb_col].is_valid())
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.binary()),
+                }
+            )
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _stack(t[emb_col])
+        order = np.argsort(g, kind="stable")
+        gs, Ms = g[order], M[order]
+        uniq, starts = np.unique(gs, return_index=True)
+        bounds = np.append(starts, len(gs))
+        return pa.table(
+            {
+                "g": pa.array(uniq),
+                "n": pa.array(np.diff(bounds).astype(np.int64)),
+                "s": pa.array(
+                    [
+                        Ms[bounds[i] : bounds[i + 1]].sum(axis=0).tobytes()
+                        for i in range(len(uniq))
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    acc: dict = {}
+    D = None
+    for b in (
+        ds.select_columns([group_col, emb_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for g, n, sb in zip(b["g"].to_pylist(), b["n"].to_pylist(), b["s"].to_pylist()):
+            v = np.frombuffer(sb, np.float64)
+            D = len(v)
+            e = acc.setdefault(g, [0, np.zeros(len(v))])
+            e[0] += n
+            e[1] = e[1] + v
+    rows = {"group": [], "dim": [], "centroid": []}
+    for g in sorted(acc):
+        n, s = acc[g]
+        c = s / n
+        if round_to is not None:
+            c = np.round(c, round_to)
+        rows["group"].extend([g] * D)
+        rows["dim"].extend(range(1, D + 1))
+        rows["centroid"].extend(c)
+    return pd.DataFrame(
+        {
+            "group": pd.Series(rows["group"], dtype=np.int64),
+            "dim": pd.Series(rows["dim"], dtype=np.int64),
+            "centroid": pd.Series(rows["centroid"], dtype=np.float64),
+        }
+    )

@@ -610,3 +610,26 @@ def test_users_both_halves_vs_duckdb(ray_session, sf_dir):
 
 def test_users_first_half_only_vs_duckdb(ray_session, sf_dir):
     _oracle_check("users_first_half_only", sf_dir, ("events",))
+
+
+def test_group_centroids_crafted(ray_session):
+    from data_linter_ray.functions.similarity import group_centroids
+
+    t = pa.table(
+        {
+            "label": pa.array([0, 0, 1, None], pa.int64()),
+            "embedding": [[1.0, 3.0], [3.0, 5.0], [10.0, 20.0], [9.0, 9.0]],
+        }
+    )
+    out = group_centroids(
+        ray.data.from_arrow(t).repartition(2), "label", round_to=9
+    )
+    got = {(r.group, r.dim): r.centroid for r in out.itertuples()}
+    assert got == {
+        (0, 1): 2.0, (0, 2): 4.0,       # means of [1,3] and [3,5]
+        (1, 1): 10.0, (1, 2): 20.0,
+    }
+
+
+def test_label_centroids_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("label_centroids", sf_dir, ("embeddings",))
