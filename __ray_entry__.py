@@ -2089,6 +2089,21 @@ def q_label_centroids(sf_dir: str):
     return out.rename(columns={"group": "label"})
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher-rule composite keep/drop verdicts (token bounds, mean
+    word length, top-token and duplicate-trigram caps) — every rule an
+    INTEGER cross-multiplication, so all five booleans hash-match SQL
+    exactly. One fused doc-local pass."""
+    from data_linter_ray.functions.text import gopher_flags
+
+    return gopher_flags(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        min_tokens=60,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2170,6 +2185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_both_halves": q_users_both_halves,
         "users_first_half_only": q_users_first_half_only,
         "label_centroids": q_label_centroids,
+        "gopher_filter": q_gopher_filter,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2460,6 +2476,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "gopher_filter": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '') AS tk "
+            "FROM documents), "
+            "tc AS (SELECT doc_id, tok, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY doc_id, tok), "
+            "ts AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, "
+            "max(c)::BIGINT AS top_n, sum(c * length(tok))::BIGINT AS char_sum "
+            "FROM tc GROUP BY doc_id), "
+            "grams AS (SELECT doc_id, CASE WHEN len(tk) >= 3 "
+            "THEN list_transform(generate_series(1, len(tk)-2), "
+            "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2]) "
+            "ELSE [] END AS g3 FROM toks), "
+            "gc AS (SELECT doc_id, g, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(g3) AS g FROM grams) GROUP BY doc_id, g), "
+            "gs AS (SELECT doc_id, sum(c)::BIGINT AS n_tri, "
+            "count(*)::BIGINT AS n_dist FROM gc GROUP BY doc_id), "
+            "f AS (SELECT d.doc_id, coalesce(ts.n_tokens, 0) AS n, "
+            "coalesce(ts.top_n, 0) AS top_n, coalesce(ts.char_sum, 0) AS cs, "
+            "coalesce(gs.n_tri, 0) AS n_tri, coalesce(gs.n_dist, 0) AS n_dist "
+            "FROM documents d LEFT JOIN ts ON ts.doc_id = d.doc_id "
+            "LEFT JOIN gs ON gs.doc_id = d.doc_id) "
+            "SELECT doc_id, "
+            "(n >= 60 AND n <= 100000) AS r_tokens, "
+            "(cs >= 3 * n AND cs <= 10 * n AND n > 0) AS r_word_len, "
+            "(top_n * 100 <= 30 * n) AS r_top_token, "
+            "((n_tri - n_dist) * 100 <= 30 * n_tri) AS r_dup_tri, "
+            "((n >= 60 AND n <= 100000) AND (cs >= 3 * n AND cs <= 10 * n AND n > 0) "
+            "AND (top_n * 100 <= 30 * n) AND ((n_tri - n_dist) * 100 <= 30 * n_tri)) "
+            "AS keep FROM f"
         ),
         "label_centroids": (
             "WITH u AS (SELECT label, unnest(embedding) AS v, "

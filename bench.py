@@ -199,6 +199,7 @@ QUERY_NAMES = [
     "fingerprints",
     "span_equality",
     "label_centroids",
+    "gopher_filter",
 ]
 
 

@@ -759,3 +759,98 @@ def chunk_documents(
     return ds.select_columns([id_col, text_col]).map_batches(
         chunks, batch_format="pyarrow"
     )
+
+
+def gopher_flags(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_top_token_pct: int = 30,
+    max_dup_trigram_pct: int = 30,
+) -> Dataset:
+    """Gopher-rule composite document filter (Rae et al. 2021 §A1.1,
+    the RefinedWeb/Dolma curation gate): per document, boolean rule
+    flags plus the overall ``keep`` verdict.
+
+      - ``r_tokens``     min_tokens ≤ n_tokens ≤ max_tokens
+      - ``r_word_len``   mean token length in [min, max] — evaluated as
+        the integer cross-multiplication ``min·n ≤ Σlen ≤ max·n``
+      - ``r_top_token``  most frequent token ≤ max_top_token_pct% —
+        ``top_n · 100 ≤ pct · n_tokens``
+      - ``r_dup_tri``    duplicate-trigram mass ≤ max_dup_trigram_pct%
+        (vacuously true when the doc has no trigrams)
+      - ``keep``         AND of the four
+
+    Every comparison is INTEGER (cross-multiplied ratios), so the
+    verdicts hash-match SQL with zero float hazards. One doc-local
+    ``map_batches`` pass fuses token hashing, trigram runs, and token
+    char sums — zero shuffle."""
+    from data_linter_ray.functions.dedup import _shingle_hashes, _token_hashes
+
+    def flags(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        h, parents = _token_hashes(t[text_col])
+        n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+
+        # token char sum (same \W+ token set as the hash pipeline)
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        par2 = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep_m = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)[keep_m]
+        char_sum = np.bincount(par2[keep_m], weights=lens, minlength=n).astype(
+            np.int64
+        )
+
+        def run_stats(keys: np.ndarray, par: np.ndarray):
+            total = np.bincount(par, minlength=n).astype(np.int64)
+            top = np.zeros(n, dtype=np.int64)
+            distinct = np.zeros(n, dtype=np.int64)
+            if len(keys):
+                order = np.lexsort((keys, par))
+                sk, sp = keys[order], par[order]
+                new = np.empty(len(sk), dtype=bool)
+                new[0] = True
+                new[1:] = (sk[1:] != sk[:-1]) | (sp[1:] != sp[:-1])
+                starts = np.flatnonzero(new)
+                runs = np.diff(np.append(starts, len(sk)))
+                run_doc = sp[starts]
+                distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+                np.maximum.at(top, run_doc, runs)
+            return total, distinct, top
+
+        _, _, top_token = run_stats(h, parents)
+        g, gp = _shingle_hashes(h, parents, 3)
+        n_tri, n_dist_tri, _ = run_stats(g, gp)
+
+        r_tokens = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+        r_word_len = (char_sum >= min_mean_word_len * n_tokens) & (
+            char_sum <= max_mean_word_len * n_tokens
+        ) & (n_tokens > 0)
+        r_top = (top_token * 100) <= (max_top_token_pct * n_tokens)
+        dup = n_tri - n_dist_tri
+        r_tri = (dup * 100) <= (max_dup_trigram_pct * n_tri)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "r_tokens": pa.array(r_tokens),
+                "r_word_len": pa.array(r_word_len),
+                "r_top_token": pa.array(r_top),
+                "r_dup_tri": pa.array(r_tri),
+                "keep": pa.array(r_tokens & r_word_len & r_top & r_tri),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        flags, batch_format="pyarrow"
+    )

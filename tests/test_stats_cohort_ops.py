@@ -633,3 +633,33 @@ def test_group_centroids_crafted(ray_session):
 
 def test_label_centroids_vs_duckdb(ray_session, sf_dir):
     _oracle_check("label_centroids", sf_dir, ("embeddings",))
+
+
+def test_gopher_flags_crafted(ray_session):
+    from data_linter_ray.functions.text import gopher_flags
+
+    long_ok = " ".join(f"tok{i}word" for i in range(100))  # all distinct, len 8-10
+    repet = " ".join(["the"] * 100)                             # top-token 100%
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([long_ok, repet, "short doc"], pa.string()),
+        }
+    )
+    out = (
+        gopher_flags(ray.data.from_arrow(t), min_tokens=50)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bool(out.loc[0, "keep"]) is True
+    # doc 2: token count passes, top-token and dup-trigram fail
+    assert bool(out.loc[1, "r_tokens"]) and not out.loc[1, "r_top_token"]
+    assert not out.loc[1, "r_dup_tri"] and not out.loc[1, "keep"]
+    # doc 3: too short
+    assert not out.loc[2, "r_tokens"] and not out.loc[2, "keep"]
+
+
+def test_gopher_filter_vs_duckdb(ray_session, sf_dir):
+    got = _oracle_check("gopher_filter", sf_dir, ("documents",))
+    assert 0 < got["keep"].mean() < 1  # the rule set discriminates
