@@ -2104,6 +2104,41 @@ def q_gopher_filter(sf_dir: str):
     )
 
 
+def q_daily_active_users(sf_dir: str):
+    """DAU: exact distinct users per epoch day — a derived int day
+    column feeding the count-distinct exchange. Integer-exact."""
+    from data_linter_ray.functions.stats import group_count_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def with_day(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        day = ts.view("int64") // 86_400_000_000
+        return pa.table({"day": pa.array(day), "user_id": t["user_id"]})
+
+    return group_count_distinct(
+        ds.map_batches(with_day, batch_format="pyarrow"), "day", "user_id"
+    ).rename(columns={"n_distinct": "dau"})
+
+
+def q_events_candidate_keys(sf_dir: str):
+    """Key discovery over events: exact distinct counts for three
+    candidate columns resolved in ONE scan + one value-hash exchange
+    (64-bit hash identity, the engine's documented uniqueness
+    assumption); is_unique = distinct == non-null == rows."""
+    from data_linter_ray.functions.stats import candidate_keys
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+    return candidate_keys(ds, ["event_id", "user_id", "event_type"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2186,6 +2221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_first_half_only": q_users_first_half_only,
         "label_centroids": q_label_centroids,
         "gopher_filter": q_gopher_filter,
+        "daily_active_users": q_daily_active_users,
+        "events_candidate_keys": q_events_candidate_keys,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2476,6 +2513,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "daily_active_users": (
+            "SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, "
+            "count(DISTINCT user_id) AS dau FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY day"
+        ),
+        "events_candidate_keys": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+                f"count({c}) AS n_non_null, "
+                f"count(DISTINCT {c}) AS n_distinct, "
+                f"(count(DISTINCT {c}) = count({c}) "
+                f"AND count({c}) = count(*)) AS is_unique FROM events"
+                for c in ["event_id", "user_id", "event_type"]
+            )
         ),
         "gopher_filter": (
             "WITH toks AS (SELECT doc_id, list_filter("

@@ -200,6 +200,8 @@ QUERY_NAMES = [
     "span_equality",
     "label_centroids",
     "gopher_filter",
+    "daily_active_users",
+    "events_candidate_keys",
 ]
 
 

@@ -140,3 +140,94 @@ def group_count_distinct(
         .sort_values(group_col)
         .reset_index(drop=True)
     )
+
+
+def candidate_keys(
+    ds: Dataset,
+    cols: list[str],
+    *,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Key discovery: for each candidate column, its exact distinct
+    count vs the table's row count and whether it is a unique key
+    (n_distinct == n_non_null == n_rows). One pruned scan per batch
+    emits per-column distinct-value partials (the count-distinct
+    combiner, one lane per column) into a single value-hash exchange —
+    all columns resolved together, not one scan per column.
+
+    → DataFrame(column, n_rows, n_non_null, n_distinct, is_unique)."""
+    import pyarrow.compute as pc
+
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+
+    def partials(t: pa.Table) -> pa.Table:
+        outs = {"col": [], "h": [], "_part": []}
+        n = t.num_rows
+        nn = []
+        for ci, c in enumerate(cols):
+            col = t[c].combine_chunks()
+            valid = col.drop_null()
+            nn.append(len(valid))
+            u = valid.unique()
+            h = hash_array(u)
+            outs["col"].append(np.full(len(u), ci, np.int64))
+            outs["h"].append(h.astype(np.int64))
+            outs["_part"].append(((h ^ np.uint64(ci * 0x9E37)) % np.uint64(P)).astype(np.int64))
+        meta = pa.table(
+            {
+                "col": pa.array([-1], pa.int64()),
+                "h": pa.array([n], pa.int64()),
+                "_part": pa.array([0], pa.int64()),
+            }
+        )
+        nn_rows = pa.table(
+            {
+                "col": pa.array(np.arange(len(cols)) - 1000, pa.int64()),
+                "h": pa.array(np.array(nn, np.int64)),
+                "_part": pa.array(np.zeros(len(cols), np.int64)),
+            }
+        )
+        data = pa.table(
+            {
+                "col": pa.array(np.concatenate(outs["col"])),
+                "h": pa.array(np.concatenate(outs["h"])),
+                "_part": pa.array(np.concatenate(outs["_part"])),
+            }
+        )
+        return pa.concat_tables([data, meta, nn_rows])
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        meta = df[df["col"] < 0]
+        data = df[df["col"] >= 0].drop_duplicates(["col", "h"])
+        agg = data.groupby("col", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        agg["kind"] = "distinct"
+        m = meta.groupby("col", as_index=False)["h"].sum().rename(
+            columns={"h": "n"}
+        )
+        m["kind"] = "meta"
+        return pd.concat([agg[["col", "n", "kind"]], m[["col", "n", "kind"]]])
+
+    parts = exchange_map_groups(
+        ds.select_columns(cols).map_batches(partials, batch_format="pyarrow"),
+        "_part",
+        P,
+        count_part,
+    ).to_pandas()
+    dist = (
+        parts[parts["kind"] == "distinct"].groupby("col")["n"].sum().to_dict()
+    )
+    meta = parts[parts["kind"] == "meta"].groupby("col")["n"].sum().to_dict()
+    n_rows = int(meta.get(-1, 0))
+    out = []
+    for ci, c in enumerate(cols):
+        nd = int(dist.get(ci, 0))
+        nn = int(meta.get(ci - 1000, 0))
+        out.append((c, n_rows, nn, nd, nd == nn == n_rows))
+    return pd.DataFrame(
+        out, columns=["column", "n_rows", "n_non_null", "n_distinct", "is_unique"]
+    )

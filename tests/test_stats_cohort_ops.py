@@ -663,3 +663,31 @@ def test_gopher_flags_crafted(ray_session):
 def test_gopher_filter_vs_duckdb(ray_session, sf_dir):
     got = _oracle_check("gopher_filter", sf_dir, ("documents",))
     assert 0 < got["keep"].mean() < 1  # the rule set discriminates
+
+
+def test_candidate_keys_crafted(ray_session):
+    from data_linter_ray.functions.stats import candidate_keys
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),        # unique key
+            "k": pa.array([1, 1, 2, 2], pa.int64()),          # not unique
+            "n": pa.array([1, 2, 3, None], pa.int64()),       # null → not a key
+        }
+    )
+    out = candidate_keys(
+        ray.data.from_arrow(t).repartition(2), ["id", "k", "n"],
+        num_partitions=3,
+    ).set_index("column")
+    assert bool(out.loc["id", "is_unique"])
+    assert out.loc["k", "n_distinct"] == 2 and not out.loc["k", "is_unique"]
+    assert out.loc["n", "n_non_null"] == 3 and not out.loc["n", "is_unique"]
+    assert (out["n_rows"] == 4).all()
+
+
+def test_daily_active_users_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("daily_active_users", sf_dir, ("events",))
+
+
+def test_events_candidate_keys_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("events_candidate_keys", sf_dir, ("events",))
