@@ -183,9 +183,11 @@ def candidate_keys(
                 "_part": pa.array([0], pa.int64()),
             }
         )
+        # per-column non-null sentinel code = -2 - ci (never collides
+        # with the n_rows sentinel -1, for any column count)
         nn_rows = pa.table(
             {
-                "col": pa.array(np.arange(len(cols)) - 1000, pa.int64()),
+                "col": pa.array(-2 - np.arange(len(cols)), pa.int64()),
                 "h": pa.array(np.array(nn, np.int64)),
                 "_part": pa.array(np.zeros(len(cols), np.int64)),
             }
@@ -226,7 +228,7 @@ def candidate_keys(
     out = []
     for ci, c in enumerate(cols):
         nd = int(dist.get(ci, 0))
-        nn = int(meta.get(ci - 1000, 0))
+        nn = int(meta.get(-2 - ci, 0))
         out.append((c, n_rows, nn, nd, nd == nn == n_rows))
     return pd.DataFrame(
         out, columns=["column", "n_rows", "n_non_null", "n_distinct", "is_unique"]
