@@ -56,29 +56,33 @@ def retention_matrix(
     P = num_partitions or exchange_width(ds)
     period_us = np.int64(period_s) * np.int64(1_000_000)
 
+    user_t = ds.schema().base_schema.field(user_col).type
+
     def pair_partial(t: pa.Table) -> pa.Table:
         df = t.select([user_col, ts_col]).to_pandas().dropna()
+        empty = pa.table(
+            {
+                "u": pa.array([], user_t),
+                "p": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64()),
+            }
+        )
         if not len(df):
-            return pa.table(
-                {
-                    "u": pa.array([], pa.int64()),
-                    "p": pa.array([], pa.int64()),
-                    "_part": pa.array([], pa.int64()),
-                }
-            )
-        u = df[user_col].to_numpy(np.int64)
+            return empty
         ts = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
-        p = ts // period_us
+        pairs = pd.DataFrame({"u": df[user_col].to_numpy(), "p": ts // period_us})
         # hash-based pair dedupe: np.unique(axis=0) sort-unique
         # measured 5× slower on 10M-row batches
-        mask = ~pd.DataFrame({"u": u, "p": p}).duplicated().to_numpy()
-        u, p = u[mask], p[mask]
-        part = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+        pairs = pairs[~pairs.duplicated().to_numpy()]
+        # partition on a hash of the user VALUE (any key type)
+        part = (
+            pd.util.hash_pandas_object(pairs["u"], index=False).to_numpy(np.uint64)
             % np.uint64(P)
+        )
         return pa.table(
             {
-                "u": pa.array(u),
-                "p": pa.array(p),
+                "u": pa.Array.from_pandas(pairs["u"], type=user_t),
+                "p": pa.array(pairs["p"].to_numpy(np.int64)),
                 "_part": pa.array(part.astype(np.int64)),
             }
         )

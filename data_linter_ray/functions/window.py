@@ -197,6 +197,8 @@ def keyed_rolling(
     pandas C rolling kernels per partition."""
     P = num_partitions or exchange_width(ds)
     cols = [key, order, tie, value]
+    sch = ds.schema().base_schema
+    key_t, tie_t = sch.field(key).type, sch.field(tie).type
 
     def roll(g: pd.DataFrame) -> pa.Table:
         g = g.dropna(subset=[key, order]).sort_values(
@@ -217,8 +219,8 @@ def keyed_rolling(
         )
         return pa.table(
             {
-                key: pa.Array.from_pandas(g[key], type=pa.int64()),
-                tie: pa.Array.from_pandas(g[tie], type=pa.int64()),
+                key: pa.Array.from_pandas(g[key], type=key_t),
+                tie: pa.Array.from_pandas(g[tie], type=tie_t),
                 order: pa.Array.from_pandas(g[order]),
                 "roll_sum_cents": pa.Array.from_pandas(rs, type=pa.int64()),
                 "roll_n": pa.Array.from_pandas(rn, type=pa.int64()),

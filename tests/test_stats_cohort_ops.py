@@ -691,3 +691,19 @@ def test_daily_active_users_vs_duckdb(ray_session, sf_dir):
 
 def test_events_candidate_keys_vs_duckdb(ray_session, sf_dir):
     _oracle_check("events_candidate_keys", sf_dir, ("events",))
+
+
+def test_retention_matrix_string_users(ray_session):
+    from data_linter_ray.functions.cohort import retention_matrix
+
+    week = 604800 * 1_000_000
+    ts = np.array([0, week, 0], dtype="datetime64[us]")
+    t = pa.table(
+        {
+            "u": pa.array(["alice", "alice", "bob"], pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    out = retention_matrix(ray.data.from_arrow(t), "u", "ts", num_partitions=3)
+    cells = {(r.cohort_period, r.period): r.n_users for r in out.itertuples()}
+    assert cells == {(0, 0): 2, (0, 1): 1}
