@@ -2139,6 +2139,48 @@ def q_events_candidate_keys(sf_dir: str):
     return candidate_keys(ds, ["event_id", "user_id", "event_type"])
 
 
+def q_rolling_anomalies(sf_dir: str):
+    """Streaming window anomaly detection, INTEGER-exact: flag windows
+    whose maximum deviates from the window mean by more than 3 trailing
+    standard deviations — algebraically (mx − μ)² > 9σ², evaluated as
+    the pure integer cross-multiplication
+    (mx·rn − rs)² > 9·(rss·rn − rs²) with every operand an int64
+    (cents), so flags hash-match SQL exactly. Windows with fewer than
+    5 values are skipped."""
+    from data_linter_ray.functions.window import keyed_rolling
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    rolled = keyed_rolling(ds, "user_id", "ts", "event_id", "value", window=20)
+
+    def flag(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rs = t["roll_sum_cents"].to_numpy(zero_copy_only=False)
+        rss = t["roll_sum_sq_cents"].to_numpy(zero_copy_only=False)
+        rn = t["roll_n"].to_numpy(zero_copy_only=False)
+        # all-integer spike test: (mx·rn − rs)² > 9·(rss·rn − rs²)
+        # (rint is monotone, so the rounded window max equals the max
+        # of the per-value cents used in rs/rss)
+        mx = np.rint(
+            t["roll_max"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        full = rn >= 5
+        lhs = (mx * rn - rs) ** 2
+        rhs = 9 * (rss * rn - rs * rs)
+        keep = full & (lhs > rhs)
+        return pa.table(
+            {
+                "user_id": t["user_id"].filter(pa.array(keep)),
+                "event_id": t["event_id"].filter(pa.array(keep)),
+            }
+        )
+
+    return rolled.map_batches(flag, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2223,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": q_gopher_filter,
         "daily_active_users": q_daily_active_users,
         "events_candidate_keys": q_events_candidate_keys,
+        "rolling_anomalies": q_rolling_anomalies,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2514,6 +2557,19 @@ def oracle_sql() -> dict[str, str]:
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
         ),
+        "rolling_anomalies": (
+            "WITH r AS (SELECT user_id, event_id, "
+            "sum(CAST(round(value*100) AS BIGINT)) OVER w AS rs, "
+            "sum(CAST(round(value*100) AS BIGINT) * "
+            "CAST(round(value*100) AS BIGINT)) OVER w AS rss, "
+            "count(value) OVER w AS rn, "
+            "CAST(round(max(value) OVER w * 100) AS BIGINT) AS mx "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) "
+            "SELECT user_id, event_id FROM r WHERE rn >= 5 "
+            "AND (mx * rn - rs) * (mx * rn - rs) > 9 * (rss * rn - rs * rs)"
+        ),
         "daily_active_users": (
             "SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, "
             "count(DISTINCT user_id) AS dau FROM events "
@@ -2666,6 +2722,8 @@ def oracle_sql() -> dict[str, str]:
         "user_value_rolling": (
             "SELECT user_id, event_id, ts, "
             "sum(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_sum_cents, "
+            "sum(CAST(round(value * 100) AS BIGINT) * "
+            "CAST(round(value * 100) AS BIGINT)) OVER w AS roll_sum_sq_cents, "
             "count(value) OVER w AS roll_n, "
             "max(value) OVER w AS roll_max "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "

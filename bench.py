@@ -202,6 +202,7 @@ QUERY_NAMES = [
     "gopher_filter",
     "daily_active_users",
     "events_candidate_keys",
+    "rolling_anomalies",
 ]
 
 

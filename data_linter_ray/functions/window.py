@@ -188,6 +188,9 @@ def keyed_rolling(
       segment tree whose combine order is unspecified, so float-exact
       parity is impossible; integer sums are associative and exact on
       BOTH sides. Null when the frame holds no non-null value.
+    - ``roll_sum_sq_cents``  sum of squared cents (the second moment —
+      rolling variance / anomaly flags derive from it with pure
+      integer cross-multiplications; see ``q_rolling_anomalies``)
     - ``roll_n``          count of non-null values in the frame
     - ``roll_max``        max value in the frame (exact selection)
 
@@ -210,6 +213,13 @@ def keyed_rolling(
         # g is key-sorted, so groupby.rolling output (grouped order)
         # equals row order after dropping the group level
         rs = grp_c.rolling(window, min_periods=1).sum().reset_index(drop=True)
+        rss = (
+            (cents * cents)
+            .groupby(g[key], sort=False)
+            .rolling(window, min_periods=1)
+            .sum()
+            .reset_index(drop=True)
+        )
         rn = grp_c.rolling(window, min_periods=1).count().reset_index(drop=True)
         rmax = (
             g.groupby(g[key], sort=False)[value]
@@ -223,6 +233,7 @@ def keyed_rolling(
                 tie: pa.Array.from_pandas(g[tie], type=tie_t),
                 order: pa.Array.from_pandas(g[order]),
                 "roll_sum_cents": pa.Array.from_pandas(rs, type=pa.int64()),
+                "roll_sum_sq_cents": pa.Array.from_pandas(rss, type=pa.int64()),
                 "roll_n": pa.Array.from_pandas(rn, type=pa.int64()),
                 "roll_max": pa.Array.from_pandas(rmax, type=pa.float64()),
             }

@@ -707,3 +707,8 @@ def test_retention_matrix_string_users(ray_session):
     out = retention_matrix(ray.data.from_arrow(t), "u", "ts", num_partitions=3)
     cells = {(r.cohort_period, r.period): r.n_users for r in out.itertuples()}
     assert cells == {(0, 0): 2, (0, 1): 1}
+
+
+def test_rolling_anomalies_vs_duckdb(ray_session, sf_dir):
+    got = _oracle_check("rolling_anomalies", sf_dir, ("events",))
+    assert len(got) > 0
