@@ -100,7 +100,13 @@ def _estimated_bytes(ds) -> int:
 
 
 def keyed_scatter_gather(
-    mat, part_col: str, num_partitions: int, reduce_fn, *, skip_empty: bool = False
+    mat,
+    part_col: str,
+    num_partitions: int,
+    reduce_fn,
+    *,
+    skip_empty: bool = False,
+    empty_schema=None,
 ):
     """Manual hash exchange: scatter a MATERIALIZED dataset's blocks by
     an int64 partition column in [0, num_partitions), gather each
@@ -179,7 +185,9 @@ def keyed_scatter_gather(
     ]
     if not block_refs:
         if skip_empty:
-            return rd.from_arrow(pa.table({}))
+            return rd.from_arrow(
+                empty_schema.empty_table() if empty_schema is not None else pa.table({})
+            )
         return rd.from_arrow_refs([reduce_task.remote(0)])
     # group blocks so scatter-task (and returned-ref) count stays ~2×P
     group = max(1, len(block_refs) // (2 * P))
@@ -195,7 +203,9 @@ def keyed_scatter_gather(
         counts = np.sum(ray.get([pb[P] for pb in per_block]), axis=0)
         live = [p for p in range(P) if counts[p] > 0]
         if not live:
-            return rd.from_arrow(pa.table({}))
+            return rd.from_arrow(
+                empty_schema.empty_table() if empty_schema is not None else pa.table({})
+            )
     reduced = [
         reduce_task.remote(p, *[pb[p] for pb in per_block]) for p in live
     ]
@@ -203,7 +213,13 @@ def keyed_scatter_gather(
 
 
 def exchange_map_groups(
-    ds, part_col: str, num_partitions: int, fn, *, batch_format: str = "pandas"
+    ds,
+    part_col: str,
+    num_partitions: int,
+    fn,
+    *,
+    batch_format: str = "pandas",
+    empty_schema=None,
 ):
     """Drop-in replacement for ``ds.groupby(part_col).map_groups(fn,
     batch_format=...)`` over a dense int partition column: one
@@ -224,5 +240,6 @@ def exchange_map_groups(
 
     mat = ds if type(ds).__name__ == "MaterializedDataset" else ds.materialize()
     return keyed_scatter_gather(
-        mat, part_col, num_partitions, reduce, skip_empty=True
+        mat, part_col, num_partitions, reduce, skip_empty=True,
+        empty_schema=empty_schema,
     )

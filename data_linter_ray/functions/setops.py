@@ -54,8 +54,17 @@ def _tagged(ds: Dataset, cols: list[str], side: int, P: int) -> Dataset:
 
 
 def _set_op(a: Dataset, b: Dataset, cols: list[str], op: str) -> Dataset:
+    import ray.data as rd
+
     P = exchange_width(a, b)
-    types = {c: a.schema().base_schema.field(c).type for c in cols}
+    # either side may be an empty dataset with no schema — fall back to
+    # the other; both empty → an empty (zero-column) result is all we
+    # can type
+    sch = a.schema() or b.schema()
+    if sch is None:
+        return rd.from_arrow(pa.table({}))
+    types = {c: sch.base_schema.field(c).type for c in cols}
+    out_schema = pa.schema([(c, types[c]) for c in cols])
     both = _tagged(a, cols, 0, P).union(_tagged(b, cols, 1, P))
 
     def resolve(g: pd.DataFrame) -> pa.Table:
@@ -74,7 +83,9 @@ def _set_op(a: Dataset, b: Dataset, cols: list[str], op: str) -> Dataset:
             {c: pa.Array.from_pandas(out[c], type=types[c]) for c in cols}
         )
 
-    return exchange_map_groups(both, "_part", P, resolve)
+    return exchange_map_groups(
+        both, "_part", P, resolve, empty_schema=out_schema
+    )
 
 
 def intersect_distinct(a: Dataset, b: Dataset, cols: list[str]) -> Dataset:

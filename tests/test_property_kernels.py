@@ -115,3 +115,105 @@ def test_exact_quantiles_distributed_matches_sort(ray_session, values):
     for q, val in zip(got["q"], got["value"]):
         k = max(math.ceil(n * q), 1)
         assert val == srt[k - 1], (q, val, srt[k - 1])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=400,
+    ),
+    st.lists(st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=4),
+)
+def test_percentile_cont_matches_numpy_property(ray_session, values, fracs):
+    """percentile_cont == numpy 'linear' quantile (== SQL quantile_cont)
+    under random values and fractions, with refinement forced."""
+    import ray
+
+    from data_linter_ray.functions.quantiles import percentile_cont
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(values)})).repartition(3)
+    out = percentile_cont(ds, "v", fracs, n_buckets=8, max_collect=16)
+    exp = np.quantile(np.asarray(values), fracs)
+    assert np.allclose(out["value"].to_numpy(), exp, rtol=0, atol=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=0, max_size=60),
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=0, max_size=60),
+)
+def test_set_ops_match_python_sets(ray_session, xs, ys):
+    import ray
+
+    from data_linter_ray.functions.setops import except_distinct, intersect_distinct
+
+    a = ray.data.from_arrow(pa.table({"k": pa.array(xs, pa.int64())})).repartition(2)
+    b = ray.data.from_arrow(pa.table({"k": pa.array(ys, pa.int64())})).repartition(2)
+
+    def vals(ds):
+        # Ray's to_pandas() drops columns when every block is empty —
+        # an all-empty result set reads as a zero-column frame
+        df = ds.to_pandas()
+        return set(df["k"].tolist()) if "k" in df.columns else set()
+
+    assert vals(intersect_distinct(a, b, ["k"])) == (set(xs) & set(ys))
+    assert vals(except_distinct(a, b, ["k"])) == (set(xs) - set(ys))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=0, max_value=50),   # order
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_keyed_rolling_matches_bruteforce(ray_session, rows):
+    """rolling sums/counts equal a brute-force per-key trailing-window
+    recomputation for random keyed streams."""
+    import ray
+
+    from data_linter_ray.functions.window import keyed_rolling
+
+    ks = [r[0] for r in rows]
+    os_ = [r[1] for r in rows]
+    vs = [r[2] for r in rows]
+    ts = np.array(os_, dtype="datetime64[s]").astype("datetime64[us]")
+    t = pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "i": pa.array(os_, pa.int64()),
+            "v": pa.array(vs, pa.float64()),
+        }
+    )
+    w = 4
+    out = (
+        keyed_rolling(ray.data.from_arrow(t).repartition(3), "k", "ts", "i", "v", window=w)
+        .to_pandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    import collections
+
+    series = collections.defaultdict(list)
+    for k, o, v in sorted(rows):
+        series[k].append((o, v))
+    exp = {}
+    for k, items in series.items():
+        for idx in range(len(items)):
+            lo = max(0, idx - w + 1)
+            window = [c for _, c in items[lo : idx + 1]]
+            cents = [int(np.rint(c * 100)) for c in window]
+            exp[(k, items[idx][0])] = (sum(cents), len(cents), max(window))
+    for r in out.itertuples():
+        s, n, mx = exp[(r.k, r.i)]
+        assert r.roll_sum_cents == s and r.roll_n == n and r.roll_max == mx
