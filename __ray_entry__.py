@@ -2181,6 +2181,37 @@ def q_rolling_anomalies(sf_dir: str):
     return rolled.map_batches(flag, batch_format="pyarrow")
 
 
+def q_source_quality(sf_dir: str):
+    """Per-source curation report: documents kept by the Gopher gate
+    per source — integer counts over the composed flags, exact."""
+    from ray.data.aggregate import Count, Sum
+
+    from data_linter_ray.functions.text import gopher_flags
+
+    flags = gopher_flags(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+        ),
+        keep_cols=["source"],
+        min_tokens=60,
+    )
+
+    def as_int(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "kept": pc.cast(t["keep"], pa.int64()),
+            }
+        )
+
+    return (
+        flags.map_batches(as_int, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("kept", alias_name="n_kept"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2266,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": q_daily_active_users,
         "events_candidate_keys": q_events_candidate_keys,
         "rolling_anomalies": q_rolling_anomalies,
+        "source_quality": q_source_quality,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2556,6 +2588,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "source_quality": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(lower(trim(text)), '\W+'), t -> t <> '') AS tk "
+            "FROM documents), "
+            "tc AS (SELECT doc_id, tok, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY doc_id, tok), "
+            "ts AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, "
+            "max(c)::BIGINT AS top_n, sum(c * length(tok))::BIGINT AS char_sum "
+            "FROM tc GROUP BY doc_id), "
+            "grams AS (SELECT doc_id, CASE WHEN len(tk) >= 3 "
+            "THEN list_transform(generate_series(1, len(tk)-2), "
+            "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2]) "
+            "ELSE [] END AS g3 FROM toks), "
+            "gc AS (SELECT doc_id, g, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(g3) AS g FROM grams) GROUP BY doc_id, g), "
+            "gs AS (SELECT doc_id, sum(c)::BIGINT AS n_tri, "
+            "count(*)::BIGINT AS n_dist FROM gc GROUP BY doc_id), "
+            "f AS (SELECT d.doc_id, d.source, coalesce(ts.n_tokens, 0) AS n, "
+            "coalesce(ts.top_n, 0) AS top_n, coalesce(ts.char_sum, 0) AS cs, "
+            "coalesce(gs.n_tri, 0) AS n_tri, coalesce(gs.n_dist, 0) AS n_dist "
+            "FROM documents d LEFT JOIN ts ON ts.doc_id = d.doc_id "
+            "LEFT JOIN gs ON gs.doc_id = d.doc_id) "
+            "SELECT source, count(*) AS n_docs, "
+            "sum(CAST((n >= 60 AND n <= 100000) AND "
+            "(cs >= 3 * n AND cs <= 10 * n AND n > 0) "
+            "AND (top_n * 100 <= 30 * n) "
+            "AND ((n_tri - n_dist) * 100 <= 30 * n_tri) AS BIGINT)) AS n_kept "
+            "FROM f GROUP BY source"
         ),
         "rolling_anomalies": (
             "WITH r AS (SELECT user_id, event_id, "

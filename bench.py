@@ -203,6 +203,7 @@ QUERY_NAMES = [
     "daily_active_users",
     "events_candidate_keys",
     "rolling_anomalies",
+    "source_quality",
 ]
 
 

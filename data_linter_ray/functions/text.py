@@ -766,6 +766,7 @@ def gopher_flags(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
+    keep_cols: list[str] | None = None,
     min_tokens: int = 50,
     max_tokens: int = 100_000,
     min_mean_word_len: int = 3,
@@ -840,9 +841,11 @@ def gopher_flags(
         r_top = (top_token * 100) <= (max_top_token_pct * n_tokens)
         dup = n_tri - n_dist_tri
         r_tri = (dup * 100) <= (max_dup_trigram_pct * n_tri)
-        return pa.table(
+        cols = {id_col: t[id_col]}
+        for c in keep_cols or []:
+            cols[c] = t[c]
+        cols.update(
             {
-                id_col: t[id_col],
                 "r_tokens": pa.array(r_tokens),
                 "r_word_len": pa.array(r_word_len),
                 "r_top_token": pa.array(r_top),
@@ -850,7 +853,9 @@ def gopher_flags(
                 "keep": pa.array(r_tokens & r_word_len & r_top & r_tri),
             }
         )
+        return pa.table(cols)
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    read_cols = sorted({id_col, text_col, *(keep_cols or [])})
+    return ds.select_columns(read_cols).map_batches(
         flags, batch_format="pyarrow"
     )

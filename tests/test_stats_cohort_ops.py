@@ -712,3 +712,8 @@ def test_retention_matrix_string_users(ray_session):
 def test_rolling_anomalies_vs_duckdb(ray_session, sf_dir):
     got = _oracle_check("rolling_anomalies", sf_dir, ("events",))
     assert len(got) > 0
+
+
+def test_source_quality_vs_duckdb(ray_session, sf_dir):
+    got = _oracle_check("source_quality", sf_dir, ("documents",))
+    assert (got["n_kept"] <= got["n_docs"]).all()
