@@ -2212,6 +2212,24 @@ def q_source_quality(sf_dir: str):
     )
 
 
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT lineitem's four numeric measures into long form —
+    stateless per-batch flat expansion, zero shuffle; values cast to a
+    common float64 exactly (the measures are float64 already)."""
+    from data_linter_ray.functions.olap import melt
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return melt(
+        ds,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2298,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_candidate_keys": q_events_candidate_keys,
         "rolling_anomalies": q_rolling_anomalies,
         "source_quality": q_source_quality,
+        "lineitem_unpivot": q_lineitem_unpivot,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2588,6 +2607,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "lineitem_unpivot": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(name AS VARCHAR) AS variable, "
+            "CAST(value AS DOUBLE) AS value FROM ("
+            "UNPIVOT lineitem ON l_quantity, l_extendedprice, "
+            "l_discount, l_tax INTO NAME name VALUE value)"
         ),
         "source_quality": (
             "WITH toks AS (SELECT doc_id, list_filter("

@@ -204,6 +204,7 @@ QUERY_NAMES = [
     "events_candidate_keys",
     "rolling_anomalies",
     "source_quality",
+    "lineitem_unpivot",
 ]
 
 

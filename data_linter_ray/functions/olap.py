@@ -124,3 +124,37 @@ def pivot_counts(
         .groupby(index_key)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def melt(
+    ds: Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+    include_nulls: bool = False,
+) -> Dataset:
+    """UNPIVOT (wide → long): one output row per (input row, value
+    column), carrying the id columns, the source column's name, and its
+    value cast to a common float64. Rows whose value is NULL are
+    dropped unless ``include_nulls`` — SQL UNPIVOT semantics. A
+    stateless per-batch flat expansion — Arrow concat of V
+    column-slices per batch, zero Python rows, zero shuffle,
+    embarrassingly parallel."""
+
+    def f(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {ic: t[ic] for ic in id_cols}
+            cols[var_name] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_name] = pc.cast(t[c], pa.float64())
+            part = pa.table(cols)
+            if not include_nulls:
+                part = part.filter(part[value_name].is_valid())
+            parts.append(part)
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(sorted({*id_cols, *value_cols})).map_batches(
+        f, batch_format="pyarrow"
+    )

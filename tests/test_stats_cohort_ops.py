@@ -717,3 +717,33 @@ def test_rolling_anomalies_vs_duckdb(ray_session, sf_dir):
 def test_source_quality_vs_duckdb(ray_session, sf_dir):
     got = _oracle_check("source_quality", sf_dir, ("documents",))
     assert (got["n_kept"] <= got["n_docs"]).all()
+
+
+def test_melt_null_semantics(ray_session):
+    from data_linter_ray.functions.olap import melt
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "a": pa.array([1.0, None]),
+            "b": pa.array([None, 4.0]),
+        }
+    )
+    out = (
+        melt(ray.data.from_arrow(t), ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    # SQL UNPIVOT drops null cells
+    assert list(zip(out["id"], out["variable"], out["value"])) == [
+        (1, "a", 1.0), (2, "b", 4.0)
+    ]
+    full = melt(
+        ray.data.from_arrow(t), ["id"], ["a", "b"], include_nulls=True
+    ).to_pandas()
+    assert len(full) == 4
+
+
+def test_lineitem_unpivot_vs_duckdb(ray_session, sf_dir):
+    _oracle_check("lineitem_unpivot", sf_dir, ("lineitem",))
