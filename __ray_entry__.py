@@ -2230,6 +2230,19 @@ def q_lineitem_unpivot(sf_dir: str):
     )
 
 
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus): all four grouping
+    sets derived from one distributed finest-level aggregate; integer
+    counts, exact."""
+    from data_linter_ray.functions.olap import cube_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus"],
+    )
+    return cube_counts(ds, "l_returnflag", "l_linestatus")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2317,6 +2330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_anomalies": q_rolling_anomalies,
         "source_quality": q_source_quality,
         "lineitem_unpivot": q_lineitem_unpivot,
+        "lineitem_cube": q_lineitem_cube,
         "value_iqr_outliers": q_value_iqr_outliers,
         "fuzzy_entities": q_fuzzy_entities,
         "bm25_topk": q_bm25_topk,
@@ -2607,6 +2621,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
             "sum(tf * ln(c / t) ORDER BY tok) / sum(tf) AS mean_logprob "
             "FROM dtf JOIN counts USING (tok), tot GROUP BY doc_id"
+        ),
+        "lineitem_cube": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
         ),
         "lineitem_unpivot": (
             "SELECT l_orderkey, l_linenumber, "

@@ -205,6 +205,7 @@ QUERY_NAMES = [
     "rolling_anomalies",
     "source_quality",
     "lineitem_unpivot",
+    "lineitem_cube",
 ]
 
 

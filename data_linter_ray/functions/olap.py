@@ -158,3 +158,31 @@ def melt(
     return ds.select_columns(sorted({*id_cols, *value_cols})).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def cube_counts(
+    ds: Dataset,
+    k1: str,
+    k2: str,
+    sum_col: str | None = None,
+) -> pa.Table:
+    """``GROUP BY CUBE (k1, k2)``: :func:`rollup_counts`' grouping sets
+    plus the (k2)-only level — all four subtotal levels derived from
+    the same single distributed finest-level aggregate (the driver fold
+    stays |distinct (k1,k2)|-sized)."""
+    base = rollup_counts(ds, k1, k2, sum_col).to_pandas()
+    finest = base[base[k1].notna() & base[k2].notna()]
+    aggs = {"n": ("n", "sum")}
+    if sum_col:
+        aggs["sum_" + sum_col] = ("sum_" + sum_col, "sum")
+    lvl2 = finest.groupby(k2, as_index=False, dropna=False).agg(**aggs)
+    lvl2[k1] = None
+    out = pd.concat([base, lvl2], ignore_index=True)
+    cols = {
+        k1: pa.array(out[k1], pa.string()),
+        k2: pa.array(out[k2], pa.string()),
+        "n": pa.array(out["n"].astype(np.int64)),
+    }
+    if sum_col:
+        cols["sum_" + sum_col] = pa.array(out["sum_" + sum_col], pa.float64())
+    return pa.table(cols)

@@ -747,3 +747,13 @@ def test_melt_null_semantics(ray_session):
 
 def test_lineitem_unpivot_vs_duckdb(ray_session, sf_dir):
     _oracle_check("lineitem_unpivot", sf_dir, ("lineitem",))
+
+
+def test_lineitem_cube_vs_duckdb(ray_session, sf_dir):
+    got = _oracle_check("lineitem_cube", sf_dir, ("lineitem",))
+    # all four grouping sets present
+    import pandas as pd
+    k1n = got["l_returnflag"].isna()
+    k2n = got["l_linestatus"].isna()
+    assert (~k1n & ~k2n).any() and (k1n & ~k2n).any()
+    assert (~k1n & k2n).any() and (k1n & k2n).sum() == 1
