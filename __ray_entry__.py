@@ -1092,6 +1092,30 @@ def q_top_users(sf_dir: str):
     return top_values(ds, "user_id", k=10)
 
 
+def q_heavy_users(sf_dir: str):
+    """EXACT heavy hitters above frequency share 1/128 with ZERO
+    shuffle (Misra-Gries candidate pass + broadcast exact recount) —
+    the scale path when even the distinct-value domain is too large to
+    exchange. Integer-exact vs SQL HAVING count*(m+1) > N."""
+    from data_linter_ray.functions.profile import heavy_hitters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", m=127)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sampling (inclusion probability
+    min(1, k·n_chars/W)) — importance-weighting documents by length
+    with zero shuffle and no RNG; md5 hash mode reproduces the exact
+    row set in SQL."""
+    from data_linter_ray.functions.sampling import weighted_fraction
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_fraction(ds, "doc_id", "n_chars", k=100)
+
+
 #: deterministic PII injection shared by the pii_scan / redacted_documents
 #: query-oracle pairs: one snippet per doc_id % 10 residue 0-3 (email,
 #: phone, ipv4, ssn), appended identically on the Ray and SQL sides.
@@ -2269,6 +2293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "audio_features": q_audio_features,
         "top_users": q_top_users,
+        "heavy_users": q_heavy_users,
+        "weighted_sample": q_weighted_sample,
         "events_per_user_cap": q_events_per_user_cap,
         "normalized_documents": q_normalized_documents,
         "vocabulary": q_vocabulary,
@@ -3296,6 +3322,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id AS value, count(*) AS n FROM events "
             "WHERE user_id IS NOT NULL GROUP BY user_id "
             "ORDER BY n DESC, value LIMIT 10"
+        ),
+        # heavy_users: integer-exact threshold count*(m+1) > N with
+        # m=127 — the MG candidate pass guarantees the superset, the
+        # recount makes it exact, so the engine result IS this set
+        "heavy_users": (
+            "SELECT user_id, count(*) AS n FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY user_id "
+            "HAVING count(*)*128 > (SELECT count(user_id) FROM events)"
+        ),
+        # weighted_sample: md5_number_lower == bytes 8..16 LE of the md5
+        # digest (the engine's _md5 parity hash); the shared IEEE
+        # expression double(u64) < min(1, double(k*w)/double(W))*2^64
+        # reproduces the exact row set
+        "weighted_sample": (
+            "WITH tw AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS w "
+            "FROM documents) "
+            "SELECT doc_id, n_chars FROM documents, tw "
+            "WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL "
+            "AND CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) "
+            "< LEAST(1.0, CAST(100*n_chars AS DOUBLE)/w) "
+            "* 18446744073709551616.0"
         ),
         "events_per_user_cap": (
             "SELECT event_id, user_id FROM ("

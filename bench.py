@@ -137,6 +137,8 @@ QUERY_NAMES = [
     "media_features",
     "audio_features",
     "top_users",
+    "heavy_users",
+    "weighted_sample",
     "value_histogram",
     "best_docs_per_lang",
     "deduped_documents",

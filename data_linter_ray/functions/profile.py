@@ -183,6 +183,115 @@ def histogram(
     )
 
 
+def heavy_hitters(
+    ds: Dataset, column: str, m: int = 255
+) -> "pa.Table":
+    """EXACT frequent values above frequency share 1/(m+1) → arrow
+    table (``column``, n) ordered by n desc, value asc — precisely the
+    rows of ``GROUP BY column HAVING count(*)*(m+1) > N`` — computed
+    with ZERO shuffle (vs :func:`top_values`' value-hash exchange).
+
+    Two passes over a single pruned column:
+
+    1. per-batch exact ``value_counts`` folded through a Misra-Gries
+       summary (:class:`~data_linter_ray.state.sketches.MisraGries`) —
+       each batch contributes at most m+1 partial rows (m counters + a
+       mass row), so the driver fold is KB-scale; the MG mass argument
+       guarantees every value with count > N/(m+1) survives every
+       truncation and merge, so the summary's keys are a SUPERSET of
+       the true heavy hitters;
+    2. the <= m candidate values are broadcast (``ray.put``) and
+       exactly recounted with per-batch filtered value_counts partials
+       summed in a second tiny driver fold; the final integer filter
+       count*(m+1) > N makes the output exact.
+
+    The value domain never shuffles and never lands anywhere whole —
+    this is the heavy-hitter shape for 100-TB columns whose distinct
+    count is itself too large to exchange (vs the exact
+    ``top_values``, which shuffles one row per distinct value)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from data_linter_ray.state.sketches import MisraGries
+
+    col_ds = ds.select_columns([column])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t[column].drop_null().value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        vals, counts = vc.field("values"), vc.field("counts").cast(pa.int64())
+        cnp = counts.to_numpy(zero_copy_only=False)
+        n_batch = int(cnp.sum())
+        if len(vals) > m:
+            # MG truncation: values strictly above the (m+1)-st largest
+            # count survive with count - e (<= m rows leave the batch)
+            e = np.partition(cnp, -(m + 1))[-(m + 1)]
+            keep = cnp > e
+            vals = vals.filter(pa.array(keep))
+            cnp = cnp[keep] - e
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        # one extra all-null 'n' row carries the batch's true mass, so a
+        # batch whose counters all die in truncation still contributes N
+        return pa.table(
+            {
+                "value": pa.concat_arrays([vals, pa.array([None], vals.type)]),
+                "cnt": pa.array(np.append(cnp, n_batch), pa.int64()),
+                "kind": pa.array(["c"] * len(cnp) + ["n"], pa.string()),
+            }
+        )
+
+    mg = MisraGries(m)
+    n_total = 0
+    for b in col_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        is_c = pc.equal(b["kind"], "c")
+        cb = b.filter(is_c)
+        nb = b.filter(pc.invert(is_c))
+        n_total += int(nb["cnt"].to_numpy(zero_copy_only=False).sum())
+        if cb.num_rows:
+            mg.add_counts(
+                cb["value"].to_pandas(), cb["cnt"].to_numpy(zero_copy_only=False)
+            )
+    # mg.n double-counts nothing (add_counts sums already-truncated
+    # partials); use the true mass accumulated from the 'n' rows
+    cand = mg.candidates()
+    out_schema = pa.schema(
+        [(column, ds.schema().base_schema.field(column).type), ("n", pa.int64())]
+    )
+    if not cand or n_total == 0:
+        return out_schema.empty_table()
+    cand_ref = ray.put(pa.array(cand))
+
+    def recount(t: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref) if isinstance(cand_ref, ray.ObjectRef) else cand_ref
+        v = t[column].drop_null()
+        v = v.filter(pc.is_in(v, value_set=cs))
+        vc = v.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {"value": vc.field("values"),
+             "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    parts = (
+        col_ds.map_batches(recount, batch_format="pyarrow").to_pandas()
+    )
+    agg = parts.groupby("value", as_index=False, sort=False)["cnt"].sum()
+    agg = agg[agg["cnt"] * (m + 1) > n_total]
+    agg = agg.sort_values(["cnt", "value"], ascending=[False, True])
+    return pa.table(
+        {
+            column: pa.array(agg["value"].to_numpy(), out_schema.field(column).type),
+            "n": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def profile_dataset(
     ds: Dataset, columns: list[str] | None = None, hll_p: int = 12
 ) -> pa.Table:

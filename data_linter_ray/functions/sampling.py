@@ -173,6 +173,76 @@ def assign_split(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def weighted_fraction(
+    ds: Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    total_weight: int | None = None,
+    hash: str = "md5",
+    columns: list[str] | None = None,
+) -> Dataset:
+    """Deterministic weighted Bernoulli (Poisson) sampling: row i
+    survives iff its hash-uniform u_i < k·w_i/W, i.e. inclusion
+    probability exactly min(1, k·w_i/W) — expected sample size ≈ k with
+    probability proportional to weight (the importance-sampling
+    primitive of training-data curation: oversample long/high-quality
+    documents without a shuffle or a seeded RNG).
+
+    Two passes: an exact integer sum for W (one streaming aggregate,
+    skipped when the caller passes ``total_weight``), then a stateless
+    vectorized filter — zero shuffle, streams at any scale.
+
+    ``hash="md5"`` derives u_i from DuckDB's ``md5_number_lower`` of the
+    decimal id string (per-value C call — kept for bit-exact SQL oracle
+    parity, same dual-mode contract as the fingerprint operators);
+    ``hash="fast"`` uses the vectorized
+    :func:`~data_linter_ray.state.sketches.hash_array` production path.
+    Both compare in float64 with one shared IEEE expression —
+    ``double(u64) < min(1, double(k·w)/double(W)) · 2^64`` — so the SQL
+    side reproduces the EXACT row set in md5 mode. Null ids / weights
+    are excluded from the sample (W still sums all non-null weights)."""
+    import hashlib
+
+    from data_linter_ray.state.sketches import hash_array
+
+    cols = sorted(set([id_col, weight_col] + (columns or [])))
+    out = ds.select_columns(cols)
+    W = float(
+        total_weight
+        if total_weight is not None
+        else out.select_columns([weight_col]).sum(weight_col)
+    )
+    kk = int(k)
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(t[id_col].is_valid(), t[weight_col].is_valid())
+        )
+        if not t.num_rows:
+            return t
+        ids = t[id_col]
+        if hash == "md5":
+            u = np.fromiter(
+                (
+                    np.frombuffer(
+                        hashlib.md5(str(v).encode()).digest(), "<u8"
+                    )[1]
+                    for v in ids.to_pylist()
+                ),
+                dtype=np.uint64,
+                count=t.num_rows,
+            )
+        else:
+            u = hash_array(ids)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = np.minimum(1.0, (kk * w).astype(np.float64) / W)
+        mask = u.astype(np.float64) < p * 18446744073709551616.0
+        return t.filter(pa.array(mask))
+
+    return out.map_batches(keep, batch_format="pyarrow")
+
+
 def stratified_fraction(
     ds: Dataset,
     stratum_col: str,

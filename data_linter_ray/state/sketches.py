@@ -18,6 +18,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pandas as pd
 
 
 class TDigest:
@@ -444,3 +445,62 @@ class ReservoirSample:
         self.values = merged
         self.n = total
         return self
+
+
+class MisraGries:
+    """Misra-Gries frequent-items summary (Misra & Gries, "Finding
+    repeated elements", Sci. Comput. Program. 2(2), 1982): at most
+    ``m`` (value, count) counters over a stream of n items. Guarantee:
+    every value with true frequency > n/(m+1) is present, and each
+    kept counter undercounts its true frequency by at most the total
+    decrement D, where (m+1)*D <= n (every unit of decrement destroys
+    m+1 units of stored mass and only n mass ever enters — the bound
+    holds across ANY number of truncations and merges, which is what
+    makes the summary mergeable with unchanged error: Agarwal, Cormode,
+    Huang, Phillips, Wei & Yi, "Mergeable summaries", PODS 2012).
+
+    Merge/ingest rule (vectorized — no per-item Python): pointwise
+    counter sum, then if more than ``m`` counters remain, subtract the
+    (m+1)-st largest counter value from all and keep the strictly
+    positive ones. An exact value_counts table is itself a valid
+    summary, so per-batch ingestion is one pandas groupby fold.
+    """
+
+    def __init__(self, m: int = 255):
+        if m < 1:
+            raise ValueError("m must be >= 1")
+        self.m = int(m)
+        self.counts = pd.Series(dtype=np.int64)
+        self.n = 0  # total stream mass seen (for the n/(m+1) threshold)
+
+    def _fold(self, other: pd.Series) -> None:
+        s = (
+            other
+            if self.counts.empty
+            else self.counts.add(other, fill_value=0).astype(np.int64)
+        )
+        if len(s) > self.m:
+            # decrement by the (m+1)-st largest counter; values equal to
+            # it die, so at most m strictly-greater counters survive
+            e = np.partition(s.to_numpy(), -(self.m + 1))[-(self.m + 1)]
+            s = s[s > e] - e
+        self.counts = s
+
+    def add_counts(self, values, counts) -> None:
+        """Ingest an exact (values, counts) partial — e.g. one batch's
+        ``value_counts`` output."""
+        c = np.asarray(counts, dtype=np.int64)
+        self._fold(pd.Series(c, index=pd.Index(values)))
+        self.n += int(c.sum())
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if self.m != other.m:
+            raise ValueError("cannot merge summaries of different m")
+        self._fold(other.counts)
+        self.n += other.n
+        return self
+
+    def candidates(self) -> list:
+        """Values possibly exceeding the n/(m+1) frequency threshold —
+        a guaranteed superset of the true heavy hitters."""
+        return list(self.counts.index)

@@ -285,3 +285,51 @@ def test_reservoir_sample_uniform_and_mergeable():
     # weighted union leans toward the bigger stream
     frac_b = sum(1 for v in a.values if v >= 500) / 30
     assert frac_b > 0.5
+
+
+def test_misra_gries_guarantee_and_merge():
+    """Every value with frequency > n/(m+1) survives arbitrary batch
+    splits and merges; summary size stays <= m; undercount <= n/(m+1)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_linter_ray.state.sketches import MisraGries
+
+    rng = np.random.RandomState(5)
+    stream = rng.zipf(1.5, 50_000) % 2_000  # heavy skew + long tail
+    true = pd.Series(stream).value_counts()
+    m = 63
+    n = len(stream)
+    heavy = set(true[true > n / (m + 1)].index)
+    assert heavy  # the test data must actually contain heavy hitters
+
+    # single-shot, batched, and merged summaries all keep the guarantee
+    one = MisraGries(m)
+    vc = pd.Series(stream).value_counts()
+    one.add_counts(vc.index.to_numpy(), vc.to_numpy())
+    assert len(one.counts) <= m and heavy <= set(one.candidates())
+
+    parts = [MisraGries(m) for _ in range(7)]
+    for i, p in enumerate(parts):
+        chunk = pd.Series(stream[i::7]).value_counts()
+        p.add_counts(chunk.index.to_numpy(), chunk.to_numpy())
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(p)
+    assert acc.n == n
+    assert len(acc.counts) <= m
+    assert heavy <= set(acc.candidates())
+    # undercount bound: kept counter >= true - n/(m+1)
+    for v in acc.candidates():
+        assert acc.counts[v] >= true[v] - n / (m + 1)
+
+
+def test_misra_gries_rejects_bad_merge():
+    import pytest
+
+    from data_linter_ray.state.sketches import MisraGries
+
+    with pytest.raises(ValueError):
+        MisraGries(8).merge(MisraGries(16))
+    with pytest.raises(ValueError):
+        MisraGries(0)

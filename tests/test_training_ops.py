@@ -527,3 +527,108 @@ def test_exact_quantiles_duplicate_heavy_and_small(ray_session):
     ds2 = ray.data.from_items([{"v": 3.25}] * 100)
     got2 = exact_quantiles(ds2, "v", [0.0, 0.5, 1.0])
     assert set(got2["value"]) == {3.25}
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters + weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_groupby(ray_session):
+    """Zero-shuffle MG two-pass == the exact GROUP BY/HAVING set, on a
+    skewed stream whose per-batch distinct count forces MG truncation."""
+    import pandas as pd
+
+    from data_linter_ray.functions.profile import heavy_hitters
+
+    rng = np.random.RandomState(11)
+    vals = (rng.zipf(1.4, 40_000) % 3_000).astype(np.int64)
+    m = 31
+    ds = ray.data.from_arrow(pa.table({"k": vals})).repartition(8)
+    got = heavy_hitters(ds, "k", m=m).to_pandas()
+
+    true = pd.Series(vals).value_counts()
+    exp = true[true * (m + 1) > len(vals)]
+    exp = (
+        exp.rename_axis("k").reset_index(name="n")
+        .sort_values(["n", "k"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_heavy_hitters_empty_and_uniform(ray_session):
+    """No value above the threshold -> empty result with pinned schema."""
+    from data_linter_ray.functions.profile import heavy_hitters
+
+    uniform = np.arange(5_000, dtype=np.int64)  # every count == 1
+    ds = ray.data.from_arrow(pa.table({"k": uniform}))
+    out = heavy_hitters(ds, "k", m=15)
+    assert out.num_rows == 0
+    assert out.schema.names == ["k", "n"]
+    assert out.schema.field("k").type == pa.int64()
+
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    out2 = heavy_hitters(empty, "k", m=15)
+    assert out2.num_rows == 0 and out2.schema.names == ["k", "n"]
+
+
+def test_weighted_fraction_probability_and_determinism(ray_session):
+    """Inclusion decision == the documented IEEE expression per row;
+    both hash modes deterministic across runs; zero-weight rows never
+    sampled; weight >= W/k rows always sampled."""
+    import hashlib
+
+    from data_linter_ray.functions.sampling import weighted_fraction
+
+    n = 2_000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.ones(n, dtype=np.int64)
+    w[:5] = 10_000_000  # p caps at 1.0 -> always in
+    w[5:10] = 0  # p == 0 -> never in
+    t = pa.table({"id": ids, "wt": w})
+    ds = ray.data.from_arrow(t).repartition(4)
+    k = 50
+    got = (
+        weighted_fraction(ds, "id", "wt", k=k)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    W = float(w.sum())
+    u = np.fromiter(
+        (np.frombuffer(hashlib.md5(str(v).encode()).digest(), "<u8")[1]
+         for v in ids),
+        dtype=np.uint64, count=n,
+    )
+    p = np.minimum(1.0, (k * w).astype(np.float64) / W)
+    exp_mask = u.astype(np.float64) < p * 18446744073709551616.0
+    assert got["id"].tolist() == ids[exp_mask].tolist()
+    assert set(ids[:5]) <= set(got["id"])  # capped p=1 rows always kept
+    assert not (set(ids[5:10]) & set(got["id"]))  # zero weight never kept
+
+    again = (
+        weighted_fraction(ds, "id", "wt", k=k)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got.equals(again)
+
+    fast1 = weighted_fraction(ds, "id", "wt", k=k, hash="fast").to_pandas()
+    fast2 = weighted_fraction(ds, "id", "wt", k=k, hash="fast").to_pandas()
+    assert sorted(fast1["id"]) == sorted(fast2["id"])
+    assert set(ids[:5]) <= set(fast1["id"])
+
+
+def test_weighted_fraction_null_handling(ray_session):
+    from data_linter_ray.functions.sampling import weighted_fraction
+
+    t = pa.table(
+        {
+            "id": pa.array([1, None, 3, 4], pa.int64()),
+            "wt": pa.array([5, 5, None, 1_000_000], pa.int64()),
+        }
+    )
+    out = weighted_fraction(
+        ray.data.from_arrow(t), "id", "wt", k=10
+    ).to_pandas()
+    # null id / null weight rows are excluded; the huge-weight row's
+    # p caps at 1 so it must be present
+    assert 4 in set(out["id"]) and not ({None} & set(out["id"]))
