@@ -1103,6 +1103,19 @@ def q_heavy_users(sf_dir: str):
     return heavy_hitters(ds, "user_id", m=127)
 
 
+def q_dominant_lang(sf_dir: str):
+    """Exact per-group mode (dominant language per source, smallest-
+    value tie-break): per-batch (group, value) count combiner → one
+    group-hash exchange → per-partition argmax; one row per group
+    leaves the exchange."""
+    from data_linter_ray.functions.stats import group_mode
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    return group_mode(ds, "source", "lang")
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted Bernoulli sampling (inclusion probability
     min(1, k·n_chars/W)) — importance-weighting documents by length
@@ -2295,6 +2308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "heavy_users": q_heavy_users,
         "weighted_sample": q_weighted_sample,
+        "dominant_lang": q_dominant_lang,
         "events_per_user_cap": q_events_per_user_cap,
         "normalized_documents": q_normalized_documents,
         "vocabulary": q_vocabulary,
@@ -3343,6 +3357,14 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) "
             "< LEAST(1.0, CAST(100*n_chars AS DOUBLE)/w) "
             "* 18446744073709551616.0"
+        ),
+        "dominant_lang": (
+            "SELECT source, lang AS mode, n FROM ("
+            "SELECT source, lang, count(*) AS n, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY count(*) DESC, lang) AS rn "
+            "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL "
+            "GROUP BY source, lang) WHERE rn = 1"
         ),
         "events_per_user_cap": (
             "SELECT event_id, user_id FROM ("

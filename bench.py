@@ -139,6 +139,7 @@ QUERY_NAMES = [
     "top_users",
     "heavy_users",
     "weighted_sample",
+    "dominant_lang",
     "value_histogram",
     "best_docs_per_lang",
     "deduped_documents",

@@ -142,6 +142,73 @@ def group_count_distinct(
     )
 
 
+def group_mode(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Exact per-group mode (most frequent value, deterministic
+    smallest-value tie-break) — the dominant-category report a curation
+    pipeline runs per shard ("dominant language per source", "top event
+    per user"). Scale shape: per-batch (group, value) count combiner (a
+    hot pair costs one row per batch, never one per occurrence) keyed
+    by ``hash(group) % P`` → one deterministic
+    :func:`~data_linter_ray.exchange.keyed_scatter_gather` exchange
+    co-locating each group → per-partition exact count sum + argmax.
+    Only one row per group leaves the exchange; the full (group, value)
+    domain never lands on the driver. Null groups / values are excluded
+    (SQL semantics).
+
+    → DataFrame(group, mode, n), sorted by group; ``n`` is the mode's
+    exact count. SQL parity: ``row_number() OVER (PARTITION BY group
+    ORDER BY count(*) DESC, value) = 1``."""
+    import pyarrow.compute as pc  # noqa: F401
+    import ray  # noqa: F401  (exchange machinery)
+
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col]).drop_null()
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        h = hash_array(g[group_col].combine_chunks()) % np.uint64(P)
+        return pa.table(
+            {
+                group_col: g[group_col],
+                value_col: g[value_col],
+                "n": g["count_all"].cast(pa.int64()),
+                "_part": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def part_mode(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby([group_col, value_col], as_index=False, sort=False)[
+            "n"
+        ].sum()
+        agg = agg.sort_values(
+            [group_col, "n", value_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = agg.groupby(group_col, as_index=False, sort=False).head(1)
+        return top.rename(columns={value_col: "mode"})[
+            [group_col, "mode", "n"]
+        ]
+
+    parts = exchange_map_groups(
+        ds.select_columns([group_col, value_col]).map_batches(
+            count_partial, batch_format="pyarrow"
+        ),
+        "_part",
+        P,
+        part_mode,
+    ).to_pandas()
+    return parts.sort_values(group_col).reset_index(drop=True)
+
+
 def candidate_keys(
     ds: Dataset,
     cols: list[str],

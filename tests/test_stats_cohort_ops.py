@@ -757,3 +757,40 @@ def test_lineitem_cube_vs_duckdb(ray_session, sf_dir):
     k2n = got["l_linestatus"].isna()
     assert (~k1n & ~k2n).any() and (k1n & ~k2n).any()
     assert (~k1n & k2n).any() and (k1n & k2n).sum() == 1
+
+
+def test_group_mode_exact_with_ties(ray_session):
+    """Per-group mode == pandas argmax with smallest-value tie-break;
+    null groups/values excluded; exact across partitionings."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from data_linter_ray.functions.stats import group_mode
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 40, 5_000)
+    v = rng.randint(0, 6, 5_000)
+    t = pa.table(
+        {
+            "g": pa.array(np.append(g, [None, 7]), pa.int64()),
+            "v": pa.array(np.append(v, [3, None]), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = group_mode(ds, "g", "v")
+
+    df = pd.DataFrame({"g": g, "v": v})
+    cnt = df.groupby(["g", "v"], as_index=False).size().rename(columns={"size": "n"})
+    cnt = cnt.sort_values(["g", "n", "v"], ascending=[True, False, True])
+    exp = (
+        cnt.groupby("g", as_index=False).head(1)
+        .rename(columns={"v": "mode"})[["g", "mode", "n"]]
+        .sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # two exchange widths -> identical answer (determinism contract)
+    got2 = group_mode(ds, "g", "v", num_partitions=3)
+    pd.testing.assert_frame_equal(got, got2, check_dtype=False)
