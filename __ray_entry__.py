@@ -1116,6 +1116,39 @@ def q_dominant_lang(sf_dir: str):
     return group_mode(ds, "source", "lang")
 
 
+def q_out_of_order_events(sf_dir: str):
+    """Sequence-order validation: events whose ts regresses below the
+    per-user running max when ordered by event_id (out-of-order arrival
+    / clock skew). The corpus is ordered by construction, so a
+    deterministic 1-hour rollback is injected on event_id % 97 == 0
+    identically on both sides (the engine's standard injection
+    pattern); comparisons are selections, so timestamps stay
+    hash-exact."""
+    from data_linter_ray.functions.window import sequence_order_violations
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def skew(t: pa.Table) -> pa.Table:
+        ids = t["event_id"]
+        hit = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 97), 97)), 0
+        )
+        shifted = pc.subtract(
+            t["ts"], pa.scalar(3_600_000_000, pa.duration("us"))
+        )
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            pc.if_else(hit, shifted, t["ts"]),
+        )
+
+    return sequence_order_violations(
+        ds.map_batches(skew, batch_format="pyarrow"),
+        key="user_id", seq="event_id", ts="ts",
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted Bernoulli sampling (inclusion probability
     min(1, k·n_chars/W)) — importance-weighting documents by length
@@ -2309,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_users": q_heavy_users,
         "weighted_sample": q_weighted_sample,
         "dominant_lang": q_dominant_lang,
+        "out_of_order_events": q_out_of_order_events,
         "events_per_user_cap": q_events_per_user_cap,
         "normalized_documents": q_normalized_documents,
         "vocabulary": q_vocabulary,
@@ -3357,6 +3391,20 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) "
             "< LEAST(1.0, CAST(100*n_chars AS DOUBLE)/w) "
             "* 18446744073709551616.0"
+        ),
+        # out_of_order_events: prev-max is a SELECTION over the skewed
+        # ts lane, so values hash-match bit-for-bit
+        "out_of_order_events": (
+            "WITH skewed AS (SELECT user_id, event_id, "
+            "CASE WHEN event_id % 97 = 0 THEN ts - INTERVAL 1 HOUR "
+            "ELSE ts END AS ts FROM events "
+            "WHERE user_id IS NOT NULL AND event_id IS NOT NULL "
+            "AND ts IS NOT NULL) "
+            "SELECT user_id, event_id, ts, prev_max_ts FROM ("
+            "SELECT user_id, event_id, ts, max(ts) OVER ("
+            "PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            ") AS prev_max_ts FROM skewed) WHERE ts < prev_max_ts"
         ),
         "dominant_lang": (
             "SELECT source, lang AS mode, n FROM ("

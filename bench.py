@@ -140,6 +140,7 @@ QUERY_NAMES = [
     "heavy_users",
     "weighted_sample",
     "dominant_lang",
+    "out_of_order_events",
     "value_histogram",
     "best_docs_per_lang",
     "deduped_documents",

@@ -282,3 +282,79 @@ def transition_counts(
 
     parts = exchange_map_groups(_hash_partition(ds, key, cols, P), "_part", P, pairs)
     return parts.groupby(["from_type", "to_type"]).aggregate(Sum("n", alias_name="n"))
+
+
+def sequence_order_violations(
+    ds: Dataset,
+    key: str,
+    seq: str,
+    ts: str,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Rows whose ``ts`` REGRESSES below the per-key running maximum
+    when ordered by ``seq`` — the out-of-order-arrival / clock-skew
+    validation a streaming ingest runs per entity ("this event carries
+    a later sequence number but an earlier timestamp than something we
+    already saw from this user").
+
+    → (key, seq, ts, prev_max_ts) rows, one per violation. Comparison
+    and prev_max are SELECTIONS (never arithmetic) so timestamps stay
+    bit-exact vs the SQL oracle: ``ts < max(ts) OVER (PARTITION BY key
+    ORDER BY seq ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    Scale shape: the module's standard ONE coarse key-hash exchange;
+    inside each partition one mergesort by (key, seq) + a vectorized
+    grouped running max (``np.maximum.accumulate`` segmented by key
+    starts). Null key/seq/ts rows are excluded (documented, mirrored by
+    the oracle's WHERE). ``seq`` must be unique per key for a total
+    order (ties would make "previous" ambiguous in both engines)."""
+    P = num_partitions or exchange_width(ds)
+    cols = [key, seq, ts]
+    types = {c: ds.schema().base_schema.field(c).type for c in cols}
+
+    def find(g: pd.DataFrame) -> pa.Table:
+        g = g.dropna(subset=cols)
+        g = g.sort_values([key, seq], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        out_schema = pa.schema(
+            [(key, types[key]), (seq, types[seq]), (ts, types[ts]),
+             ("prev_max_ts", types[ts])]
+        )
+        if not n:
+            return out_schema.empty_table()
+        k = g[key].to_numpy()
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        t = g[ts].to_numpy()
+        # int64 view of the timestamp lane (order-isomorphic, so the
+        # running max stays a pure selection — no float round-trip)
+        ti = t.astype("datetime64[us]").astype(np.int64) if t.dtype.kind == "M" \
+            else t.astype(np.int64)
+        # per-key running max of the PREFIX (excluding the current row):
+        # grouped cummax shifted by one; each key's first row can never
+        # violate and is masked by ~new
+        seg_id = np.cumsum(new) - 1
+        cummax = pd.Series(ti).groupby(seg_id).cummax().to_numpy()
+        prev_max = np.empty(n, dtype=np.int64)
+        prev_max[0] = np.iinfo(np.int64).min
+        prev_max[1:] = cummax[:-1]
+        viol = (~new) & (ti < prev_max)
+        sel = g[viol]
+        pm = prev_max[viol]
+        if types[ts] == pa.timestamp("us"):
+            pm_arr = pa.array(pm.astype("datetime64[us]"))
+        else:
+            pm_arr = pa.array(pm, types[ts])
+        return pa.table(
+            {
+                key: pa.array(sel[key].to_numpy(), types[key]),
+                seq: pa.array(sel[seq].to_numpy(), types[seq]),
+                ts: pa.Array.from_pandas(sel[ts], type=types[ts]),
+                "prev_max_ts": pm_arr,
+            }
+        )
+
+    return exchange_map_groups(
+        _hash_partition(ds, key, cols, P), "_part", P, find
+    )

@@ -608,3 +608,54 @@ def test_kmeans_cluster_validity_and_determinism(ray_session, sf_dir):
 
 def test_value_percent_rank_vs_duckdb(ray_session, sf_dir):
     _oracle_check("value_percent_rank", sf_dir)
+
+
+def test_sequence_order_violations_exact(ray_session):
+    """Rows flagged iff ts < per-key running max in seq order; first
+    row of a key never flags; equal ts never flags (strict <); exact
+    across exchange widths."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from data_linter_ray.functions.window import sequence_order_violations
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mk = lambda s: base + np.timedelta64(s, "s")
+    rows = [
+        # key 1: monotone -> no violations
+        (1, 1, mk(10)), (1, 2, mk(20)), (1, 3, mk(30)),
+        # key 2: regression at seq 3 (ts 15 < max 25) and seq 5
+        (2, 1, mk(5)), (2, 2, mk(25)), (2, 3, mk(15)),
+        (2, 4, mk(40)), (2, 5, mk(39)),
+        # key 3: equal ts is NOT a violation (strict <)
+        (3, 1, mk(7)), (3, 2, mk(7)),
+        # key 4: first row huge ts, later keys' firsts unaffected
+        (4, 1, mk(1000)), (4, 2, mk(999)),
+        # nulls excluded
+        (None, 9, mk(1)), (5, None, mk(1)), (5, 9, None),
+    ]
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "s": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = (
+        sequence_order_violations(ds, "k", "s", "ts")
+        .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    )
+    assert list(zip(got["k"], got["s"])) == [(2, 3), (2, 5), (4, 2)]
+    assert got.columns.tolist() == ["k", "s", "ts", "prev_max_ts"]
+    # prev_max is the true running max, not just the previous row
+    assert got.loc[0, "prev_max_ts"] == pd.Timestamp(mk(25))
+    assert got.loc[1, "prev_max_ts"] == pd.Timestamp(mk(40))
+
+    got2 = (
+        sequence_order_violations(ds, "k", "s", "ts", num_partitions=2)
+        .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
