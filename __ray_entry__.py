@@ -1116,6 +1116,20 @@ def q_dominant_lang(sf_dir: str):
     return group_mode(ds, "source", "lang")
 
 
+def q_source_lang_entropy(sf_dir: str):
+    """Mixture diversity per source: Shannon entropy (nats) of each
+    source's language distribution — (group, value) count combiner →
+    group-hash exchange → per-partition entropy fold; glibc ln == SQL
+    ln, final sum rounded to 9 dp on both sides (SQL SUM order is
+    unspecified; terms differ by ulps at most)."""
+    from data_linter_ray.functions.stats import group_entropy
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    return group_entropy(ds, "source", "lang")
+
+
 def q_out_of_order_events(sf_dir: str):
     """Sequence-order validation: events whose ts regresses below the
     per-user running max when ordered by event_id (out-of-order arrival
@@ -2343,6 +2357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "dominant_lang": q_dominant_lang,
         "out_of_order_events": q_out_of_order_events,
+        "source_lang_entropy": q_source_lang_entropy,
         "events_per_user_cap": q_events_per_user_cap,
         "normalized_documents": q_normalized_documents,
         "vocabulary": q_vocabulary,
@@ -3391,6 +3406,22 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) "
             "< LEAST(1.0, CAST(100*n_chars AS DOUBLE)/w) "
             "* 18446744073709551616.0"
+        ),
+        # source_lang_entropy: p = n/tot is one IEEE division, LN is
+        # libm on both engines; ROUND(...,9)+0 mirrors the engine's
+        # round-both-sides contract and normalizes -0.0
+        "source_lang_entropy": (
+            "WITH c AS (SELECT source, lang, count(*) AS n FROM documents "
+            "WHERE source IS NOT NULL AND lang IS NOT NULL "
+            "GROUP BY source, lang), "
+            "t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot, "
+            "count(*) AS nd FROM c GROUP BY source) "
+            "SELECT c.source, t.tot AS n, t.nd AS n_distinct, "
+            "ROUND(SUM(-(CAST(c.n AS DOUBLE)/CAST(t.tot AS DOUBLE)) "
+            "* LN(CAST(c.n AS DOUBLE)/CAST(t.tot AS DOUBLE))), 9) + 0 "
+            "AS entropy "
+            "FROM c JOIN t USING (source) "
+            "GROUP BY c.source, t.tot, t.nd"
         ),
         # out_of_order_events: prev-max is a SELECTION over the skewed
         # ts lane, so values hash-match bit-for-bit

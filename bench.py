@@ -141,6 +141,7 @@ QUERY_NAMES = [
     "weighted_sample",
     "dominant_lang",
     "out_of_order_events",
+    "source_lang_entropy",
     "value_histogram",
     "best_docs_per_lang",
     "deduped_documents",

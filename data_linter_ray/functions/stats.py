@@ -209,6 +209,81 @@ def group_mode(
     return parts.sort_values(group_col).reset_index(drop=True)
 
 
+def group_entropy(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    round_to: int = 9,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Shannon entropy (nats) of the ``value_col`` distribution within
+    each group — the mixture-diversity report of a curation pipeline
+    ("how language-diverse is each source?"): 0 for a single-value
+    group, ln(k) for a uniform k-way mix.
+
+    Scale shape: the :func:`group_mode` combiner — per-batch (group,
+    value) counts, one group-hash exchange, per-partition exact count
+    sum — then the entropy fold Σ -p·ln(p) over each group's (small)
+    value set. Float contract: p = n/n_tot is one IEEE division, ln is
+    glibc (bit-identical to DuckDB's), and BOTH sides round the final
+    sum to ``round_to`` decimals because SQL SUM order is unspecified —
+    the documented round-both-sides trick (see the bench notes); terms
+    differ by at most a few ulps, so 9 decimals is conservative.
+
+    → DataFrame(group, n, n_distinct, entropy) sorted by group; ``n``
+    is the group's row count. Null groups / values are excluded."""
+    import ray  # noqa: F401  (exchange machinery)
+
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col]).drop_null()
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        h = hash_array(g[group_col].combine_chunks()) % np.uint64(P)
+        return pa.table(
+            {
+                group_col: g[group_col],
+                value_col: g[value_col],
+                "n": g["count_all"].cast(pa.int64()),
+                "_part": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def part_entropy(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby([group_col, value_col], as_index=False, sort=False)[
+            "n"
+        ].sum()
+        # deterministic fold order (by value) — rounding makes any
+        # order agree, this just keeps reruns bit-identical
+        agg = agg.sort_values([group_col, value_col], kind="mergesort")
+        out = []
+        for gval, sub in agg.groupby(group_col, sort=False):
+            n = sub["n"].to_numpy(np.int64)
+            tot = int(n.sum())
+            p = n / float(tot)
+            ent = float(np.add.reduce(-p * np.log(p)))
+            # + 0.0 normalizes the single-value group's -0.0 (p=1 term
+            # is (-1)·ln(1) = -0.0) — mirrored by the oracle's "+ 0"
+            out.append((gval, tot, len(n), round(ent, round_to) + 0.0))
+        return pd.DataFrame(
+            out, columns=[group_col, "n", "n_distinct", "entropy"]
+        )
+
+    parts = exchange_map_groups(
+        ds.select_columns([group_col, value_col]).map_batches(
+            count_partial, batch_format="pyarrow"
+        ),
+        "_part",
+        P,
+        part_entropy,
+    ).to_pandas()
+    return parts.sort_values(group_col).reset_index(drop=True)
+
+
 def candidate_keys(
     ds: Dataset,
     cols: list[str],

@@ -794,3 +794,41 @@ def test_group_mode_exact_with_ties(ray_session):
     # two exchange widths -> identical answer (determinism contract)
     got2 = group_mode(ds, "g", "v", num_partitions=3)
     pd.testing.assert_frame_equal(got, got2, check_dtype=False)
+
+
+def test_group_entropy_exact(ray_session):
+    """Entropy matches the closed form; single-value group yields
+    exactly +0.0 (no -0.0 leaking into hash compares); uniform 4-way
+    group yields ln(4)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from data_linter_ray.functions.stats import group_entropy
+
+    rows = (
+        [("a", "x")] * 10                       # single value -> 0.0
+        + [("b", v) for v in "pqrs" * 25]       # uniform 4-way -> ln 4
+        + [("c", "m")] * 3 + [("c", "n")] * 1   # 3/4, 1/4 mix
+        + [(None, "x"), ("d", None)]            # nulls excluded
+    )
+    t = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    got = group_entropy(ray.data.from_arrow(t).repartition(3), "g", "v")
+    assert got["g"].tolist() == ["a", "b", "c"]
+    assert got["n"].tolist() == [10, 100, 4]
+    assert got["n_distinct"].tolist() == [1, 4, 2]
+    assert got.loc[0, "entropy"] == 0.0
+    assert math.copysign(1.0, got.loc[0, "entropy"]) == 1.0  # +0.0, not -0.0
+    assert got.loc[1, "entropy"] == round(math.log(4), 9)
+    exp_c = round(-(0.75 * math.log(0.75) + 0.25 * math.log(0.25)), 9)
+    assert got.loc[2, "entropy"] == exp_c
+    # 'd' group had only a null value -> excluded entirely
+    assert "d" not in set(got["g"])
