@@ -217,3 +217,86 @@ def test_keyed_rolling_matches_bruteforce(ray_session, rows):
     for r in out.itertuples():
         s, n, mx = exp[(r.k, r.i)]
         assert r.roll_sum_cents == s and r.roll_n == n and r.roll_max == mx
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    st.integers(1, 12),
+    st.integers(1, 6),
+)
+def test_misra_gries_superset_property(stream, m, n_chunks):
+    """For ANY stream, any capacity, any chunking: the merged summary
+    contains every value with frequency > n/(m+1), stays <= m counters,
+    and never overcounts."""
+    import pandas as pd
+
+    from data_linter_ray.state.sketches import MisraGries
+
+    s = pd.Series(stream)
+    true = s.value_counts()
+    n = len(stream)
+
+    parts = [MisraGries(m) for _ in range(n_chunks)]
+    for i, p in enumerate(parts):
+        chunk = s[i::n_chunks]
+        if len(chunk):
+            vc = chunk.value_counts()
+            p.add_counts(vc.index.to_numpy(), vc.to_numpy())
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(p)
+
+    assert acc.n == n
+    assert len(acc.counts) <= m
+    heavy = set(true[true * (m + 1) > n].index)
+    assert heavy <= set(acc.candidates())
+    for v in acc.candidates():
+        assert 0 < acc.counts[v] <= true[v]  # never overcounts
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**40), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 20),
+)
+def test_weighted_fraction_decision_is_row_local(rows, k):
+    """The md5-mode inclusion decision for each row depends only on
+    (id, weight, W, k) via the documented IEEE expression — recomputing
+    it row-by-row in pure Python reproduces the kernel's mask."""
+    import hashlib
+
+    import pandas as pd
+
+    ids = np.array([r[0] for r in rows], np.int64)
+    w = np.array([r[1] for r in rows], np.int64)
+    W = float(w.sum())
+    if W == 0.0:
+        return  # all-zero weights: nothing can be sampled
+
+    # kernel-side mask (same code path as functions/sampling.keep)
+    u = np.fromiter(
+        (np.frombuffer(hashlib.md5(str(v).encode()).digest(), "<u8")[1]
+         for v in ids),
+        dtype=np.uint64, count=len(ids),
+    )
+    p = np.minimum(1.0, (k * w).astype(np.float64) / W)
+    mask = u.astype(np.float64) < p * 18446744073709551616.0
+
+    for i in range(len(rows)):
+        ui = float(
+            np.frombuffer(
+                hashlib.md5(str(int(ids[i])).encode()).digest(), "<u8"
+            )[1]
+        )
+        pi = min(1.0, float(np.float64(int(k) * int(w[i]))) / W)
+        assert bool(mask[i]) == (ui < pi * 18446744073709551616.0)
+        if w[i] == 0:
+            assert not mask[i]
+        if k * w[i] >= W:
+            assert mask[i]  # p caps at 1.0 -> u64-as-double < 2^64 always
