@@ -1116,6 +1116,17 @@ def q_dominant_lang(sf_dir: str):
     return group_mode(ds, "source", "lang")
 
 
+def q_collocations(sf_dir: str):
+    """Bigram collocations with PMI over exact corpus counts:
+    vocabulary-bounded unigram broadcast + one bigram-hash exchange;
+    ln of a single double ratio in SQL operand order, rounded 9 dp
+    both sides."""
+    from data_linter_ray.functions.text import bigram_collocations
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_collocations(ds, min_count=40)
+
+
 def q_source_lang_entropy(sf_dir: str):
     """Mixture diversity per source: Shannon entropy (nats) of each
     source's language distribution — (group, value) count combiner →
@@ -2358,6 +2369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_lang": q_dominant_lang,
         "out_of_order_events": q_out_of_order_events,
         "source_lang_entropy": q_source_lang_entropy,
+        "collocations": q_collocations,
         "events_per_user_cap": q_events_per_user_cap,
         "normalized_documents": q_normalized_documents,
         "vocabulary": q_vocabulary,
@@ -3406,6 +3418,27 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) "
             "< LEAST(1.0, CAST(100*n_chars AS DOUBLE)/w) "
             "* 18446744073709551616.0"
+        ),
+        # collocations: bigrams over the FILTERED token list (empties
+        # dropped before pairing) == list_filter -> list_transform;
+        # PMI is one double ratio in matching operand order -> LN ->
+        # ROUND(...,9)+0 both sides
+        "collocations": (
+            "WITH toks AS (SELECT list_filter(regexp_split_to_array("
+            r"lower(trim(text)), '\W+'), t -> t <> '') AS l "
+            "FROM documents), "
+            "bg AS (SELECT unnest(list_transform(range(1, len(l)), "
+            "i -> [l[i], l[i+1]])) AS p FROM toks WHERE len(l) >= 2), "
+            "bc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS n "
+            "FROM bg GROUP BY p[1], p[2]), "
+            "uni AS (SELECT unnest(l) AS w FROM toks), "
+            "uc AS (SELECT w, count(*) AS nw FROM uni GROUP BY w), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nb FROM bc) "
+            "SELECT w1, w2, n, ROUND(LN(CAST(n AS DOUBLE)"
+            "*CAST(nb AS DOUBLE)/(CAST(a.nw AS DOUBLE)"
+            "*CAST(b.nw AS DOUBLE))), 9) + 0 AS pmi "
+            "FROM bc, tot JOIN uc a ON w1 = a.w JOIN uc b ON w2 = b.w "
+            "WHERE n >= 40"
         ),
         # source_lang_entropy: p = n/tot is one IEEE division, LN is
         # libm on both engines; ROUND(...,9)+0 mirrors the engine's

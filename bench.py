@@ -142,6 +142,7 @@ QUERY_NAMES = [
     "dominant_lang",
     "out_of_order_events",
     "source_lang_entropy",
+    "collocations",
     "value_histogram",
     "best_docs_per_lang",
     "deduped_documents",

@@ -859,3 +859,161 @@ def gopher_flags(
     return ds.select_columns(read_cols).map_batches(
         flags, batch_format="pyarrow"
     )
+
+
+def bigram_collocations(
+    ds,
+    text_col: str = "text",
+    min_count: int = 2,
+    round_to: int = 9,
+    num_partitions: int | None = None,
+    vocab_limit: int = 5_000_000,
+):
+    """Consecutive-token bigram collocations with pointwise mutual
+    information: → Dataset (w1, w2, n, pmi) for bigrams with exact
+    count ≥ ``min_count``; PMI = ln(n·N / (n_w1·n_w2)) over exact
+    corpus counts (N = total bigrams). The collocation report of a
+    corpus-curation pipeline (boilerplate phrases, tokenizer-merge
+    candidates).
+
+    Tokenization is the engine's standard (lowercase, ``\\W+`` split,
+    empties dropped BEFORE pairing — so adjacency is over the filtered
+    token list, exactly the SQL ``list_filter`` → ``list_transform``
+    composition).
+
+    Scale shape: pass A folds per-batch unigram counts + bigram totals
+    on the driver — VOCABULARY-bounded, the same documented broadcast
+    contract as tfidf's df table (``vocab_limit`` guards the bound:
+    exceeding it raises rather than silently ballooning the driver);
+    pass B is a per-batch (w1, w2) count combiner (a hot bigram costs
+    one row per batch, never one per occurrence) → one bigram-hash
+    :func:`~data_linter_ray.exchange.keyed_scatter_gather` exchange →
+    exact sums → vectorized PMI against the ``ray.put`` unigram table.
+    Float contract: one double ratio ``n·N/(n_a·n_b)`` (SQL operand
+    order) → glibc ln → round to ``round_to`` on both sides."""
+    import pandas as pd
+    import ray
+
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+
+    def _tokens(t: pa.Table):
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+        return flat.filter(pa.array(keep)), parents[keep]
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, parents = _tokens(t)
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        n_pairs = (
+            int((parents[1:] == parents[:-1]).sum()) if len(parents) else 0
+        )
+        vals = vc.field("values").combine_chunks() if isinstance(
+            vc.field("values"), pa.ChunkedArray
+        ) else vc.field("values")
+        return pa.table(
+            {
+                "w": pa.concat_arrays([vals, pa.array([None], pa.string())]),
+                "n": pa.array(
+                    np.append(
+                        vc.field("counts").cast(pa.int64()).to_numpy(
+                            zero_copy_only=False
+                        ),
+                        n_pairs,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    uni: dict = {}
+    n_total = 0
+    for b in (
+        ds.select_columns([text_col])
+        .map_batches(uni_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        ws = b["w"].to_pylist()
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        for w, n in zip(ws, ns):
+            if w is None:
+                n_total += int(n)
+            else:
+                uni[w] = uni.get(w, 0) + int(n)
+        if len(uni) > vocab_limit:
+            raise ValueError(
+                f"unigram vocabulary exceeds vocab_limit={vocab_limit}; "
+                "the driver-fold broadcast contract does not hold"
+            )
+    if n_total == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("w1", pa.string()), ("w2", pa.string()),
+                 ("n", pa.int64()), ("pmi", pa.float64())]
+            ).empty_table()
+        )
+    uni_ref = ray.put(uni)
+    NB = float(n_total)
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        flat, parents = _tokens(t)
+        if len(parents) < 2:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()), "_part": pa.array([], pa.int64())}
+            )
+        idx = np.flatnonzero(parents[1:] == parents[:-1])
+        w1 = flat.take(pa.array(idx))
+        w2 = flat.take(pa.array(idx + 1))
+        df = pd.DataFrame({"w1": w1.to_pandas(), "w2": w2.to_pandas()})
+        cnt = df.groupby(["w1", "w2"], as_index=False, sort=False).size()
+        key = cnt["w1"] + "\x1f" + cnt["w2"]
+        h = hash_array(pa.array(key)) % np.uint64(P)
+        return pa.table(
+            {
+                "w1": pa.array(cnt["w1"], pa.string()),
+                "w2": pa.array(cnt["w2"], pa.string()),
+                "n": pa.array(cnt["size"].to_numpy(np.int64)),
+                "_part": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def reduce_pmi(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["w1", "w2"], as_index=False, sort=False)["n"].sum()
+        agg = agg[agg["n"] >= min_count]
+        if not len(agg):
+            # typed Arrow empty (a str-dtype pandas empty maps to Arrow
+            # null and poisons the dataset schema)
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "pmi": pa.array([], pa.float64())}
+            )
+        u = ray.get(uni_ref) if isinstance(uni_ref, ray.ObjectRef) else uni_ref
+        na = agg["w1"].map(u).to_numpy(np.float64)
+        nb = agg["w2"].map(u).to_numpy(np.float64)
+        n = agg["n"].to_numpy(np.int64)
+        ratio = (n.astype(np.float64) * NB) / (na * nb)
+        agg["pmi"] = np.round(np.log(ratio), round_to) + 0.0
+        return agg[["w1", "w2", "n", "pmi"]]
+
+    return exchange_map_groups(
+        ds.select_columns([text_col]).map_batches(
+            bigram_partial, batch_format="pyarrow"
+        ),
+        "_part",
+        P,
+        reduce_pmi,
+    )

@@ -632,3 +632,63 @@ def test_weighted_fraction_null_handling(ray_session):
     # null id / null weight rows are excluded; the huge-weight row's
     # p caps at 1 so it must be present
     assert 4 in set(out["id"]) and not ({None} & set(out["id"]))
+
+
+def test_bigram_collocations_exact(ray_session):
+    """Counts and PMI match a pure-Python reference; empty tokens drop
+    BEFORE pairing; min_count filters; cross-document pairs never
+    form."""
+    import math
+
+    import pandas as pd
+
+    from data_linter_ray.functions.text import bigram_collocations
+
+    texts = [
+        "red fox! red fox. blue fox",   # punctuation splits but pairs remain
+        "red  fox",                     # double space -> empty token dropped
+        "blue",                         # single token -> no bigram
+        "",                             # empty doc
+        "fox red fox",
+    ]
+    ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(3)
+    got = (
+        bigram_collocations(ds, min_count=2)
+        .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True)
+    )
+
+    # reference: tokenize per doc, pair consecutive, count
+    import re
+    uni, bi, nb = {}, {}, 0
+    for tx in texts:
+        toks = [t for t in re.split(r"\W+", tx.lower().strip()) if t]
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            nb += 1
+    exp_rows = []
+    for (a, b), n in sorted(bi.items()):
+        if n >= 2:
+            pmi = round(math.log(n * float(nb) / (uni[a] * uni[b])), 9) + 0.0
+            exp_rows.append((a, b, n, pmi))
+    exp = pd.DataFrame(exp_rows, columns=["w1", "w2", "n", "pmi"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert ("red", "fox") in {(r.w1, r.w2) for r in got.itertuples()}
+
+
+def test_bigram_collocations_empty_and_vocab_guard(ray_session):
+    import pytest
+
+    from data_linter_ray.functions.text import bigram_collocations
+
+    empty = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = bigram_collocations(empty)
+    # Ray's to_pandas drops columns on an empty dataset; the Dataset
+    # schema is the contract
+    assert out.count() == 0
+    assert out.schema().names == ["w1", "w2", "n", "pmi"]
+
+    ds = ray.data.from_arrow(pa.table({"text": ["a b c d e f g h"]}))
+    with pytest.raises(ValueError):
+        bigram_collocations(ds, vocab_limit=3)
