@@ -1116,6 +1116,20 @@ def q_dominant_lang(sf_dir: str):
     return group_mode(ds, "source", "lang")
 
 
+def q_compacted_events(sf_dir: str):
+    """Run-length compaction of repeated per-user states (retried
+    sends / unchanged snapshots): drop events whose event_type equals
+    the previous event's (per user, event_id order); null-safe equality
+    == SQL IS DISTINCT FROM; selection-only, hash-exact."""
+    from data_linter_ray.functions.window import collapse_repeats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type"],
+    )
+    return collapse_repeats(ds, "user_id", "event_id", ["event_type"])
+
+
 def q_collocations(sf_dir: str):
     """Bigram collocations with PMI over exact corpus counts:
     vocabulary-bounded unigram broadcast + one bigram-hash exchange;
@@ -2370,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_of_order_events": q_out_of_order_events,
         "source_lang_entropy": q_source_lang_entropy,
         "collocations": q_collocations,
+        "compacted_events": q_compacted_events,
         "events_per_user_cap": q_events_per_user_cap,
         "normalized_documents": q_normalized_documents,
         "vocabulary": q_vocabulary,
@@ -3418,6 +3433,17 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) "
             "< LEAST(1.0, CAST(100*n_chars AS DOUBLE)/w) "
             "* 18446744073709551616.0"
+        ),
+        # compacted_events: first row per key OR value IS DISTINCT FROM
+        # the lag — exactly the engine's null-safe shifted compare
+        "compacted_events": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "SELECT user_id, event_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id) "
+            "AS rn, lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY event_id) AS pv FROM events "
+            "WHERE user_id IS NOT NULL AND event_id IS NOT NULL) "
+            "WHERE rn = 1 OR event_type IS DISTINCT FROM pv"
         ),
         # collocations: bigrams over the FILTERED token list (empties
         # dropped before pairing) == list_filter -> list_transform;

@@ -143,6 +143,7 @@ QUERY_NAMES = [
     "out_of_order_events",
     "source_lang_entropy",
     "collocations",
+    "compacted_events",
     "value_histogram",
     "best_docs_per_lang",
     "deduped_documents",

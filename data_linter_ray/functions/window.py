@@ -358,3 +358,55 @@ def sequence_order_violations(
     return exchange_map_groups(
         _hash_partition(ds, key, cols, P), "_part", P, find
     )
+
+
+def collapse_repeats(
+    ds: Dataset,
+    key: str,
+    seq: str,
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Drop rows whose ``value_cols`` ALL equal the previous row's
+    (same key, ``seq`` order) — run-length compaction of repeated
+    states: retried event sends, unchanged CDC snapshots, duplicate
+    sensor readings. Each key's first row always survives.
+
+    Equality is null-safe (null == null collapses), mirroring SQL's
+    ``IS NOT DISTINCT FROM``; the oracle shape is ``rn = 1 OR (v IS
+    DISTINCT FROM lag(v) OVER (...))`` per value column. Output columns
+    = (key, seq, *value_cols); selection-only, so every dtype stays
+    hash-exact.
+
+    Scale shape: the module's ONE coarse key-hash exchange; inside each
+    partition a mergesort by (key, seq) + vectorized shifted compare —
+    no per-row Python, no driver materialization."""
+    P = num_partitions or exchange_width(ds)
+    cols = [key, seq] + list(value_cols)
+    types = {c: ds.schema().base_schema.field(c).type for c in cols}
+
+    def compact(g: pd.DataFrame) -> pa.Table:
+        g = g.dropna(subset=[key, seq])
+        g = g.sort_values([key, seq], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        out_schema = pa.schema([(c, types[c]) for c in cols])
+        if not n:
+            return out_schema.empty_table()
+        k = g[key].to_numpy()
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        changed = new.copy()
+        for c in value_cols:
+            v = g[c]
+            prev = v.shift(1)
+            same = (v == prev) | (v.isna() & prev.isna())
+            changed |= ~same.to_numpy()
+        sel = g[changed]
+        return pa.table(
+            {c: pa.Array.from_pandas(sel[c], type=types[c]) for c in cols}
+        )
+
+    return exchange_map_groups(
+        _hash_partition(ds, key, cols, P), "_part", P, compact
+    )

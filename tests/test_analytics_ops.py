@@ -659,3 +659,41 @@ def test_sequence_order_violations_exact(ray_session):
         .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_collapse_repeats_exact(ray_session):
+    """Consecutive equal values collapse (null==null included), any
+    change survives, first-of-key always survives; exact across
+    widths."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from data_linter_ray.functions.window import collapse_repeats
+
+    rows = [
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+        (2, 1, None), (2, 2, None), (2, 3, "x"),   # null run collapses
+        (3, 1, "z"),                                # single row survives
+        (None, 1, "q"), (4, None, "q"),             # null key/seq dropped
+    ]
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "s": pa.array([r[1] for r in rows], pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = (
+        collapse_repeats(ds, "k", "s", ["v"])
+        .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    )
+    assert list(zip(got["k"], got["s"])) == [
+        (1, 1), (1, 3), (1, 5), (2, 1), (2, 3), (3, 1)
+    ]
+    got2 = (
+        collapse_repeats(ds, "k", "s", ["v"], num_partitions=2)
+        .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
