@@ -1116,6 +1116,19 @@ def q_dominant_lang(sf_dir: str):
     return group_mode(ds, "source", "lang")
 
 
+def q_length_quartiles(sf_dir: str):
+    """Equi-depth binning: each document's length quartile from exact
+    quantile_disc boundaries (sort-free scan) + one stateless integer-
+    compare projection — the stratification a mixture sampler feeds
+    on."""
+    from data_linter_ray.functions.quantiles import quantile_bucketize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return quantile_bucketize(ds, "n_chars", keep_cols=["doc_id"])
+
+
 def q_compacted_events(sf_dir: str):
     """Run-length compaction of repeated per-user states (retried
     sends / unchanged snapshots): drop events whose event_type equals
@@ -2385,6 +2398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": q_source_lang_entropy,
         "collocations": q_collocations,
         "compacted_events": q_compacted_events,
+        "length_quartiles": q_length_quartiles,
         "events_per_user_cap": q_events_per_user_cap,
         "normalized_documents": q_normalized_documents,
         "vocabulary": q_vocabulary,
@@ -3433,6 +3447,19 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) "
             "< LEAST(1.0, CAST(100*n_chars AS DOUBLE)/w) "
             "* 18446744073709551616.0"
+        ),
+        # length_quartiles: integer compares against exact quantile_disc
+        # boundaries — engine exact_quantiles is quantile_disc-parity
+        # (proven by value_quantiles), so buckets are hash-exact
+        "length_quartiles": (
+            "WITH q AS (SELECT quantile_disc(n_chars, 0.25) AS q1, "
+            "quantile_disc(n_chars, 0.50) AS q2, "
+            "quantile_disc(n_chars, 0.75) AS q3 FROM documents "
+            "WHERE n_chars IS NOT NULL) "
+            "SELECT doc_id, n_chars, 1 + CAST(n_chars > q1 AS INT) "
+            "+ CAST(n_chars > q2 AS INT) + CAST(n_chars > q3 AS INT) "
+            "AS bucket FROM documents, q "
+            "WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL"
         ),
         # compacted_events: first row per key OR value IS DISTINCT FROM
         # the lag — exactly the engine's null-safe shifted compare

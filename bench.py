@@ -144,6 +144,7 @@ QUERY_NAMES = [
     "source_lang_entropy",
     "collocations",
     "compacted_events",
+    "length_quartiles",
     "value_histogram",
     "best_docs_per_lang",
     "deduped_documents",

@@ -599,3 +599,41 @@ def winsorize(
         return t.append_column(out, pc.cast(c, pa.float64()))
 
     return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def quantile_bucketize(
+    ds: Dataset,
+    value_col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    keep_cols: list[str] | None = None,
+    out_col: str = "bucket",
+) -> Dataset:
+    """Equi-depth binning: append the 1-based quantile bucket of
+    ``value_col`` (len(qs)+1 buckets split at the exact
+    ``quantile_disc`` boundaries) — the length-quartile stratification
+    a curation pipeline samples against.
+
+    Two stages: the sort-free :func:`exact_quantiles` scan resolves the
+    boundaries (a handful of scalars — broadcast by closure), then one
+    stateless vectorized projection assigns
+    ``bucket = 1 + Σ (value > boundary_i)`` — integer comparisons, so
+    the SQL mirror (scalar quantile subquery + summed casts) is
+    hash-exact. Null values / null ``keep_cols[0]`` ids are excluded.
+    Streams at any scale; no shuffle beyond the quantile scan's
+    aggregates."""
+    bounds = exact_quantiles(ds, value_col, list(qs))["value"].tolist()
+    cols = sorted(set([value_col] + (keep_cols or [])))
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        for c in cols:
+            t = t.filter(t[c].is_valid())
+        if not t.num_rows:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        b = np.ones(len(v), dtype=np.int64)
+        for q in bounds:
+            b += (v > q).astype(np.int64)
+        return t.append_column(out_col, pa.array(b))
+
+    return ds.select_columns(cols).map_batches(assign, batch_format="pyarrow")

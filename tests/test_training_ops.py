@@ -692,3 +692,41 @@ def test_bigram_collocations_empty_and_vocab_guard(ray_session):
     ds = ray.data.from_arrow(pa.table({"text": ["a b c d e f g h"]}))
     with pytest.raises(ValueError):
         bigram_collocations(ds, vocab_limit=3)
+
+
+def test_quantile_bucketize_exact(ray_session):
+    """Buckets equal 1 + #(boundaries strictly below value) with
+    quantile_disc boundaries; equal-depth on a permutation of 1..100;
+    nulls excluded."""
+    import pandas as pd
+
+    from data_linter_ray.functions.quantiles import quantile_bucketize
+
+    v = np.arange(1, 101, dtype=np.int64)
+    rng = np.random.RandomState(4)
+    rng.shuffle(v)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(100), pa.int64()),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = (
+        quantile_bucketize(ds, "v", keep_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # quantile_disc on 1..100: k = max(ceil(100*q),1) -> 25, 50, 75
+    df = pd.DataFrame({"id": np.arange(100), "v": v})
+    df["exp"] = 1 + (df["v"] > 25).astype(int) + (df["v"] > 50).astype(int) + (df["v"] > 75).astype(int)
+    merged = got.merge(df, on="id")
+    assert (merged["bucket"] == merged["exp"]).all()
+    assert merged.groupby("bucket").size().tolist() == [25, 25, 25, 25]
+
+    with_null = pa.table(
+        {"id": pa.array([1, 2], pa.int64()), "v": pa.array([5, None], pa.int64())}
+    )
+    out = quantile_bucketize(
+        ray.data.from_arrow(with_null), "v", keep_cols=["id"]
+    ).to_pandas()
+    assert out["id"].tolist() == [1]
