@@ -1116,6 +1116,20 @@ def q_dominant_lang(sf_dir: str):
     return group_mode(ds, "source", "lang")
 
 
+def q_source_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources (provenance
+    similarity): distinct (source, token) combiner → token-hash
+    exchange → per-partition pair intersections, groups²-bounded
+    partials; Jaccard is ONE double division of exact ints — bit-exact,
+    no rounding."""
+    from data_linter_ray.functions.stats import source_vocab_overlap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return source_vocab_overlap(ds)
+
+
 def q_length_quartiles(sf_dir: str):
     """Equi-depth binning: each document's length quartile from exact
     quantile_disc boundaries (sort-free scan) + one stateless integer-
@@ -2399,6 +2413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": q_collocations,
         "compacted_events": q_compacted_events,
         "length_quartiles": q_length_quartiles,
+        "source_overlap": q_source_overlap,
         "events_per_user_cap": q_events_per_user_cap,
         "normalized_documents": q_normalized_documents,
         "vocabulary": q_vocabulary,
@@ -3447,6 +3462,24 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) "
             "< LEAST(1.0, CAST(100*n_chars AS DOUBLE)/w) "
             "* 18446744073709551616.0"
+        ),
+        # source_overlap: jaccard = one double division of exact ints —
+        # identical IEEE op both sides, no rounding needed
+        "source_overlap": (
+            "WITH st AS (SELECT DISTINCT source, g FROM ("
+            "SELECT source, unnest(list_filter(regexp_split_to_array("
+            r"lower(trim(text)), '\W+'), t -> t <> '')) AS g "
+            "FROM documents WHERE source IS NOT NULL)), "
+            "cnt AS (SELECT source, count(*) AS n FROM st GROUP BY source), "
+            "i AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "count(*) AS n_inter FROM st a JOIN st b "
+            "ON a.g = b.g AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT source_a, source_b, n_inter, "
+            "ca.n + cb.n - n_inter AS n_union, "
+            "CAST(n_inter AS DOUBLE)/CAST(ca.n + cb.n - n_inter AS DOUBLE) "
+            "AS jaccard FROM i "
+            "JOIN cnt ca ON source_a = ca.source "
+            "JOIN cnt cb ON source_b = cb.source"
         ),
         # length_quartiles: integer compares against exact quantile_disc
         # boundaries — engine exact_quantiles is quantile_disc-parity

@@ -145,6 +145,7 @@ QUERY_NAMES = [
     "collocations",
     "compacted_events",
     "length_quartiles",
+    "source_overlap",
     "value_histogram",
     "best_docs_per_lang",
     "deduped_documents",

@@ -375,3 +375,112 @@ def candidate_keys(
     return pd.DataFrame(
         out, columns=["column", "n_rows", "n_non_null", "n_distinct", "is_unique"]
     )
+
+
+def source_vocab_overlap(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard between groups (corpus-provenance
+    similarity: which sources speak the same language?): for every
+    group pair with a non-empty intersection, the exact distinct-token
+    intersection / union counts and their Jaccard ratio.
+
+    Scale shape: per-batch DISTINCT (group, token) combiner → one
+    token-hash :func:`~data_linter_ray.exchange.keyed_scatter_gather`
+    exchange (tokens co-located, so the global dedupe and the
+    per-token group sets are exact) → per-partition vectorized
+    self-merge on token (a < b) → (pair, partial intersection) and
+    (group, partial distinct) rows, summed in a tiny driver fold.
+    Partials are GROUPS²-bounded per partition — the documented
+    assumption is a modest provenance domain (hundreds of sources),
+    never a bound on tokens or rows. Jaccard is ONE double division of
+    exact integers, so it is bit-identical to the SQL mirror with no
+    rounding. Null groups excluded; tokenization is the engine
+    standard (lowercase, ``\\W+``, empties dropped, distinct per
+    doc irrelevant here — distinct per GROUP is what the exchange
+    computes)."""
+    import pyarrow.compute as pc
+    import ray  # noqa: F401
+
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, text_col]).drop_null()
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+        df = pd.DataFrame(
+            {
+                "g": t[group_col].to_pandas().to_numpy()[parents[keep]],
+                "tok": flat.filter(pa.array(keep)).to_pandas(),
+            }
+        ).drop_duplicates()
+        h = hash_array(pa.array(df["tok"])) % np.uint64(P)
+        df["_part"] = h.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_overlap(g: pd.DataFrame) -> pa.Table:
+        st = g[["g", "tok"]].drop_duplicates()
+        cnt = st.groupby("g", as_index=False).size()
+        m = st.merge(st, on="tok", suffixes=("_a", "_b"))
+        m = m[m["g_a"] < m["g_b"]]
+        inter = m.groupby(["g_a", "g_b"], as_index=False).size()
+        # explicit Arrow types: an all-None 'b' lane (no intersecting
+        # pair in this partition) must stay string, not null
+        return pa.table(
+            {
+                "a": pa.array(
+                    list(inter["g_a"]) + list(cnt["g"]), pa.string()
+                ),
+                "b": pa.array(
+                    list(inter["g_b"]) + [None] * len(cnt), pa.string()
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [inter["size"].to_numpy(np.int64),
+                         cnt["size"].to_numpy(np.int64)]
+                    )
+                ),
+            }
+        )
+
+    parts = exchange_map_groups(
+        ds.select_columns([group_col, text_col]).map_batches(
+            pair_partial, batch_format="pyarrow"
+        ),
+        "_part",
+        P,
+        reduce_overlap,
+    ).to_pandas()
+    singles = parts[parts["b"].isna()].groupby("a", as_index=False)["n"].sum()
+    n_g = dict(zip(singles["a"], singles["n"]))
+    pairs = (
+        parts[parts["b"].notna()]
+        .groupby(["a", "b"], as_index=False)["n"]
+        .sum()
+        .rename(columns={"a": "source_a", "b": "source_b", "n": "n_inter"})
+    )
+    na = pairs["source_a"].map(n_g).to_numpy(np.int64)
+    nb_ = pairs["source_b"].map(n_g).to_numpy(np.int64)
+    ni = pairs["n_inter"].to_numpy(np.int64)
+    nu = na + nb_ - ni
+    pairs["n_union"] = nu
+    pairs["jaccard"] = ni.astype(np.float64) / nu.astype(np.float64)
+    return (
+        pairs.sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)[
+            ["source_a", "source_b", "n_inter", "n_union", "jaccard"]
+        ]
+    )

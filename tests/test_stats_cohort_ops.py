@@ -832,3 +832,50 @@ def test_group_entropy_exact(ray_session):
     assert got.loc[2, "entropy"] == exp_c
     # 'd' group had only a null value -> excluded entirely
     assert "d" not in set(got["g"])
+
+
+def test_source_vocab_overlap_exact(ray_session):
+    """Intersection/union counts match a set-based reference; disjoint
+    pairs are absent; jaccard is the exact ratio."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from data_linter_ray.functions.stats import source_vocab_overlap
+
+    docs = [
+        ("s1", "alpha beta gamma"),
+        ("s1", "beta delta"),
+        ("s2", "beta gamma epsilon"),
+        ("s3", "zeta eta"),          # disjoint from s1/s2
+        ("s2", "gamma gamma GAMMA"),  # case-folds, repeats dedupe
+        (None, "alpha"),              # null source excluded
+    ]
+    t = pa.table(
+        {
+            "source": pa.array([d[0] for d in docs], pa.string()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    got = source_vocab_overlap(ray.data.from_arrow(t).repartition(3))
+
+    vocab = {}
+    for s, tx in docs:
+        if s is None:
+            continue
+        vocab.setdefault(s, set()).update(tx.lower().split())
+    exp_rows = []
+    ks = sorted(vocab)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                union = len(vocab[a] | vocab[b])
+                exp_rows.append((a, b, inter, union, inter / union))
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["source_a", "source_b", "n_inter", "n_union", "jaccard"],
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert ("s3" not in set(got["source_a"]) and "s3" not in set(got["source_b"]))
