@@ -484,3 +484,70 @@ def source_vocab_overlap(
             ["source_a", "source_b", "n_inter", "n_union", "jaccard"]
         ]
     )
+
+
+def group_count_distinct_approx(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    p: int = 12,
+) -> pd.DataFrame:
+    """Approximate ``count(DISTINCT value) GROUP BY group`` via
+    per-group HyperLogLog — the ZERO-shuffle scale path of
+    :func:`group_count_distinct` (exactly as ``heavy_hitters`` is to
+    ``top_values``): when the value domain itself is too large to
+    exchange, ship 2^p-byte register partials instead of distinct
+    values.
+
+    Scale shape: per batch, one HLL register block per group present in
+    the batch, emitted AS DATA (binary lane — retry-safe, the sketch
+    stage's partials-as-data pattern) → driver fold does register-wise
+    max per group (groups × 2^p bytes; the documented bound is a
+    modest group domain, never the value domain). Error ≈ 1.04/√2^p
+    (±1.6% at p=12). Null groups / values excluded.
+
+    → DataFrame(group, n_distinct_approx[int64 rounded estimate]),
+    sorted by group. No SQL oracle (approximate by design); pytest
+    asserts tolerance vs the exact operator."""
+    import ray  # noqa: F401
+
+    from data_linter_ray.state.sketches import HyperLogLog, hash_array
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col]).drop_null()
+        if not t.num_rows:
+            return pa.table(
+                {"g": pa.array([], pa.string()),
+                 "regs": pa.array([], pa.binary())}
+            )
+        gv = t[group_col].to_pandas()
+        h = hash_array(t[value_col])
+        gs, regs = [], []
+        for gval, idx in pd.Series(np.arange(len(gv))).groupby(
+            gv.to_numpy(), sort=False
+        ):
+            hll = HyperLogLog(p)
+            hll.add_hashes(h[idx.to_numpy()])
+            gs.append(str(gval))
+            regs.append(hll.to_bytes())
+        return pa.table(
+            {"g": pa.array(gs, pa.string()), "regs": pa.array(regs, pa.binary())}
+        )
+
+    acc: dict = {}
+    for b in (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for gval, blob in zip(b["g"].to_pylist(), b["regs"].to_pylist()):
+            hll = HyperLogLog.from_bytes(blob)
+            if gval in acc:
+                acc[gval].merge(hll)
+            else:
+                acc[gval] = hll
+    rows = sorted(
+        (g, int(round(h.estimate()))) for g, h in acc.items()
+    )
+    return pd.DataFrame(rows, columns=[group_col, "n_distinct_approx"])

@@ -879,3 +879,45 @@ def test_source_vocab_overlap_exact(ray_session):
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert ("s3" not in set(got["source_a"]) and "s3" not in set(got["source_b"]))
+
+
+def test_group_count_distinct_approx_tolerance(ray_session):
+    """HLL grouped distinct lands within the p=12 error envelope of the
+    exact operator on every group, and is invariant to partitioning
+    (register max is order-free)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from data_linter_ray.functions.stats import (
+        group_count_distinct,
+        group_count_distinct_approx,
+    )
+
+    rng = np.random.RandomState(9)
+    n = 60_000
+    groups = np.array(["g1", "g2", "g3"], object)[rng.randint(0, 3, n)]
+    # distinct domains of very different size per group
+    vals = np.where(
+        groups == "g1", rng.randint(0, 50, n),
+        np.where(groups == "g2", rng.randint(0, 2_000, n),
+                 rng.randint(0, 20_000, n)),
+    ).astype(np.int64)
+    t = pa.table({"g": pa.array(groups, pa.string()), "v": pa.array(vals)})
+
+    exact = group_count_distinct(
+        ray.data.from_arrow(t).repartition(6), "g", "v"
+    ).set_index("g")["n_distinct"]
+    approx = group_count_distinct_approx(
+        ray.data.from_arrow(t).repartition(6), "g", "v"
+    ).set_index("g")["n_distinct_approx"]
+
+    for g in ["g1", "g2", "g3"]:
+        rel = abs(approx[g] - exact[g]) / max(exact[g], 1)
+        assert rel < 0.05, (g, approx[g], exact[g])  # 3x the 1.6% sigma
+
+    approx2 = group_count_distinct_approx(
+        ray.data.from_arrow(t).repartition(17), "g", "v"
+    ).set_index("g")["n_distinct_approx"]
+    pd.testing.assert_series_equal(approx, approx2, check_names=False)
