@@ -142,6 +142,28 @@ def group_count_distinct(
     )
 
 
+def _group_value_count_partial(group_col: str, value_col: str, P: int):
+    """Shared per-batch (group, value) exact-count combiner, keyed by
+    ``hash(group) % P`` — the front half of group_mode / group_entropy
+    (one row per distinct pair per batch enters the exchange)."""
+    from data_linter_ray.state.sketches import hash_array
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col]).drop_null()
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        h = hash_array(g[group_col].combine_chunks()) % np.uint64(P)
+        return pa.table(
+            {
+                group_col: g[group_col],
+                value_col: g[value_col],
+                "n": g["count_all"].cast(pa.int64()),
+                "_part": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    return count_partial
+
+
 def group_mode(
     ds: Dataset,
     group_col: str,
@@ -172,18 +194,7 @@ def group_mode(
 
     P = num_partitions or exchange_width(ds)
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        t = t.select([group_col, value_col]).drop_null()
-        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
-        h = hash_array(g[group_col].combine_chunks()) % np.uint64(P)
-        return pa.table(
-            {
-                group_col: g[group_col],
-                value_col: g[value_col],
-                "n": g["count_all"].cast(pa.int64()),
-                "_part": pa.array(h.astype(np.int64)),
-            }
-        )
+    count_partial = _group_value_count_partial(group_col, value_col, P)
 
     def part_mode(df: pd.DataFrame) -> pd.DataFrame:
         agg = df.groupby([group_col, value_col], as_index=False, sort=False)[
@@ -206,6 +217,8 @@ def group_mode(
         P,
         part_mode,
     ).to_pandas()
+    if group_col not in parts.columns:  # all rows null -> empty exchange
+        return pd.DataFrame(columns=[group_col, "mode", "n"])
     return parts.sort_values(group_col).reset_index(drop=True)
 
 
@@ -240,18 +253,7 @@ def group_entropy(
 
     P = num_partitions or exchange_width(ds)
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        t = t.select([group_col, value_col]).drop_null()
-        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
-        h = hash_array(g[group_col].combine_chunks()) % np.uint64(P)
-        return pa.table(
-            {
-                group_col: g[group_col],
-                value_col: g[value_col],
-                "n": g["count_all"].cast(pa.int64()),
-                "_part": pa.array(h.astype(np.int64)),
-            }
-        )
+    count_partial = _group_value_count_partial(group_col, value_col, P)
 
     def part_entropy(df: pd.DataFrame) -> pd.DataFrame:
         agg = df.groupby([group_col, value_col], as_index=False, sort=False)[
@@ -281,6 +283,10 @@ def group_entropy(
         P,
         part_entropy,
     ).to_pandas()
+    if group_col not in parts.columns:  # all rows null -> empty exchange
+        return pd.DataFrame(
+            columns=[group_col, "n", "n_distinct", "entropy"]
+        )
     return parts.sort_values(group_col).reset_index(drop=True)
 
 
@@ -411,25 +417,26 @@ def source_vocab_overlap(
     P = num_partitions or exchange_width(ds)
 
     def pair_partial(t: pa.Table) -> pa.Table:
+        from data_linter_ray.functions.text import flat_tokens
+
         t = t.select([group_col, text_col]).drop_null()
-        text = t[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
-        )
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+        flat, parents = flat_tokens(t[text_col])
         df = pd.DataFrame(
             {
-                "g": t[group_col].to_pandas().to_numpy()[parents[keep]],
-                "tok": flat.filter(pa.array(keep)).to_pandas(),
+                "g": t[group_col].to_pandas().to_numpy()[parents],
+                "tok": flat.to_pandas(),
             }
         ).drop_duplicates()
-        h = hash_array(pa.array(df["tok"])) % np.uint64(P)
-        df["_part"] = h.astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        h = hash_array(pa.array(df["tok"], pa.string())) % np.uint64(P)
+        # explicit types: an all-null/no-token batch must not emit
+        # null-typed g/tok lanes (mixed-block-schema hazard)
+        return pa.table(
+            {
+                "g": pa.array(df["g"], pa.string()),
+                "tok": pa.array(df["tok"], pa.string()),
+                "_part": pa.array(h.astype(np.int64)),
+            }
+        )
 
     def reduce_overlap(g: pd.DataFrame) -> pa.Table:
         st = g[["g", "tok"]].drop_duplicates()
@@ -464,6 +471,10 @@ def source_vocab_overlap(
         P,
         reduce_overlap,
     ).to_pandas()
+    if "b" not in parts.columns:  # no qualifying rows -> empty exchange
+        return pd.DataFrame(
+            columns=["source_a", "source_b", "n_inter", "n_union", "jaccard"]
+        )
     singles = parts[parts["b"].isna()].groupby("a", as_index=False)["n"].sum()
     n_g = dict(zip(singles["a"], singles["n"]))
     pairs = (
@@ -514,11 +525,16 @@ def group_count_distinct_approx(
 
     from data_linter_ray.state.sketches import HyperLogLog, hash_array
 
+    # the group lane keeps its NATIVE Arrow type (string groups stay
+    # string, int groups stay int64) so output joins/sorts line up with
+    # the exact operator this is the drop-in scale path for
+    g_type = ds.schema().base_schema.field(group_col).type
+
     def partial(t: pa.Table) -> pa.Table:
         t = t.select([group_col, value_col]).drop_null()
         if not t.num_rows:
             return pa.table(
-                {"g": pa.array([], pa.string()),
+                {"g": pa.array([], g_type),
                  "regs": pa.array([], pa.binary())}
             )
         gv = t[group_col].to_pandas()
@@ -529,10 +545,10 @@ def group_count_distinct_approx(
         ):
             hll = HyperLogLog(p)
             hll.add_hashes(h[idx.to_numpy()])
-            gs.append(str(gval))
+            gs.append(gval)
             regs.append(hll.to_bytes())
         return pa.table(
-            {"g": pa.array(gs, pa.string()), "regs": pa.array(regs, pa.binary())}
+            {"g": pa.array(gs, g_type), "regs": pa.array(regs, pa.binary())}
         )
 
     acc: dict = {}

@@ -141,6 +141,26 @@ def with_fingerprint(ds: Dataset, text_col: str = "text") -> Dataset:
 # ---------------------------------------------------------------------------
 
 
+def flat_tokens(text: pa.ChunkedArray | pa.Array):
+    """CANONICAL engine tokenization → (flat Arrow string array of
+    tokens, int64 parent row indices): lowercase → trim → ``\\W+``
+    split → empties dropped. Bit-identical to the SQL oracle's
+    ``list_filter(regexp_split_to_array(lower(trim(text)), '\\W+'),
+    t -> t <> '')`` — every oracle-paired operator must tokenize
+    through ONE of these two forms. New call sites use this helper;
+    the older inline copies in this module predate it and are pinned
+    by their own oracle tests."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
+    )
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+    return flat.filter(pa.array(keep)), parents[keep]
+
+
 def _gram_strings(text: pa.ChunkedArray | pa.Array, k: int):
     """token k-gram strings per row → (flat gram list, parent row idx).
     Grams are chr(31)-joined lowered tokens — the same gram identity the
@@ -900,16 +920,7 @@ def bigram_collocations(
     P = num_partitions or exchange_width(ds)
 
     def _tokens(t: pa.Table):
-        text = t[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\W+"
-        )
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
-        return flat.filter(pa.array(keep)), parents[keep]
+        return flat_tokens(t[text_col])
 
     def uni_partial(t: pa.Table) -> pa.Table:
         flat, parents = _tokens(t)

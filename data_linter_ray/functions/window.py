@@ -307,7 +307,10 @@ def sequence_order_violations(
     grouped running max (``np.maximum.accumulate`` segmented by key
     starts). Null key/seq/ts rows are excluded (documented, mirrored by
     the oracle's WHERE). ``seq`` must be unique per key for a total
-    order (ties would make "previous" ambiguous in both engines)."""
+    order (ties would make "previous" ambiguous in both engines);
+    ``ts`` must be a tz-naive timestamp or a plain numeric column
+    (tz-aware columns reach pandas as object arrays — normalize to
+    UTC-naive upstream)."""
     P = num_partitions or exchange_width(ds)
     cols = [key, seq, ts]
     types = {c: ds.schema().base_schema.field(c).type for c in cols}
@@ -328,8 +331,11 @@ def sequence_order_violations(
         new[1:] = k[1:] != k[:-1]
         t = g[ts].to_numpy()
         # int64 view of the timestamp lane (order-isomorphic, so the
-        # running max stays a pure selection — no float round-trip)
-        ti = t.astype("datetime64[us]").astype(np.int64) if t.dtype.kind == "M" \
+        # running max stays a pure selection — no float round-trip).
+        # NANOSECOND precision: a coarser view would silently erase
+        # sub-unit regressions for finer-grained source columns
+        is_dt = t.dtype.kind == "M"
+        ti = t.astype("datetime64[ns]").astype(np.int64) if is_dt \
             else t.astype(np.int64)
         # per-key running max of the PREFIX (excluding the current row):
         # grouped cummax shifted by one; each key's first row can never
@@ -342,8 +348,11 @@ def sequence_order_violations(
         viol = (~new) & (ti < prev_max)
         sel = g[viol]
         pm = prev_max[viol]
-        if types[ts] == pa.timestamp("us"):
-            pm_arr = pa.array(pm.astype("datetime64[us]"))
+        if is_dt:
+            # ns ints -> ns timestamps -> CAST to the source's exact
+            # unit/tz (a bare pa.array(pm, type) would reinterpret the
+            # raw integers in the target unit)
+            pm_arr = pa.array(pm.astype("datetime64[ns]")).cast(types[ts])
         else:
             pm_arr = pa.array(pm, types[ts])
         return pa.table(

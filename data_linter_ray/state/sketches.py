@@ -474,6 +474,13 @@ class MisraGries:
         self.n = 0  # total stream mass seen (for the n/(m+1) threshold)
 
     def _fold(self, other: pd.Series) -> None:
+        # collapse duplicate labels FIRST: callers may concatenate
+        # several exact partials (Ray blocks merge multiple per-batch
+        # outputs), and pandas' non-unique-index add would split one
+        # value's mass across counters — breaking the superset
+        # guarantee (a heavy hitter could be truncated away)
+        if not other.index.is_unique:
+            other = other.groupby(level=0, sort=False).sum()
         s = (
             other
             if self.counts.empty

@@ -697,3 +697,27 @@ def test_collapse_repeats_exact(ray_session):
         .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+@pytest.mark.parametrize(
+    "name,tables,sf",
+    [
+        ("heavy_users", ("events",), None),
+        ("weighted_sample", ("documents",), None),
+        ("dominant_lang", ("documents",), None),
+        # sf0.01: the 1h-skew injection yields zero violations at
+        # sf0.001 (both sides empty — vacuous); 7 real rows at sf0.01
+        ("out_of_order_events", ("events",), "/root/testdata/sf0.01"),
+        ("source_lang_entropy", ("documents",), None),
+        ("collocations", ("documents",), None),
+        ("compacted_events", ("events",), None),
+        ("length_quartiles", ("documents",), None),
+        ("source_overlap", ("documents",), None),
+    ],
+)
+def test_new_query_oracle_pairs(ray_session, sf_dir, name, tables, sf):
+    """In-CI DuckDB parity for the batch-2 query/oracle pairs — the
+    oracle SQL strings themselves (thresholds, md5 2^64 expression,
+    PMI operand order) are exercised here, not only by the out-of-band
+    driver gate."""
+    _oracle_check(name, sf or sf_dir, tables=tables)

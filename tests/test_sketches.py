@@ -333,3 +333,37 @@ def test_misra_gries_rejects_bad_merge():
         MisraGries(8).merge(MisraGries(16))
     with pytest.raises(ValueError):
         MisraGries(0)
+
+
+def test_misra_gries_duplicate_labels_in_one_ingest():
+    """Regression: ingesting a partial with REPEATED labels (Ray blocks
+    concatenate several per-batch partials) must behave as if the
+    duplicates were pre-summed — a heavy hitter split across duplicate
+    rows may not be truncated away."""
+    import numpy as np
+    import pandas as pd
+
+    from data_linter_ray.state.sketches import MisraGries
+
+    m = 7
+    # 20 distinct fillers force truncation; the heavy value 'H' arrives
+    # as 5 duplicate rows of 300 each (1500 total, far above n/(m+1))
+    vals = ["H"] * 5 + [f"f{i}" for i in range(20)]
+    cnts = [300] * 5 + [60] * 20
+    mg = MisraGries(m)
+    mg.add_counts(np.array(vals, object), np.array(cnts))
+    n = sum(cnts)
+    assert mg.n == n
+    assert 1500 > n / (m + 1)
+    assert "H" in mg.candidates()
+    assert len(mg.counts) <= m
+    assert mg.counts["H"] <= 1500  # never overcounts
+
+    # and equivalently when split across two merged summaries
+    a, b = MisraGries(m), MisraGries(m)
+    a.add_counts(np.array(vals[:3] + vals[5:15], object),
+                 np.array(cnts[:3] + cnts[5:15]))
+    b.add_counts(np.array(vals[3:5] + vals[15:], object),
+                 np.array(cnts[3:5] + cnts[15:]))
+    a.merge(b)
+    assert "H" in a.candidates() and a.n == n
