@@ -2379,6 +2379,107 @@ def q_lineitem_cube(sf_dir: str):
     return cube_counts(ds, "l_returnflag", "l_linestatus")
 
 
+def q_segment_price_trend(sf_dir: str):
+    """Per-group OLS regression (extendedprice on quantity per
+    returnflag): per-batch 6-lane sufficient-statistic combiner (one
+    row per group per batch) → one group-hash exchange → closed form
+    per partition; rounded 6 dp both sides (fold order is the only
+    difference, same trade as lineitem_corr)."""
+    from data_linter_ray.functions.stats import group_regression
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return group_regression(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice", round_to=6
+    )
+
+
+def q_trailing_hour_load(sf_dir: str):
+    """TIME-based (RANGE-frame) rolling per user: cents-sum and count
+    of events in the trailing hour at every event — the event-rate
+    window ROWS frames can't express. One key-hash exchange; frame
+    bounds for all rows via two searchsorted calls on a key-banded
+    int64 time axis (overflow-safe key blocks); O(1) prefix-sum frame
+    sums. Integer cents — hash-exact vs SQL RANGE INTERVAL."""
+    from data_linter_ray.functions.window import time_rolling
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return time_rolling(ds, "user_id", "ts", "event_id", "value")
+
+
+def q_daily_value_snapshot(sf_dir: str):
+    """Gap-filled daily snapshot per user (resample + forward fill):
+    per-(key,ts) last-tie collapse, then every key's whole grid
+    resolves in one searchsorted over a key-banded time axis. Filled
+    values are selections — bit-exact vs DuckDB ASOF JOIN over the
+    max_by-collapsed series."""
+    from data_linter_ray.functions.timeseries import resample_ffill
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return resample_ffill(
+        ds, key="user_id", time_col="ts", tie="event_id", value="value",
+        start="2024-01-01", stop="2024-01-31", step_us=86_400_000_000,
+    )
+
+
+def q_price_benford(sf_dir: str):
+    """Benford first-digit profile of extendedprice (fabricated-data
+    smell test): string-based digit extraction (shortest-roundtrip
+    repr — immune to the log10-boundary misclassification), 9-lane
+    bincount partials, driver fold. Counts exact; p_obs an IEEE-exact
+    int division; p_exp rounded 6 dp (numpy vs DuckDB log10 ulps)."""
+    from data_linter_ray.functions.stats import benford_profile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return benford_profile(ds, "l_extendedprice")
+
+
+def q_null_cooccurrence(sf_dir: str):
+    """Pairwise missingness structure over a NULLIF-derived view of
+    lineitem (the testdata ships null-free, so both sides derive the
+    same null pattern: discount/tax zeros and returnflag 'N' →
+    NULL): per-batch bit-AND mask partials, driver fold, exact
+    integer counts — hash-exact vs SQL count_if."""
+    import pyarrow.compute as pc_
+
+    from data_linter_ray.functions.profile import null_cooccurrence
+
+    cols = ["l_discount", "l_returnflag", "l_tax"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def nullify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_discount": pc_.if_else(
+                    pc_.equal(t["l_discount"], 0.0),
+                    pa.scalar(None, pa.float64()), t["l_discount"],
+                ),
+                "l_returnflag": pc_.if_else(
+                    pc_.equal(t["l_returnflag"], "N"),
+                    pa.scalar(None, pa.string()), t["l_returnflag"],
+                ),
+                "l_tax": pc_.if_else(
+                    pc_.equal(t["l_tax"], 0.0),
+                    pa.scalar(None, pa.float64()), t["l_tax"],
+                ),
+            }
+        )
+
+    return null_cooccurrence(
+        ds.map_batches(nullify, batch_format="pyarrow"), cols
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2494,6 +2595,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verdict_summary": q_verdict_summary,
         "span_verdicts": q_span_verdicts,
         "span_equality": q_span_equality,
+        "segment_price_trend": q_segment_price_trend,
+        "trailing_hour_load": q_trailing_hour_load,
+        "daily_value_snapshot": q_daily_value_snapshot,
+        "price_benford": q_price_benford,
+        "null_cooccurrence": q_null_cooccurrence,
     }
 
 
@@ -3693,5 +3799,77 @@ def oracle_sql() -> dict[str, str]:
             "SELECT col AS \"column\", test, n_violations, n.n_rows AS n_rows, "
             "(CAST(n_violations AS DOUBLE) / n.n_rows) * 100 AS pct "
             "FROM checks, n ORDER BY \"column\", test"
+        ),
+        # segment_price_trend: the same closed form the engine folds,
+        # over SQL SUM aggregates, rounded 6 dp both sides
+        "segment_price_trend": (
+            "WITH p AS (SELECT l_returnflag, count(*) AS n, "
+            "sum(l_quantity) sx, sum(l_extendedprice) sy, "
+            "sum(l_quantity*l_quantity) sxx, "
+            "sum(l_extendedprice*l_extendedprice) syy, "
+            "sum(l_quantity*l_extendedprice) sxy FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, "
+            "round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS slope, "
+            "round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n, 6) AS intercept, "
+            "round((n*sxy - sx*sy)*(n*sxy - sx*sy)"
+            "/((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2 "
+            "FROM p ORDER BY l_returnflag"
+        ),
+        # trailing_hour_load: RANGE frame includes peers; integer cents
+        # make the windowed sum associative and exact on both sides
+        "trailing_hour_load": (
+            "SELECT user_id, event_id, ts, "
+            "SUM(CAST(round(value*100) AS BIGINT)) OVER w AS roll_sum_cents, "
+            "COUNT(value) OVER w AS roll_n "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        # daily_value_snapshot: ASOF over the max_by-collapsed series —
+        # the same (ts, tie) last-observation rule the engine applies
+        "daily_value_snapshot": (
+            "WITH obs AS (SELECT user_id, ts, max_by(value, event_id) AS value "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "GROUP BY user_id, ts), "
+            "grid AS (SELECT k.user_id, g.ts "
+            "FROM (SELECT DISTINCT user_id FROM obs) k CROSS JOIN "
+            "(SELECT unnest(generate_series(TIMESTAMP '2024-01-01', "
+            "TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS ts) g) "
+            "SELECT grid.user_id, grid.ts, obs.value FROM grid "
+            "ASOF LEFT JOIN obs ON grid.user_id = obs.user_id "
+            "AND grid.ts >= obs.ts"
+        ),
+        # price_benford: string-based first significant digit (shortest
+        # roundtrip repr agrees between Arrow and DuckDB casts)
+        "price_benford": (
+            "WITH d AS (SELECT CAST(regexp_extract("
+            "CAST(abs(l_extendedprice) AS VARCHAR), '[1-9]') AS TINYINT) "
+            "AS digit FROM lineitem WHERE l_extendedprice IS NOT NULL "
+            "AND l_extendedprice != 0 AND isfinite(l_extendedprice)), "
+            "c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit), "
+            "all_d AS (SELECT unnest(range(1, 10)) AS digit) "
+            "SELECT all_d.digit, coalesce(c.n, 0) AS n, "
+            "coalesce(c.n, 0) / (SELECT CAST(sum(n) AS DOUBLE) FROM c) AS p_obs, "
+            "round(log10(1.0 + 1.0/all_d.digit), 6) AS p_exp "
+            "FROM all_d LEFT JOIN c USING (digit) ORDER BY all_d.digit"
+        ),
+        # null_cooccurrence: both sides derive the same NULLIF view of
+        # the null-free testdata; exact integer mask counts
+        "null_cooccurrence": (
+            "WITH t AS (SELECT NULLIF(l_discount, 0.0) AS l_discount, "
+            "NULLIF(l_tax, 0.0) AS l_tax, "
+            "NULLIF(l_returnflag, 'N') AS l_returnflag FROM lineitem) "
+            "SELECT 'l_discount' AS col_a, 'l_returnflag' AS col_b, "
+            "count(*) AS n_rows, count_if(l_discount IS NULL) AS n_a_null, "
+            "count_if(l_returnflag IS NULL) AS n_b_null, "
+            "count_if(l_discount IS NULL AND l_returnflag IS NULL) AS n_both_null FROM t "
+            "UNION ALL SELECT 'l_discount', 'l_tax', count(*), "
+            "count_if(l_discount IS NULL), count_if(l_tax IS NULL), "
+            "count_if(l_discount IS NULL AND l_tax IS NULL) FROM t "
+            "UNION ALL SELECT 'l_returnflag', 'l_tax', count(*), "
+            "count_if(l_returnflag IS NULL), count_if(l_tax IS NULL), "
+            "count_if(l_returnflag IS NULL AND l_tax IS NULL) FROM t"
         ),
     }

@@ -404,3 +404,61 @@ def profile_drift(
             "max_changed": pa.array(rows["max_changed"], pa.bool_()),
         }
     )
+
+
+def null_cooccurrence(ds: Dataset, cols: list[str]) -> "pd.DataFrame":
+    """Pairwise missingness structure — which columns go missing
+    TOGETHER (the "is this NULL pattern one upstream failure?"
+    diagnostic a linter surfaces before imputation decisions): for
+    every unordered column pair (a < b lexicographically), exact
+    counts of rows where a is null, b is null, and both are null,
+    plus the total row count.
+
+    Scale shape: one column-pruned streaming scan; per batch the
+    C null masks are bit-AND-ed pairwise into C·(C-1)/2 + C + 1
+    int64 lanes (a few hundred bytes), folded on the driver —
+    partials-as-data, no shuffle, same pattern as ``corr_matrix``.
+    All outputs are exact integers (hash-exact vs SQL count_if).
+
+    → DataFrame(col_a, col_b, n_rows, n_a_null, n_b_null,
+    n_both_null), sorted by (col_a, col_b).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cols = sorted(cols)
+    C = len(cols)
+    pairs = [(i, j) for i in range(C) for j in range(i + 1, C)]
+    LANES = 1 + C + len(pairs)  # n_rows, per-col nulls, per-pair both
+
+    def partial(t: pa.Table) -> pa.Table:
+        masks = [
+            pc.is_null(t[c]).to_numpy(zero_copy_only=False) for c in cols
+        ]
+        out = np.zeros(LANES, np.int64)
+        out[0] = t.num_rows
+        for i, m in enumerate(masks):
+            out[1 + i] = int(m.sum())
+        for p, (i, j) in enumerate(pairs):
+            out[1 + C + p] = int((masks[i] & masks[j]).sum())
+        return pa.table({"_p": pa.array([out.tobytes()], pa.binary())})
+
+    total = np.zeros(LANES, np.int64)
+    for b in (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for payload in b["_p"].to_pylist():
+            total += np.frombuffer(payload, np.int64)
+
+    return pd.DataFrame(
+        {
+            "col_a": [cols[i] for i, _ in pairs],
+            "col_b": [cols[j] for _, j in pairs],
+            "n_rows": total[0],
+            "n_a_null": [total[1 + i] for i, _ in pairs],
+            "n_b_null": [total[1 + j] for _, j in pairs],
+            "n_both_null": list(total[1 + C:]),
+        }
+    )

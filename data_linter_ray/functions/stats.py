@@ -567,3 +567,163 @@ def group_count_distinct_approx(
         (g, int(round(h.estimate()))) for g, h in acc.items()
     )
     return pd.DataFrame(rows, columns=[group_col, "n_distinct_approx"])
+
+
+def group_regression(
+    ds: Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    round_to: int | None = None,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Per-group simple linear regression (y on x) — the trend report
+    (e.g. price sensitivity per segment, score drift per source):
+    slope, intercept and R² per group via the textbook closed form over
+    sufficient statistics.
+
+    Scale shape: per batch, a C-level groupby-sum collapses rows to ONE
+    partial row per group per batch — (n, Σx, Σy, Σx², Σy², Σxy), the
+    six associative lanes — keyed by ``hash(group) % P``; one
+    :func:`~data_linter_ray.exchange.keyed_scatter_gather` exchange
+    co-locates each group's partials and the per-partition fold applies
+    the closed form. Only partial rows cross the wire (KB per batch,
+    never the raw pairs). Rows with a null group / x / y are excluded
+    (SQL ``regr_*`` pairwise deletion).
+
+    Float parity: the oracle evaluates the SAME closed-form expression
+    over SQL SUM aggregates, so only sum fold order differs —
+    ``round_to`` (6 dp in the oracle query) lands both sides on the
+    identical double (same trade as :func:`corr_matrix`). Groups with
+    zero x-variance emit NaN slope/intercept/r2 on both sides.
+
+    → DataFrame(group, n, slope, intercept, r2), sorted by group.
+    """
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+    from data_linter_ray.functions.timeseries import _schema_types
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+    g_type = _schema_types(ds)[group_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, x_col, y_col]).drop_null().to_pandas()
+        x = df[x_col].to_numpy(np.float64)
+        y = df[y_col].to_numpy(np.float64)
+        df = pd.DataFrame(
+            {
+                "g": df[group_col],
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        agg = df.groupby("g", as_index=False, sort=False).sum()
+        h = hash_array(pa.array(agg["g"], g_type)) % np.uint64(P)
+        agg["_part"] = h.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("g", as_index=False, sort=False)[
+            ["n", "sx", "sy", "sxx", "syy", "sxy"]
+        ].sum()
+        n = s["n"].to_numpy(np.float64)
+        sx, sy = s["sx"].to_numpy(), s["sy"].to_numpy()
+        sxx, syy, sxy = s["sxx"].to_numpy(), s["syy"].to_numpy(), s["sxy"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov_n = n * sxy - sx * sy  # n² · cov
+            varx_n = n * sxx - sx * sx  # n² · var(x)
+            slope = cov_n / varx_n
+            intercept = (sy - slope * sx) / n
+            r2 = (cov_n * cov_n) / (varx_n * (n * syy - sy * sy))
+        out = pd.DataFrame(
+            {
+                group_col: s["g"],
+                "n": s["n"].astype(np.int64),
+                "slope": slope,
+                "intercept": intercept,
+                "r2": r2,
+            }
+        )
+        if round_to is not None:
+            for c in ("slope", "intercept", "r2"):
+                out[c] = out[c].round(round_to)
+        return out
+
+    parts = exchange_map_groups(
+        ds.select_columns([group_col, x_col, y_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "_part",
+        P,
+        fold,
+    ).to_pandas()
+    if group_col not in parts.columns:  # all rows null -> empty exchange
+        return pd.DataFrame(
+            columns=[group_col, "n", "slope", "intercept", "r2"]
+        )
+    return parts.sort_values(group_col).reset_index(drop=True)
+
+
+def benford_profile(ds: Dataset, value_col: str) -> pd.DataFrame:
+    """First-significant-digit distribution of a numeric column vs
+    Benford's law — the classic fabricated-/synthetic-data smell test
+    for financial and telemetry amounts (a data-quality check in the
+    linter tradition: no reference analog, extends SURVEY.md §2.8).
+
+    Digit extraction is STRING-based on purpose: the first ``[1-9]``
+    of the value's shortest-roundtrip decimal rendering. A numeric
+    ``10^floor(log10(|v|))`` scheme misclassifies values like 1000
+    (``log10 → 2.9999…96``) and 0.3 (``0.3/0.1 → 2.9999…96``);
+    the shortest-roundtrip digit string is unique per double, so the
+    Arrow ``cast(string)`` here and DuckDB's ``CAST(… AS VARCHAR)``
+    agree on every input, fixed or scientific notation alike.
+
+    Scale shape: one column-pruned streaming scan; per batch a
+    vectorized cast → regex-extract → 9-lane bincount partial; driver
+    fold of ≤9-long int vectors (partials-as-data, no shuffle).
+    Nulls, zeros and non-finite values are excluded (they have no
+    first significant digit; the oracle's WHERE mirrors this).
+
+    → DataFrame(digit 1-9, n, p_obs, p_exp) — counts exact int64;
+    p_obs = n/total (an IEEE-exact division of exact ints, identical
+    on both sides); p_exp = round(log10(1+1/d), 6) (rounded because
+    numpy's and DuckDB's log10 may differ in the last ulp).
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v = v.cast(pa.float64())
+        finite = pc.and_(pc.is_finite(v), pc.not_equal(v, 0.0))
+        s = pc.cast(pc.abs(v.filter(finite)), pa.string())
+        first = pc.extract_regex(s, r"(?P<d>[1-9])")
+        d = pc.struct_field(first.drop_null(), "d").cast(pa.int8())
+        counts = np.bincount(d.to_numpy(zero_copy_only=False), minlength=10)[1:10]
+        return pa.table({"_c": pa.array([counts.astype(np.int64).tobytes()], pa.binary())})
+
+    total = np.zeros(9, np.int64)
+    for b in (
+        ds.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for payload in b["_c"].to_pylist():
+            total += np.frombuffer(payload, np.int64)
+
+    digits = np.arange(1, 10, dtype=np.int64)
+    n_all = int(total.sum())
+    return pd.DataFrame(
+        {
+            "digit": digits,
+            "n": total,
+            "p_obs": total / np.float64(n_all) if n_all else np.nan,
+            "p_exp": np.round(np.log10(1.0 + 1.0 / digits), 6),
+        }
+    )

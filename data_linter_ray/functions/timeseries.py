@@ -31,6 +31,10 @@ from ray.data import Dataset
 
 from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
+#: int64 headroom cap for the key-banded time axis (tests shrink it
+#: to force the multi-block path on small inputs)
+_BAND_CAP = 1 << 62
+
 
 def asof_join(
     left: Dataset,
@@ -354,4 +358,126 @@ def sessionize(
 
     return exchange_map_groups(
         ds.map_batches(add_part, batch_format="pyarrow"), "_part", P, islands
+    )
+
+
+def resample_ffill(
+    ds: Dataset,
+    *,
+    key: str,
+    time_col: str,
+    tie: str,
+    value: str,
+    start,
+    stop,
+    step_us: int,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Regularize an irregular per-key series onto a shared time grid
+    with forward fill (the gap-fill / feature-snapshot operator):
+    for every key present in the input and every grid instant
+    ``start, start+step, …, ≤ stop``, emit the key's last observed
+    ``value`` at or before that instant (as-of semantics), NULL before
+    the key's first observation.
+
+    Observations sharing one ``(key, time)`` collapse to the row with
+    the greatest ``tie`` first (SQL ``max_by(value, tie)``), making the
+    fill deterministic — DuckDB's ASOF JOIN over the collapsed series
+    computes the identical table. Filled values are pure SELECTIONS
+    (never arithmetic), so floats stay bit-exact.
+
+    Scale shape: one key-hash exchange co-locates each key's rows; per
+    partition one mergesort + per-(key,time) last-tie collapse, then
+    ALL keys' grid lookups resolve in ONE ``np.searchsorted`` over a
+    key-banded time axis (observations rebased per key into disjoint
+    int64 bands of width ``K = max_rel + 2``; the tiled grid gets the
+    same shift, so no per-key Python loop). Key-blocks of ``≤ 2^62/K``
+    keys keep the banded axis overflow-safe. Output is (keys × grid)
+    rows — each partition emits only its own keys' slab, so the
+    materialized grid never concentrates on one node.
+    """
+    P = num_partitions or exchange_width(ds)
+    sch = _schema_types(ds)
+    key_t = sch[key]
+    start64 = np.datetime64(start, "ns").astype(np.int64)
+    stop64 = np.datetime64(stop, "ns").astype(np.int64)
+    step = np.int64(step_us) * 1000
+    grid = np.arange(start64, stop64 + 1, step, dtype=np.int64)
+    G = len(grid)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.select([key])[key].to_pandas(), index=False
+        ).to_numpy(dtype=np.uint64)
+        return t.select([key, time_col, tie, value]).append_column(
+            "_part", pa.array((h % P).astype(np.int64))
+        )
+
+    def fill(g: pd.DataFrame) -> pa.Table:
+        g = g.dropna(subset=[key, time_col]).sort_values(
+            [key, time_col, tie], kind="mergesort"
+        )
+        # per-(key, time) last-tie collapse — keep='last' on the sorted
+        # frame IS max_by(value, tie)
+        g = g.drop_duplicates([key, time_col], keep="last").reset_index(drop=True)
+        n = len(g)
+        k = g[key].to_numpy()
+        ti = g[time_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        v = g[value].to_numpy(np.float64)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        nk = len(starts)
+        # rebase every key AND the grid to the key's own origin so band
+        # offsets stay small; grid points before the origin clamp to -1
+        # (no observation can precede the key's first row)
+        base = np.minimum(ti[starts], start64)
+        rel_obs = ti - np.repeat(base, counts)
+        max_rel = max(int(rel_obs.max()) if n else 0,
+                      int((stop64 - base.min())) if nk else 0)
+        K = max_rel + 2
+        block = max(1, _BAND_CAP // K)
+        out_k, out_t, out_v = [], [], []
+        for b0 in range(0, nk, block):
+            b1 = min(b0 + block, nk)
+            lo = starts[b0]
+            hi = starts[b1] if b1 < nk else n
+            nb = b1 - b0
+            band = (np.arange(nb, dtype=np.int64)) * np.int64(K)
+            shifted_obs = rel_obs[lo:hi] + np.repeat(band, counts[b0:b1])
+            grid_rel = (np.tile(grid, nb).reshape(nb, G)
+                        - base[b0:b1, None] + band[:, None]).ravel()
+            idx = np.searchsorted(shifted_obs, grid_rel, side="right") - 1 + lo
+            seg_lo = np.repeat(starts[b0:b1], G)
+            valid = idx >= seg_lo
+            vals = np.where(valid, v[np.clip(idx, 0, max(n - 1, 0))], np.nan)
+            out_k.append(np.repeat(k[starts[b0:b1]], G))
+            out_t.append(np.tile(grid, nb))
+            out_v.append(vals)
+        if not out_k:
+            return pa.table(
+                {key: pa.array([], key_t),
+                 time_col: pa.array([], pa.timestamp("us")),
+                 value: pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                key: pa.array(np.concatenate(out_k), key_t),
+                time_col: pa.array(
+                    np.concatenate(out_t).astype("datetime64[ns]")
+                ).cast(pa.timestamp("us")),
+                # from_pandas=True: NaN (pre-first-observation, or a
+                # null observed value) becomes Arrow NULL — SQL parity
+                value: pa.array(
+                    np.concatenate(out_v), pa.float64(), from_pandas=True
+                ),
+            }
+        )
+
+    return exchange_map_groups(
+        ds.map_batches(add_part, batch_format="pyarrow"), "_part", P, fill,
+        batch_format="pandas",
     )

@@ -29,6 +29,10 @@ from ray.data import Dataset
 
 from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
+#: int64 headroom cap for the key-banded time axis (tests shrink it
+#: to force the multi-block path on small inputs)
+_BAND_CAP = 1 << 62
+
 
 def _hash_partition(ds: Dataset, key: str, cols: list[str], P: int) -> Dataset:
     """Attach ``_part = hash(key) % P`` — the manual exchange key."""
@@ -236,6 +240,102 @@ def keyed_rolling(
                 "roll_sum_sq_cents": pa.Array.from_pandas(rss, type=pa.int64()),
                 "roll_n": pa.Array.from_pandas(rn, type=pa.int64()),
                 "roll_max": pa.Array.from_pandas(rmax, type=pa.float64()),
+            }
+        )
+
+    return exchange_map_groups(_hash_partition(ds, key, cols, P), "_part", P, roll)
+
+
+def time_rolling(
+    ds: Dataset,
+    key: str,
+    ts: str,
+    tie: str,
+    value: str,
+    *,
+    window_us: int = 3_600_000_000,
+    scale: int = 100,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-key TIME-based (RANGE-frame) rolling aggregates: for every
+    row, over all of the key's rows with ``ts`` in
+    ``[ts_i - window, ts_i]`` (inclusive both ends — SQL ``RANGE
+    BETWEEN INTERVAL w PRECEDING AND CURRENT ROW``, which includes
+    every PEER sharing the current timestamp, before or after it in
+    tie order):
+
+    - ``roll_sum_cents``  sum of ``round(value·scale)`` as int64
+      (associative integer sums — exact vs SQL; see
+      :func:`keyed_rolling` for why float windowed sums can't be
+      matched). NULL when the frame holds no non-null value (SQL SUM).
+    - ``roll_n``          count of non-null values in the frame.
+
+    This is the event-RATE window (`requests in the trailing hour`)
+    that ROWS-frame rolling cannot express when arrival gaps vary.
+
+    Scale shape: one key-hash exchange; per partition one mergesort by
+    ``(key, ts, tie)``, then frame bounds for ALL rows at once via two
+    ``np.searchsorted`` calls on a key-banded int64 time axis — each
+    key's timestamps are rebased to its own start and shifted into a
+    disjoint band of width ``K = max_rel + window + 2`` so one sorted
+    array serves every key and a frame can never cross a key boundary
+    (band gap > window). Bands are processed in key-blocks of
+    ``≤ 2^62 / K`` keys so the shifted axis cannot overflow int64 even
+    with millions of keys per partition. Frame sums are O(1) prefix-sum
+    differences. Rows with null key / ts are dropped (no frame
+    position); null values keep their row but contribute nothing.
+    """
+    P = num_partitions or exchange_width(ds)
+    cols = [key, ts, tie, value]
+    from data_linter_ray.functions.timeseries import _schema_types
+
+    sch = _schema_types(ds)
+    key_t, tie_t = sch[key], sch[tie]
+    w = np.int64(window_us * 1000)  # ns — matches the fold precision
+
+    def roll(g: pd.DataFrame) -> pa.Table:
+        g = g.dropna(subset=[key, ts]).sort_values(
+            [key, ts, tie], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(g)
+        k = g[key].to_numpy()
+        t_raw = g[ts].to_numpy()
+        ti = t_raw.astype("datetime64[ns]").astype(np.int64) \
+            if t_raw.dtype.kind == "M" else t_raw.astype(np.int64)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        key_idx = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        rel = ti - np.repeat(ti[starts], counts)  # per-key, ≥ 0
+        v = g[value].to_numpy(np.float64)
+        nnull = ~np.isnan(v)
+        cents = np.where(nnull, np.rint(np.where(nnull, v, 0.0) * scale), 0.0)
+        csum = np.concatenate(([0], np.cumsum(cents.astype(np.int64))))
+        ncum = np.concatenate(([0], np.cumsum(nnull.astype(np.int64))))
+        K = (int(rel.max()) if n else 0) + int(w) + 2
+        block = max(1, _BAND_CAP // K)  # keys per overflow-safe block
+        roll_sum = np.zeros(n, np.int64)
+        roll_n = np.zeros(n, np.int64)
+        for b0 in range(0, len(starts), block):
+            b1 = min(b0 + block, len(starts))
+            lo = starts[b0]
+            hi = starts[b1] if b1 < len(starts) else n
+            shifted = rel[lo:hi] + (key_idx[lo:hi] - b0) * np.int64(K)
+            lb = np.searchsorted(shifted, shifted - w, side="left") + lo
+            rb = np.searchsorted(shifted, shifted, side="right") + lo
+            roll_sum[lo:hi] = csum[rb] - csum[lb]
+            roll_n[lo:hi] = ncum[rb] - ncum[lb]
+        out_sum = pd.Series(roll_sum).astype("Int64").mask(roll_n == 0)
+        return pa.table(
+            {
+                key: pa.Array.from_pandas(g[key], type=key_t),
+                tie: pa.Array.from_pandas(g[tie], type=tie_t),
+                ts: pa.Array.from_pandas(g[ts]),
+                "roll_sum_cents": pa.Array.from_pandas(out_sum, type=pa.int64()),
+                "roll_n": pa.array(roll_n),
             }
         )
 

@@ -721,3 +721,168 @@ def test_new_query_oracle_pairs(ray_session, sf_dir, name, tables, sf):
     PMI operand order) are exercised here, not only by the out-of-band
     driver gate."""
     _oracle_check(name, sf or sf_dir, tables=tables)
+
+
+@pytest.mark.parametrize(
+    "name,tables",
+    [
+        ("segment_price_trend", ("lineitem",)),
+        ("trailing_hour_load", ("events",)),
+        ("daily_value_snapshot", ("events",)),
+        ("price_benford", ("lineitem",)),
+        ("null_cooccurrence", ("lineitem",)),
+    ],
+)
+def test_batch3_query_oracle_pairs(ray_session, sf_dir, name, tables):
+    """In-CI DuckDB parity for the batch-3 query/oracle pairs
+    (regression / time-rolling / resample / benford / missingness)."""
+    _oracle_check(name, sf_dir, tables=tables)
+
+
+def test_time_rolling_crafted_peers_and_bounds(ray_session):
+    """RANGE-frame semantics on a crafted stream: peers at an equal
+    timestamp share one frame (including LATER peers in tie order),
+    the window bound is inclusive, and an all-null-value frame emits
+    a NULL sum with roll_n = 0."""
+    from data_linter_ray.functions.window import time_rolling
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:30:00", "2024-01-01 00:30:00",
+         "2024-01-01 01:30:00", "2024-01-01 03:00:00",
+         "2024-01-01 00:10:00"]
+    )
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 1, 2],
+            "ts": ts,
+            "i": [1, 2, 3, 4, 5, 6],
+            "v": [1.0, 2.0, 4.0, 8.0, None, 16.0],
+        }
+    )
+    got = (
+        time_rolling(ray.data.from_pandas(df), "k", "ts", "i", "v",
+                     window_us=3_600_000_000, num_partitions=2)
+        .to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    # row i=1: frame {1.0} → 100; rows i=2,3 are PEERS: both frames
+    # hold {1,2,4} → 700; i=4 at 01:30 covers [00:30, 01:30] → {2,4,8}
+    # → 1400; i=5 at 03:00 has only the null row → NULL, n=0
+    assert got["roll_sum_cents"].tolist()[:4] == [100, 700, 700, 1400]
+    assert pd.isna(got.loc[4, "roll_sum_cents"]) and got.loc[4, "roll_n"] == 0
+    assert got.loc[5, "roll_sum_cents"] == 1600
+    assert got["roll_n"].tolist() == [1, 3, 3, 3, 0, 1]
+
+
+def test_time_rolling_band_blocks_equal(ray_session, sf_dir):
+    """The overflow-safe key-block path (several bands per partition)
+    must produce the identical table as the single-block path."""
+    import data_linter_ray.functions.window as W
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    base = (
+        W.time_rolling(ds, "user_id", "ts", "event_id", "value")
+        .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    )
+    old = W._BAND_CAP
+    try:
+        # span+window ≈ 30 days ns ≈ 2.6e15; cap 2^53 → ~3 keys/block
+        W._BAND_CAP = 1 << 53
+        small = (
+            W.time_rolling(ds, "user_id", "ts", "event_id", "value")
+            .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        )
+    finally:
+        W._BAND_CAP = old
+    pd.testing.assert_frame_equal(base, small)
+
+
+def test_resample_ffill_crafted(ray_session):
+    """Forward fill on a crafted series: NULL before the key's first
+    observation, last-tie collapse at duplicate timestamps, selection-
+    exact values, and the multi-block band path agrees."""
+    import data_linter_ray.functions.timeseries as T
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-02 06:00", "2024-01-02 06:00",
+                 "2024-01-04 00:00", "2024-01-03 12:00"]
+            ),
+            "i": [1, 2, 3, 4],
+            "v": [10.0, 20.0, 30.0, 40.0],
+        }
+    )
+
+    def run():
+        return (
+            T.resample_ffill(
+                ray.data.from_pandas(df), key="k", time_col="ts", tie="i",
+                value="v", start="2024-01-01", stop="2024-01-05",
+                step_us=86_400_000_000, num_partitions=2,
+            )
+            .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        )
+
+    got = run()
+    a = got[got["k"] == "a"]["v"].tolist()
+    b = got[got["k"] == "b"]["v"].tolist()
+    # day1,2 precede a's first obs (06:00 > 00:00 grid) → null, null;
+    # day3 carries the tie-collapsed 20.0 (NOT 10.0); day4 flips to 30
+    assert pd.isna(a[0]) and pd.isna(a[1])
+    assert a[2:] == [20.0, 30.0, 30.0]
+    assert pd.isna(b[0]) and pd.isna(b[1]) and pd.isna(b[2])
+    assert b[3:] == [40.0, 40.0]
+    old = T._BAND_CAP
+    try:
+        T._BAND_CAP = 1 << 53
+        pd.testing.assert_frame_equal(got, run())
+    finally:
+        T._BAND_CAP = old
+
+
+def test_benford_digit_boundaries(ray_session):
+    """String-based digit extraction survives the classic float traps:
+    1000 (log10 → 2.9999…96), 0.3 (0.3/0.1 → 2.9999…96), scientific
+    notation, negatives, and excludes 0 / null."""
+    from data_linter_ray.functions.stats import benford_profile
+
+    df = pd.DataFrame(
+        {"v": [1000.0, 0.3, 1e-5, -700.0, 0.0, None, 9.999, 2e17]}
+    )
+    got = benford_profile(ray.data.from_pandas(df), "v")
+    by_digit = dict(zip(got["digit"], got["n"]))
+    assert by_digit[1] == 2          # 1000, 1e-5
+    assert by_digit[3] == 1          # 0.3
+    assert by_digit[7] == 1          # -700
+    assert by_digit[9] == 1          # 9.999
+    assert by_digit[2] == 1          # 2e17
+    assert int(got["n"].sum()) == 6  # 0 and null excluded
+
+
+def test_group_regression_all_null_empty(ray_session):
+    from data_linter_ray.functions.stats import group_regression
+
+    df = pd.DataFrame({"g": [None, None], "x": [1.0, 2.0], "y": [1.0, 2.0]})
+    out = group_regression(ray.data.from_pandas(df), "g", "x", "y")
+    assert out.empty
+    assert list(out.columns) == ["g", "n", "slope", "intercept", "r2"]
+
+
+def test_null_cooccurrence_exact(ray_session):
+    from data_linter_ray.functions.profile import null_cooccurrence
+
+    df = pd.DataFrame(
+        {
+            "a": [1.0, None, None, 4.0],
+            "b": [None, None, 3.0, 4.0],
+            "c": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = null_cooccurrence(ray.data.from_pandas(df), ["a", "b", "c"])
+    row = out[(out["col_a"] == "a") & (out["col_b"] == "b")].iloc[0]
+    assert (row["n_rows"], row["n_a_null"], row["n_b_null"], row["n_both_null"]) == (4, 2, 2, 1)
+    row = out[(out["col_a"] == "a") & (out["col_b"] == "c")].iloc[0]
+    assert row["n_both_null"] == 0
