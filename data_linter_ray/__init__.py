@@ -43,4 +43,33 @@ def _quiet_unhashable_schema_warning() -> None:
     ).addFilter(_F())
 
 
+def _quiet_empty_bundle_schema_warning() -> None:
+    """Silence the empty-block variant of the executor's schema-change
+    warning, narrowly.
+
+    Ray Data's own ``Sort`` / ``Aggregate`` all-to-all operators emit
+    schema-less EMPTY blocks for boundary partitions that received no
+    rows, and the streaming executor then warns "Operator produced a
+    RefBundle with a different schema … new schema: ." for each one
+    (streaming_executor_state.py:793, Ray 2.49). The empty block is
+    harmless — downstream concat ignores it — and this repo's own
+    exchanges already pin their schemas. Filter ONLY the empty-schema
+    form; a genuine non-empty schema mismatch still warns.
+    """
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "Operator produced a RefBundle with a different schema" in msg
+                and "new schema: ." in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
+
+
 _quiet_unhashable_schema_warning()
+_quiet_empty_bundle_schema_warning()
