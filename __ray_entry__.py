@@ -2480,6 +2480,21 @@ def q_null_cooccurrence(sf_dir: str):
     )
 
 
+def q_value_distribution_ks(sf_dir: str):
+    """EXACT two-sample Kolmogorov–Smirnov statistic (click vs view
+    value distributions): exact equi-depth range boundaries → (value,
+    n_a, n_b) count combiner → per-bucket prefix offsets → one range
+    exchange; per distinct value both sides compute the same two
+    int→double divisions, sup is a selection — bit-exact, NO
+    rounding."""
+    from data_linter_ray.functions.stats import ks_two_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return ks_two_sample(ds, "value", "event_type", "click", "view")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2600,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_snapshot": q_daily_value_snapshot,
         "price_benford": q_price_benford,
         "null_cooccurrence": q_null_cooccurrence,
+        "value_distribution_ks": q_value_distribution_ks,
     }
 
 
@@ -3871,5 +3887,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'l_returnflag', 'l_tax', count(*), "
             "count_if(l_returnflag IS NULL), count_if(l_tax IS NULL), "
             "count_if(l_returnflag IS NULL AND l_tax IS NULL) FROM t"
+        ),
+        # value_distribution_ks: CDF-at-each-value step convention via
+        # sum() OVER (ORDER BY value); identical divisions both sides —
+        # bit-exact with no rounding
+        "value_distribution_ks": (
+            "WITH u AS (SELECT value, "
+            "CASE WHEN event_type='click' THEN 1 ELSE 0 END AS g "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IN ('click','view')), "
+            "c AS (SELECT value, count_if(g=1) AS a, count_if(g=0) AS b "
+            "FROM u GROUP BY value), "
+            "t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, "
+            "CAST(sum(b) AS BIGINT) AS n_b FROM c), "
+            "s AS (SELECT sum(a) OVER (ORDER BY value) AS c1, "
+            "sum(b) OVER (ORDER BY value) AS c2 FROM c) "
+            "SELECT t.n_a, t.n_b, max(abs(c1/CAST(t.n_a AS DOUBLE) "
+            "- c2/CAST(t.n_b AS DOUBLE))) AS ks "
+            "FROM s, t GROUP BY t.n_a, t.n_b"
         ),
     }

@@ -727,3 +727,120 @@ def benford_profile(ds: Dataset, value_col: str) -> pd.DataFrame:
             "p_exp": np.round(np.log10(1.0 + 1.0 / digits), 6),
         }
     )
+
+
+def ks_two_sample(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two groups — the distribution-drift test
+    ("did click values shift vs view values?", "does this shard's
+    score distribution match the fleet's?"). D = sup over distinct
+    values of |F_a(v) − F_b(v)| with CDFs evaluated AT each value
+    (ties counted fully on both sides, the step-function convention
+    SQL's ``sum() OVER (ORDER BY value)`` implements).
+
+    Exactness: per distinct value both engines compute the SAME two
+    int→double divisions and one subtraction (IEEE-determined), and
+    the sup is a pure selection — the statistic is bit-exact vs SQL
+    with NO rounding.
+
+    Scale shape (a CDF needs global ORDER, not hashing — this is the
+    one operator family where range partitioning is load-bearing):
+
+    1. exact equi-depth range boundaries from the proven
+       :func:`~data_linter_ray.functions.quantiles.exact_quantiles`
+       refinement scan (boundaries only balance buckets; correctness
+       never depends on them),
+    2. per-batch (value, n_a, n_b) count combiner, bucket =
+       ``searchsorted(bounds, value)`` — equal values always share a
+       bucket,
+    3. per-bucket totals (P scalars) folded on the driver into prefix
+       OFFSETS — the cross-bucket cumulative counts,
+    4. one :func:`~data_linter_ray.exchange.keyed_scatter_gather`
+       exchange; each bucket sorts ITS OWN distinct values, adds its
+       offsets to local cumsums, and emits one local-sup row.
+
+    Null values and rows in neither group are excluded.
+
+    → 1-row DataFrame(n_a, n_b, ks).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from data_linter_ray.exchange import (
+        exchange_map_groups,
+        exchange_width,
+    )
+    from data_linter_ray.functions.quantiles import exact_quantiles
+
+    P = num_partitions or exchange_width(ds)
+
+    def pick(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        keep = pc.and_(
+            pc.is_valid(t[value_col]),
+            pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "v": t[value_col].cast(pa.float64()),
+                "is_a": pc.equal(t[group_col], group_a),
+            }
+        )
+
+    picked = ds.select_columns([value_col, group_col]).map_batches(
+        pick, batch_format="pyarrow"
+    ).materialize()
+
+    qs = [i / P for i in range(1, P)]
+    bounds = (
+        exact_quantiles(picked, "v", qs)["value"].to_numpy(np.float64)
+        if P > 1 else np.empty(0, np.float64)
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"v": t["v"], "a": t["is_a"].cast(pa.int64())}
+        ).to_pandas()
+        df["b"] = 1 - df["a"]
+        agg = df.groupby("v", as_index=False, sort=False)[["a", "b"]].sum()
+        agg["_part"] = np.searchsorted(
+            bounds, agg["v"].to_numpy(), side="left"
+        ).astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = picked.map_batches(partial, batch_format="pyarrow").materialize()
+
+    # per-bucket totals → prefix offsets (P scalars on the driver) and
+    # the global sample sizes
+    tot = np.zeros((P, 2), np.int64)
+    for blk in parts.iter_batches(batch_format="pyarrow"):
+        pdf = blk.select(["_part", "a", "b"]).to_pandas()
+        s = pdf.groupby("_part")[["a", "b"]].sum()
+        tot[s.index.to_numpy()] += s.to_numpy(np.int64)
+    n_a, n_b = int(tot[:, 0].sum()), int(tot[:, 1].sum())
+    offs = np.zeros((P, 2), np.int64)
+    offs[1:] = np.cumsum(tot, axis=0)[:-1]
+
+    def sup(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(df["_part"].iloc[0])
+        agg = df.groupby("v", as_index=False, sort=True)[["a", "b"]].sum()
+        c1 = offs[bucket, 0] + np.cumsum(agg["a"].to_numpy(np.int64))
+        c2 = offs[bucket, 1] + np.cumsum(agg["b"].to_numpy(np.int64))
+        d = np.abs(c1 / np.float64(n_a) - c2 / np.float64(n_b))
+        return pd.DataFrame({"_sup": [float(d.max()) if len(d) else 0.0]})
+
+    if n_a == 0 or n_b == 0:
+        return pd.DataFrame({"n_a": [n_a], "n_b": [n_b], "ks": [np.nan]})
+    sups = exchange_map_groups(parts, "_part", P, sup).to_pandas()
+    return pd.DataFrame(
+        {"n_a": [n_a], "n_b": [n_b], "ks": [float(sups["_sup"].max())]}
+    )

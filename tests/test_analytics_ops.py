@@ -886,3 +886,31 @@ def test_null_cooccurrence_exact(ray_session):
     assert (row["n_rows"], row["n_a_null"], row["n_b_null"], row["n_both_null"]) == (4, 2, 2, 1)
     row = out[(out["col_a"] == "a") & (out["col_b"] == "c")].iloc[0]
     assert row["n_both_null"] == 0
+
+
+def test_ks_two_sample_oracle(ray_session, sf_dir):
+    _oracle_check("value_distribution_ks", sf_dir, tables=("events",))
+
+
+def test_ks_two_sample_crafted(ray_session):
+    """KS on a crafted pair with ties and a known sup: group a =
+    {1,1,2,3}, group b = {2,3,3,4}. CDF steps at v∈{1,2,3,4}:
+    F_a = .5,.75,1,1 / F_b = 0,.25,.75,1 → sup = .5 at v=1; identical
+    at two exchange widths; degenerate empty group → NaN."""
+    from data_linter_ray.functions.stats import ks_two_sample
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 4 + ["zz", None],
+            "v": [1.0, 1.0, 2.0, 3.0, 2.0, 3.0, 3.0, 4.0, 99.0, 1.0],
+        }
+    )
+    out = ks_two_sample(ray.data.from_pandas(df), "v", "g", "a", "b")
+    assert (out["n_a"][0], out["n_b"][0]) == (4, 4)
+    assert out["ks"][0] == 0.5
+    out2 = ks_two_sample(
+        ray.data.from_pandas(df), "v", "g", "a", "b", num_partitions=3
+    )
+    pd.testing.assert_frame_equal(out, out2)
+    empty = ks_two_sample(ray.data.from_pandas(df), "v", "g", "a", "nope")
+    assert empty["n_b"][0] == 0 and pd.isna(empty["ks"][0])
