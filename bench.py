@@ -215,6 +215,12 @@ QUERY_NAMES = [
     "source_quality",
     "lineitem_unpivot",
     "lineitem_cube",
+    "segment_price_trend",
+    "trailing_hour_load",
+    "daily_value_snapshot",
+    "price_benford",
+    "null_cooccurrence",
+    "value_distribution_ks",
 ]
 
 

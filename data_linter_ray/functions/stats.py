@@ -754,10 +754,10 @@ def ks_two_sample(
     Scale shape (a CDF needs global ORDER, not hashing — this is the
     one operator family where range partitioning is load-bearing):
 
-    1. exact equi-depth range boundaries from the proven
-       :func:`~data_linter_ray.functions.quantiles.exact_quantiles`
-       refinement scan (boundaries only balance buckets; correctness
-       never depends on them),
+    1. approximate equi-depth range boundaries from ONE t-digest pass
+       (boundaries only balance buckets — correctness never depends on
+       them, so paying the exact multi-round quantile refinement here
+       would re-scan the column for nothing at scale),
     2. per-batch (value, n_a, n_b) count combiner, bucket =
        ``searchsorted(bounds, value)`` — equal values always share a
        bucket,
@@ -778,7 +778,7 @@ def ks_two_sample(
         exchange_map_groups,
         exchange_width,
     )
-    from data_linter_ray.functions.quantiles import exact_quantiles
+    from data_linter_ray.state.sketches import TDigest
 
     P = num_partitions or exchange_width(ds)
 
@@ -800,11 +800,24 @@ def ks_two_sample(
         pick, batch_format="pyarrow"
     ).materialize()
 
-    qs = [i / P for i in range(1, P)]
-    bounds = (
-        exact_quantiles(picked, "v", qs)["value"].to_numpy(np.float64)
-        if P > 1 else np.empty(0, np.float64)
-    )
+    if P > 1:
+        def digest_partial(t: pa.Table) -> pa.Table:
+            td = TDigest()
+            td.add(t["v"].to_numpy(zero_copy_only=False))
+            return pa.table({"_d": pa.array([td.to_bytes()], pa.binary())})
+
+        digest = TDigest()
+        for b in picked.map_batches(
+            digest_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for payload in b["_d"].to_pylist():
+                digest.merge(TDigest.from_bytes(payload))
+        bounds = np.unique(
+            digest.quantiles([i / P for i in range(1, P)])
+        )
+        bounds = bounds[np.isfinite(bounds)]
+    else:
+        bounds = np.empty(0, np.float64)
 
     def partial(t: pa.Table) -> pa.Table:
         df = pa.table(
