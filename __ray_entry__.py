@@ -2495,6 +2495,62 @@ def q_value_distribution_ks(sf_dir: str):
     return ks_two_sample(ds, "value", "event_type", "click", "view")
 
 
+def q_event_segment_chisq(sf_dir: str):
+    """Chi-square contingency table (event_type × user segment
+    user_id&3): per-batch pair-count combiner, driver fold of the tiny
+    |A|·|B| table; every cell's expected count and χ² term derive from
+    the same exact integers by the same IEEE expression — bit-exact,
+    no rounding."""
+    import pyarrow.compute as pc_
+
+    from data_linter_ray.functions.stats import contingency_table
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def seg(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "segment": pc_.bit_wise_and(t["user_id"], 3),
+            }
+        )
+
+    return contingency_table(
+        ds.map_batches(seg, batch_format="pyarrow"), "event_type", "segment"
+    )
+
+
+def q_value_psi(sf_dir: str):
+    """Population Stability Index bins, first vs second half of the
+    event window: exact reference-decile boundaries (quantile_disc
+    parity), one binned-count pass per side, per-bin int counts +
+    IEEE-exact p's; psi_term rounded 9 dp both sides (numpy vs DuckDB
+    ln last-ulp)."""
+    import pyarrow.compute as pc_
+
+    from data_linter_ray.functions.stats import psi_bins
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+    import datetime as _dt
+
+    cut = pa.scalar(_dt.datetime(2024, 1, 16))
+
+    def half(op):
+        def f(t: pa.Table) -> pa.Table:
+            m = op(t["ts"], cut)
+            return t.filter(m)
+
+        return f
+
+    ref = ev.map_batches(half(pc_.less), batch_format="pyarrow")
+    cur = ev.map_batches(half(pc_.greater_equal), batch_format="pyarrow")
+    return psi_bins(ref, cur, "value", n_bins=10, round_to=9)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2616,6 +2672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_benford": q_price_benford,
         "null_cooccurrence": q_null_cooccurrence,
         "value_distribution_ks": q_value_distribution_ks,
+        "event_segment_chisq": q_event_segment_chisq,
+        "value_psi": q_value_psi,
     }
 
 
@@ -3905,5 +3963,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.n_a, t.n_b, max(abs(c1/CAST(t.n_a AS DOUBLE) "
             "- c2/CAST(t.n_b AS DOUBLE))) AS ks "
             "FROM s, t GROUP BY t.n_a, t.n_b"
+        ),
+        # event_segment_chisq: per-cell expected and chi2 term from the
+        # same exact ints by the same IEEE expression — bit-exact
+        "event_segment_chisq": (
+            "WITH t AS (SELECT event_type, user_id & 3 AS segment "
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL), "
+            "c AS (SELECT event_type, segment, count(*) AS n FROM t "
+            "GROUP BY event_type, segment), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM c) "
+            "SELECT c.event_type, c.segment, c.n, "
+            "(sum(c.n) OVER (PARTITION BY c.event_type)) * "
+            "(sum(c.n) OVER (PARTITION BY c.segment)) / CAST(tot.N AS DOUBLE) "
+            "AS expected, "
+            "pow(c.n - (sum(c.n) OVER (PARTITION BY c.event_type)) * "
+            "(sum(c.n) OVER (PARTITION BY c.segment)) / CAST(tot.N AS DOUBLE), 2) "
+            "/ ((sum(c.n) OVER (PARTITION BY c.event_type)) * "
+            "(sum(c.n) OVER (PARTITION BY c.segment)) / CAST(tot.N AS DOUBLE)) "
+            "AS chi2_term FROM c, tot ORDER BY c.event_type, c.segment"
+        ),
+        # value_psi: reference-decile bins via quantile_disc (exact
+        # parity with exact_quantiles); bin = #{boundaries <= v};
+        # psi_term rounded 9 dp (numpy vs DuckDB ln last-ulp)
+        "value_psi": (
+            "WITH ref AS (SELECT value FROM events "
+            "WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL), "
+            "cur AS (SELECT value FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL), "
+            "b AS (SELECT quantile_disc(value, [x*0.1 for x in range(1,10)]) "
+            "AS qs FROM ref), "
+            "rc AS (SELECT len(list_filter(b.qs, q -> ref.value >= q)) AS bin, "
+            "count(*) AS n_ref FROM ref, b GROUP BY 1), "
+            "cc AS (SELECT len(list_filter(b.qs, q -> cur.value >= q)) AS bin, "
+            "count(*) AS n_cur FROM cur, b GROUP BY 1), "
+            "bins AS (SELECT unnest(range(0, 10)) AS bin), "
+            "j AS (SELECT bins.bin, coalesce(rc.n_ref,0) AS n_ref, "
+            "coalesce(cc.n_cur,0) AS n_cur FROM bins "
+            "LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)), "
+            "t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS NR, "
+            "CAST(sum(n_cur) AS DOUBLE) AS NC FROM j) "
+            "SELECT j.bin, j.n_ref, j.n_cur, j.n_ref/t.NR AS p_ref, "
+            "j.n_cur/t.NC AS p_cur, "
+            "CASE WHEN j.n_ref>0 AND j.n_cur>0 THEN "
+            "round((j.n_cur/t.NC - j.n_ref/t.NR) * "
+            "ln((j.n_cur/t.NC)/(j.n_ref/t.NR)), 9) END AS psi_term "
+            "FROM j, t ORDER BY j.bin"
         ),
     }

@@ -221,6 +221,8 @@ QUERY_NAMES = [
     "price_benford",
     "null_cooccurrence",
     "value_distribution_ks",
+    "event_segment_chisq",
+    "value_psi",
 ]
 
 

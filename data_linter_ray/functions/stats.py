@@ -857,3 +857,142 @@ def ks_two_sample(
     return pd.DataFrame(
         {"n_a": [n_a], "n_b": [n_b], "ks": [float(sups["_sup"].max())]}
     )
+
+
+def contingency_table(ds: Dataset, a_col: str, b_col: str) -> pd.DataFrame:
+    """Chi-square contingency table between two categorical columns —
+    the association test behind "is event_type independent of user
+    segment?" / "does language depend on source?". One pass; per-cell
+    outputs are BIT-exact (every float derives from the same exact
+    integers by the same IEEE expression on both sides):
+
+    - ``n``         observed cell count (exact int)
+    - ``expected``  row_total·col_total/N (int·int → double division)
+    - ``chi2_term`` (n − expected)²/expected
+
+    The TOTAL χ² is a sum whose SQL order is unspecified, so the
+    operator returns the per-cell table (callers sum + round as
+    needed) — the same per-row-exactness stance as benford_profile.
+
+    Scale shape: per-batch (a, b) count combiner (domain-bounded: one
+    row per distinct pair per batch), driver fold of the tiny
+    |A|·|B| table. Null in either column excludes the row (SQL GROUP
+    BY over an inner WHERE). → DataFrame(a, b, n, expected,
+    chi2_term), sorted by (a, b).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([a_col, b_col]).drop_null()
+        g = t.group_by([a_col, b_col]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "a": g[a_col],
+                "b": g[b_col],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for blk in (
+        ds.select_columns([a_col, b_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pandas")
+    ):
+        for a, b, n in blk.itertuples(index=False):
+            acc[(a, b)] = acc.get((a, b), 0) + int(n)
+
+    if not acc:
+        return pd.DataFrame(
+            columns=[a_col, b_col, "n", "expected", "chi2_term"]
+        )
+    cells = pd.DataFrame(
+        [(a, b, n) for (a, b), n in acc.items()], columns=[a_col, b_col, "n"]
+    )
+    row_tot = cells.groupby(a_col)["n"].transform("sum").to_numpy(np.int64)
+    col_tot = cells.groupby(b_col)["n"].transform("sum").to_numpy(np.int64)
+    N = np.int64(cells["n"].sum())
+    exp = (row_tot * col_tot) / np.float64(N)
+    obs = cells["n"].to_numpy(np.float64)
+    cells["expected"] = exp
+    cells["chi2_term"] = (obs - exp) * (obs - exp) / exp
+    return cells.sort_values([a_col, b_col]).reset_index(drop=True)
+
+
+def psi_bins(
+    ds_ref: Dataset,
+    ds_cur: Dataset,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Population Stability Index bins — the standard "has this score /
+    value distribution shifted since the reference window?" monitor.
+    Bin boundaries are the REFERENCE distribution's exact equi-depth
+    ``quantile_disc`` cut points (via the proven
+    :func:`~data_linter_ray.functions.quantiles.exact_quantiles`
+    multi-round scan — exact here because the ORACLE must reproduce the
+    same boundaries, unlike the KS buckets where balance is all that
+    matters); both datasets are then counted into those bins in one
+    pruned pass each.
+
+    Bin membership convention: ``bin = #{boundaries ≤ v}`` (0..n_bins−1
+    for in-range values; the SQL side is
+    ``len(list_filter(bounds, q -> v >= q))``). Nulls excluded.
+
+    Counts are exact ints and p_ref/p_cur are IEEE-exact int→double
+    divisions; ``psi_term = (p_cur − p_ref)·ln(p_cur/p_ref)`` can
+    differ from SQL in the LAST ULP (numpy vs DuckDB ``ln``), so the
+    oracle query passes ``round_to=9`` — the same trade as
+    :func:`group_entropy`. NULL when either side's bin is empty
+    (ln(0) has no finite value; the caller decides the epsilon
+    policy). → DataFrame(bin, n_ref, n_cur, p_ref, p_cur, psi_term),
+    one row per bin 0..n_bins−1.
+    """
+    from data_linter_ray.functions.quantiles import exact_quantiles
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = np.sort(
+        exact_quantiles(ds_ref, value_col, qs)["value"].to_numpy(np.float64)
+    )
+
+    def counts(ds: Dataset) -> np.ndarray:
+        def partial(t: pa.Table) -> pa.Table:
+            v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            # searchsorted(side="right") == #{bounds ≤ v}: equal-to-
+            # boundary values go UP a bin, matching the SQL v >= q count
+            b = np.searchsorted(bounds, v, side="right")
+            c = np.bincount(b, minlength=n_bins)
+            return pa.table(
+                {"_c": pa.array([c.astype(np.int64).tobytes()], pa.binary())}
+            )
+
+        total = np.zeros(n_bins, np.int64)
+        for blk in (
+            ds.select_columns([value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            for payload in blk["_c"].to_pylist():
+                total += np.frombuffer(payload, np.int64)
+        return total
+
+    n_ref, n_cur = counts(ds_ref), counts(ds_cur)
+    N_ref, N_cur = np.float64(n_ref.sum()), np.float64(n_cur.sum())
+    p_ref = n_ref / N_ref if N_ref else np.full(n_bins, np.nan)
+    p_cur = n_cur / N_cur if N_cur else np.full(n_bins, np.nan)
+    ok = (n_ref > 0) & (n_cur > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        term = np.where(ok, (p_cur - p_ref) * np.log(p_cur / p_ref), np.nan)
+    if round_to is not None:
+        term = np.round(term, round_to)
+    return pd.DataFrame(
+        {
+            "bin": np.arange(n_bins, dtype=np.int64),
+            "n_ref": n_ref,
+            "n_cur": n_cur,
+            "p_ref": p_ref,
+            "p_cur": p_cur,
+            "psi_term": pd.Series(term).where(pd.Series(ok)),
+        }
+    )

@@ -914,3 +914,60 @@ def test_ks_two_sample_crafted(ray_session):
     pd.testing.assert_frame_equal(out, out2)
     empty = ks_two_sample(ray.data.from_pandas(df), "v", "g", "a", "nope")
     assert empty["n_b"][0] == 0 and pd.isna(empty["ks"][0])
+
+
+@pytest.mark.parametrize(
+    "name", ["event_segment_chisq", "value_psi"]
+)
+def test_drift_quality_oracle_pairs(ray_session, sf_dir, name):
+    _oracle_check(name, sf_dir, tables=("events",))
+
+
+def test_contingency_table_crafted(ray_session):
+    """Known 2×2 table: a/x=30, a/y=10, b/x=10, b/y=50. Expected counts
+    row·col/N and χ² terms verified against the closed form; null rows
+    excluded; empty input → typed empty frame."""
+    from data_linter_ray.functions.stats import contingency_table
+
+    df = pd.DataFrame(
+        {
+            "r": ["a"] * 40 + ["b"] * 60 + [None],
+            "c": ["x"] * 30 + ["y"] * 10 + ["x"] * 10 + ["y"] * 50 + ["x"],
+        }
+    )
+    out = contingency_table(ray.data.from_pandas(df), "r", "c")
+    assert out["n"].tolist() == [30, 10, 10, 50]
+    # expected: row a (40) x col x (40) / 100 = 16, etc.
+    assert out["expected"].tolist() == [16.0, 24.0, 24.0, 36.0]
+    assert out["chi2_term"].tolist() == [
+        (30 - 16.0) ** 2 / 16.0, (10 - 24.0) ** 2 / 24.0,
+        (10 - 24.0) ** 2 / 24.0, (50 - 36.0) ** 2 / 36.0,
+    ]
+    empty = contingency_table(
+        ray.data.from_pandas(pd.DataFrame({"r": [None], "c": [None]})), "r", "c"
+    )
+    assert empty.empty
+
+
+def test_psi_bins_crafted(ray_session):
+    """Identical distributions → psi_term 0 everywhere; an empty
+    current bin → NULL term; boundary ties go UP a bin (v >= q)."""
+    from data_linter_ray.functions.stats import psi_bins
+
+    ref = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0] * 25})
+    same = psi_bins(
+        ray.data.from_pandas(ref), ray.data.from_pandas(ref), "v", n_bins=4
+    )
+    # boundaries = quantile_disc at .25/.5/.75 = [1,2,3]; a value EQUAL
+    # to a boundary goes UP (v >= q): 1→bin1, 2→bin2, {3,4}→bin3;
+    # bin 0 holds only v < min-boundary — empty here
+    assert same["n_ref"].tolist() == same["n_cur"].tolist() == [0, 25, 25, 50]
+    assert (same["psi_term"].dropna() == 0.0).all()
+    assert pd.isna(same["psi_term"][0])  # both sides empty → NULL
+
+    cur = pd.DataFrame({"v": [1.0, 2.0, 4.0] * 10})
+    shift = psi_bins(
+        ray.data.from_pandas(ref), ray.data.from_pandas(cur), "v", n_bins=4
+    )
+    assert shift["n_cur"].tolist() == [0, 10, 10, 10]
+    assert (shift["psi_term"].dropna() != 0).all()
