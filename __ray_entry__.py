@@ -2551,6 +2551,18 @@ def q_value_psi(sf_dir: str):
     return psi_bins(ref, cur, "value", n_bins=10, round_to=9)
 
 
+def q_value_gini(sf_dir: str):
+    """EXACT Gini coefficient of event values (concentration monitor):
+    integer-cents rank-sum identity over the KS range-exchange
+    machinery; all folds are arbitrary-precision ints (HUGEINT on the
+    SQL side), final expression two exact-int→double casts + one
+    division — bit-exact, no rounding."""
+    from data_linter_ray.functions.stats import gini
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return gini(ds, "value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2674,6 +2686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_distribution_ks": q_value_distribution_ks,
         "event_segment_chisq": q_event_segment_chisq,
         "value_psi": q_value_psi,
+        "value_gini": q_value_gini,
     }
 
 
@@ -4008,5 +4021,17 @@ def oracle_sql() -> dict[str, str]:
             "round((j.n_cur/t.NC - j.n_ref/t.NR) * "
             "ln((j.n_cur/t.NC)/(j.n_ref/t.NR)), 9) END AS psi_term "
             "FROM j, t ORDER BY j.bin"
+        ),
+        # value_gini: rank-sum identity on integer cents; HUGEINT-exact
+        # folds, one double division — bit-exact
+        "value_gini": (
+            "WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS c "
+            "FROM events WHERE value IS NOT NULL), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM v), "
+            "s AS (SELECT count(*) AS n, sum(CAST(c AS HUGEINT)) AS s0, "
+            "sum(CAST(i AS HUGEINT)*CAST(c AS HUGEINT)) AS s1 FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(2*s1 - (n+1)*s0 AS DOUBLE) / "
+            "CAST(CAST(n AS HUGEINT)*s0 AS DOUBLE) AS gini FROM s"
         ),
     }

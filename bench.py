@@ -223,6 +223,7 @@ QUERY_NAMES = [
     "value_distribution_ks",
     "event_segment_chisq",
     "value_psi",
+    "value_gini",
 ]
 
 

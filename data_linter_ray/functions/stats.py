@@ -996,3 +996,112 @@ def psi_bins(
             "psi_term": pd.Series(term).where(pd.Series(ok)),
         }
     )
+
+
+def gini(
+    ds: Dataset,
+    value_col: str,
+    *,
+    scale: int = 100,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """EXACT Gini coefficient of a value column — the concentration /
+    inequality monitor ("is 1% of users generating 90% of the value?",
+    "how skewed is this source's contribution?"). Computed on integer
+    ``cents = round(value·scale)`` via the rank-sum identity
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` with i the 1-based rank
+    in sorted order (ties contribute the same total for any tie order,
+    so the statistic is well-defined and matches SQL ``row_number``).
+
+    Exactness: all three folds (n, Σx, Σ i·x) are ARBITRARY-PRECISION
+    integers — per-bucket int64-safe partial products are folded into
+    Python ints on the driver, the oracle casts to HUGEINT — and the
+    final expression is two exact-int→double casts and one division,
+    identical on both sides. Bit-exact, no rounding, at any n.
+
+    Scale shape: the KS machinery — one t-digest pass for approximate
+    equi-depth boundaries (balance only), per-batch (cents, count)
+    combiner, per-bucket totals → driver prefix offsets, one range
+    exchange; each bucket's rank-sum needs only its own sorted
+    distinct values plus its scalar count offset:
+    ``Σ i·x over a run of m copies of x at offset o =
+    x·(m·o + m(m+1)/2)``. Null values are excluded.
+
+    → 1-row DataFrame(n, gini).
+    """
+    from data_linter_ray.exchange import (
+        exchange_map_groups,
+        exchange_width,
+    )
+    from data_linter_ray.state.sketches import TDigest
+
+    P = num_partitions or exchange_width(ds)
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        return pa.table({"c": pa.array(np.rint(v * scale).astype(np.int64))})
+
+    cents = ds.select_columns([value_col]).map_batches(
+        to_cents, batch_format="pyarrow"
+    ).materialize()
+
+    if P > 1:
+        def digest_partial(t: pa.Table) -> pa.Table:
+            td = TDigest()
+            td.add(t["c"].to_numpy(zero_copy_only=False).astype(np.float64))
+            return pa.table({"_d": pa.array([td.to_bytes()], pa.binary())})
+
+        digest = TDigest()
+        for b in cents.map_batches(
+            digest_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for payload in b["_d"].to_pylist():
+                digest.merge(TDigest.from_bytes(payload))
+        bounds = np.unique(digest.quantiles([i / P for i in range(1, P)]))
+        bounds = bounds[np.isfinite(bounds)]
+    else:
+        bounds = np.empty(0, np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"c": t["c"]}).to_pandas()
+        agg = df.groupby("c", as_index=False, sort=False).size()
+        agg.columns = ["c", "m"]
+        agg["_part"] = np.searchsorted(
+            bounds, agg["c"].to_numpy(np.float64), side="left"
+        ).astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = cents.map_batches(partial, batch_format="pyarrow").materialize()
+
+    tot = np.zeros(P, np.int64)
+    for blk in parts.iter_batches(batch_format="pyarrow"):
+        pdf = blk.select(["_part", "m"]).to_pandas()
+        s = pdf.groupby("_part")["m"].sum()
+        tot[s.index.to_numpy()] += s.to_numpy(np.int64)
+    n = int(tot.sum())
+    offs = np.zeros(P, np.int64)
+    offs[1:] = np.cumsum(tot)[:-1]
+
+    def ranksum(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(df["_part"].iloc[0])
+        agg = df.groupby("c", as_index=True, sort=True)["m"].sum()
+        c = agg.index.to_numpy(np.int64)
+        m = agg.to_numpy(np.int64)
+        o = offs[bucket] + np.concatenate(([0], np.cumsum(m)[:-1]))
+        # fold in EXACT Python ints: per-run Σi·x = x·(m·o + m(m+1)/2);
+        # int64 products can overflow at fleet-scale n, object dtype
+        # keeps every term exact
+        co, mo, oo = c.astype(object), m.astype(object), o.astype(object)
+        s1 = int((co * (mo * oo + mo * (mo + 1) // 2)).sum())
+        s0 = int((co * mo).sum())
+        return pd.DataFrame({"_s0": [str(s0)], "_s1": [str(s1)]})
+
+    if n == 0:
+        return pd.DataFrame({"n": [0], "gini": [np.nan]})
+    sums = exchange_map_groups(parts, "_part", P, ranksum).to_pandas()
+    s0 = sum(int(x) for x in sums["_s0"])
+    s1 = sum(int(x) for x in sums["_s1"])
+    denom = n * s0
+    g = float(2 * s1 - (n + 1) * s0) / float(denom) if denom else np.nan
+    return pd.DataFrame({"n": [n], "gini": [g]})

@@ -971,3 +971,23 @@ def test_psi_bins_crafted(ray_session):
     )
     assert shift["n_cur"].tolist() == [0, 10, 10, 10]
     assert (shift["psi_term"].dropna() != 0).all()
+
+
+def test_gini_oracle(ray_session, sf_dir):
+    _oracle_check("value_gini", sf_dir, tables=("events",))
+
+
+def test_gini_crafted(ray_session):
+    """Closed-form checks: perfect equality → 0; one holder of all
+    value among n → (n-1)/n; width invariance; null exclusion."""
+    from data_linter_ray.functions.stats import gini
+
+    eq = pd.DataFrame({"v": [5.0] * 8 + [None]})
+    out = gini(ray.data.from_pandas(eq), "v")
+    assert out["n"][0] == 8 and out["gini"][0] == 0.0
+
+    onehot = pd.DataFrame({"v": [0.0] * 9 + [10.0]})
+    out = gini(ray.data.from_pandas(onehot), "v")
+    assert out["gini"][0] == (10 - 1) / 10
+    out2 = gini(ray.data.from_pandas(onehot), "v", num_partitions=3)
+    pd.testing.assert_frame_equal(out, out2)
