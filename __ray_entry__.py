@@ -2563,6 +2563,19 @@ def q_value_gini(sf_dir: str):
     return gini(ds, "value")
 
 
+def q_value_mannwhitney(sf_dir: str):
+    """EXACT Mann-Whitney U (click vs view): doubled average ranks are
+    integers (2o + m + 1 per tie run), per-bucket rank-sum partials
+    fold as arbitrary-precision ints (HUGEINT oracle), final U one
+    exact-int->double cast and a power-of-two divide -- bit-exact."""
+    from data_linter_ray.functions.stats import mannwhitney_u
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return mannwhitney_u(ds, "value", "event_type", "click", "view")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2687,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_segment_chisq": q_event_segment_chisq,
         "value_psi": q_value_psi,
         "value_gini": q_value_gini,
+        "value_mannwhitney": q_value_mannwhitney,
     }
 
 
@@ -4033,5 +4047,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n, "
             "CAST(2*s1 - (n+1)*s0 AS DOUBLE) / "
             "CAST(CAST(n AS HUGEINT)*s0 AS DOUBLE) AS gini FROM s"
+        ),
+        # value_mannwhitney: doubled average ranks 2*rank() + cnt - 1
+        # are ints; HUGEINT folds; one power-of-two divide — bit-exact
+        "value_mannwhitney": (
+            "WITH u AS (SELECT value, "
+            "CASE WHEN event_type='click' THEN 1 ELSE 0 END AS g "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IN ('click','view')), "
+            "r AS (SELECT g, CAST(2*rank() OVER (ORDER BY value) + "
+            "count(*) OVER (PARTITION BY value) - 1 AS HUGEINT) AS r2 FROM u), "
+            "s AS (SELECT sum(CASE WHEN g=1 THEN r2 END) AS R2a, "
+            "count_if(g=1) AS na, count_if(g=0) AS nb FROM r) "
+            "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
+            "CAST(R2a - CAST(na AS HUGEINT)*(na+1) AS DOUBLE)/2 AS u_a, "
+            "CAST(na AS DOUBLE)*CAST(nb AS DOUBLE) - "
+            "CAST(R2a - CAST(na AS HUGEINT)*(na+1) AS DOUBLE)/2 AS u_b "
+            "FROM s"
         ),
     }

@@ -224,6 +224,7 @@ QUERY_NAMES = [
     "event_segment_chisq",
     "value_psi",
     "value_gini",
+    "value_mannwhitney",
 ]
 
 

@@ -729,6 +729,147 @@ def benford_profile(ds: Dataset, value_col: str) -> pd.DataFrame:
     )
 
 
+def _two_group_value_parts(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    P: int,
+):
+    """Shared front half of the rank/CDF statistics (KS, Mann–Whitney):
+    filter to the two groups, t-digest approximate equi-depth range
+    boundaries (balance only — correctness never depends on them),
+    per-batch (value, n_a, n_b) count combiner keyed by range bucket,
+    per-bucket totals folded into prefix OFFSETS on the driver.
+
+    → (materialized parts with columns v/a/b/_part, offs[P,2], n_a,
+    n_b). Equal values always share a bucket (searchsorted is a pure
+    function of the value), so per-bucket sorted scans are globally
+    exact."""
+    import pyarrow.compute as pc
+
+    from data_linter_ray.state.sketches import TDigest
+
+    def pick(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        keep = pc.and_(
+            pc.is_valid(t[value_col]),
+            pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "v": t[value_col].cast(pa.float64()),
+                "is_a": pc.equal(t[group_col], group_a),
+            }
+        )
+
+    picked = ds.select_columns([value_col, group_col]).map_batches(
+        pick, batch_format="pyarrow"
+    ).materialize()
+
+    if P > 1:
+        def digest_partial(t: pa.Table) -> pa.Table:
+            td = TDigest()
+            td.add(t["v"].to_numpy(zero_copy_only=False))
+            return pa.table({"_d": pa.array([td.to_bytes()], pa.binary())})
+
+        digest = TDigest()
+        for b in picked.map_batches(
+            digest_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for payload in b["_d"].to_pylist():
+                digest.merge(TDigest.from_bytes(payload))
+        bounds = np.unique(digest.quantiles([i / P for i in range(1, P)]))
+        bounds = bounds[np.isfinite(bounds)]
+    else:
+        bounds = np.empty(0, np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"v": t["v"], "a": t["is_a"].cast(pa.int64())}
+        ).to_pandas()
+        df["b"] = 1 - df["a"]
+        agg = df.groupby("v", as_index=False, sort=False)[["a", "b"]].sum()
+        agg["_part"] = np.searchsorted(
+            bounds, agg["v"].to_numpy(), side="left"
+        ).astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = picked.map_batches(partial, batch_format="pyarrow").materialize()
+
+    tot = np.zeros((P, 2), np.int64)
+    for blk in parts.iter_batches(batch_format="pyarrow"):
+        pdf = blk.select(["_part", "a", "b"]).to_pandas()
+        s = pdf.groupby("_part")[["a", "b"]].sum()
+        tot[s.index.to_numpy()] += s.to_numpy(np.int64)
+    n_a, n_b = int(tot[:, 0].sum()), int(tot[:, 1].sum())
+    offs = np.zeros((P, 2), np.int64)
+    offs[1:] = np.cumsum(tot, axis=0)[:-1]
+    return parts, offs, n_a, n_b
+
+
+def mannwhitney_u(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """EXACT Mann–Whitney U statistic (Wilcoxon rank-sum) between two
+    groups' value distributions — the nonparametric "is one group
+    stochastically larger?" test that complements the KS sup-distance.
+    Tied values receive AVERAGE ranks (the standard convention; SQL
+    reproduces it as ``rank() + (count_per_value − 1)/2``).
+
+    Exactness: DOUBLED rank sums are integers — a run of m tied values
+    starting after o predecessors has 2·avg_rank = 2o + m + 1 — and
+    per-bucket partials fold as arbitrary-precision Python ints
+    (HUGEINT on the SQL side). The final ``U_a = (R2_a − n_a(n_a+1))/2``
+    is one exact-int→double cast and a divide-by-2 (a power of two —
+    exact) — bit-exact at any n, no rounding.
+
+    Scale shape: the shared two-group range machinery
+    (:func:`_two_group_value_parts`); each bucket needs only its own
+    sorted distinct values plus its two scalar count offsets.
+
+    → 1-row DataFrame(n_a, n_b, u_a, u_b); u_a + u_b = n_a·n_b.
+    """
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+
+    P = num_partitions or exchange_width(ds)
+    parts, offs, n_a, n_b = _two_group_value_parts(
+        ds, value_col, group_col, group_a, group_b, P
+    )
+
+    def ranksum(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(df["_part"].iloc[0])
+        agg = df.groupby("v", as_index=True, sort=True)[["a", "b"]].sum()
+        a = agg["a"].to_numpy(np.int64)
+        m = a + agg["b"].to_numpy(np.int64)
+        o = offs[bucket].sum() + np.concatenate(([0], np.cumsum(m)[:-1]))
+        # doubled average rank per run: 2o + m + 1; fold in Python ints
+        r2 = (
+            a.astype(object) * (2 * o.astype(object) + m.astype(object) + 1)
+        ).sum()
+        return pd.DataFrame({"_r2a": [str(int(r2))]})
+
+    if n_a == 0 or n_b == 0:
+        return pd.DataFrame(
+            {"n_a": [n_a], "n_b": [n_b], "u_a": [np.nan], "u_b": [np.nan]}
+        )
+    sums = exchange_map_groups(parts, "_part", P, ranksum).to_pandas()
+    r2a = sum(int(x) for x in sums["_r2a"])
+    u_a = float(r2a - n_a * (n_a + 1)) / 2.0
+    u_b = float(n_a) * float(n_b) - u_a
+    return pd.DataFrame(
+        {"n_a": [n_a], "n_b": [n_b], "u_a": [u_a], "u_b": [u_b]}
+    )
+
+
 def ks_two_sample(
     ds: Dataset,
     value_col: str,
@@ -771,77 +912,12 @@ def ks_two_sample(
 
     → 1-row DataFrame(n_a, n_b, ks).
     """
-    import pyarrow.compute as pc
-    import ray
-
-    from data_linter_ray.exchange import (
-        exchange_map_groups,
-        exchange_width,
-    )
-    from data_linter_ray.state.sketches import TDigest
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
 
     P = num_partitions or exchange_width(ds)
-
-    def pick(t: pa.Table) -> pa.Table:
-        g = t[group_col]
-        keep = pc.and_(
-            pc.is_valid(t[value_col]),
-            pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)),
-        )
-        t = t.filter(keep)
-        return pa.table(
-            {
-                "v": t[value_col].cast(pa.float64()),
-                "is_a": pc.equal(t[group_col], group_a),
-            }
-        )
-
-    picked = ds.select_columns([value_col, group_col]).map_batches(
-        pick, batch_format="pyarrow"
-    ).materialize()
-
-    if P > 1:
-        def digest_partial(t: pa.Table) -> pa.Table:
-            td = TDigest()
-            td.add(t["v"].to_numpy(zero_copy_only=False))
-            return pa.table({"_d": pa.array([td.to_bytes()], pa.binary())})
-
-        digest = TDigest()
-        for b in picked.map_batches(
-            digest_partial, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow"):
-            for payload in b["_d"].to_pylist():
-                digest.merge(TDigest.from_bytes(payload))
-        bounds = np.unique(
-            digest.quantiles([i / P for i in range(1, P)])
-        )
-        bounds = bounds[np.isfinite(bounds)]
-    else:
-        bounds = np.empty(0, np.float64)
-
-    def partial(t: pa.Table) -> pa.Table:
-        df = pa.table(
-            {"v": t["v"], "a": t["is_a"].cast(pa.int64())}
-        ).to_pandas()
-        df["b"] = 1 - df["a"]
-        agg = df.groupby("v", as_index=False, sort=False)[["a", "b"]].sum()
-        agg["_part"] = np.searchsorted(
-            bounds, agg["v"].to_numpy(), side="left"
-        ).astype(np.int64)
-        return pa.Table.from_pandas(agg, preserve_index=False)
-
-    parts = picked.map_batches(partial, batch_format="pyarrow").materialize()
-
-    # per-bucket totals → prefix offsets (P scalars on the driver) and
-    # the global sample sizes
-    tot = np.zeros((P, 2), np.int64)
-    for blk in parts.iter_batches(batch_format="pyarrow"):
-        pdf = blk.select(["_part", "a", "b"]).to_pandas()
-        s = pdf.groupby("_part")[["a", "b"]].sum()
-        tot[s.index.to_numpy()] += s.to_numpy(np.int64)
-    n_a, n_b = int(tot[:, 0].sum()), int(tot[:, 1].sum())
-    offs = np.zeros((P, 2), np.int64)
-    offs[1:] = np.cumsum(tot, axis=0)[:-1]
+    parts, offs, n_a, n_b = _two_group_value_parts(
+        ds, value_col, group_col, group_a, group_b, P
+    )
 
     def sup(df: pd.DataFrame) -> pd.DataFrame:
         bucket = int(df["_part"].iloc[0])

@@ -991,3 +991,26 @@ def test_gini_crafted(ray_session):
     assert out["gini"][0] == (10 - 1) / 10
     out2 = gini(ray.data.from_pandas(onehot), "v", num_partitions=3)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_mannwhitney_oracle(ray_session, sf_dir):
+    _oracle_check("value_mannwhitney", sf_dir, tables=("events",))
+
+
+def test_mannwhitney_crafted(ray_session):
+    """Textbook case with ties: a={1,2,2}, b={2,3}. Average ranks:
+    1→1, run of three 2s at positions 2-4 → avg 3, 3→5.
+    R_a = 1+3+3 = 7 → U_a = 7 - 3·4/2 = 1; U_b = 6 - 1 = 5.
+    Width invariance and the scipy closed form both confirm."""
+    from data_linter_ray.functions.stats import mannwhitney_u
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b", None], "v": [1.0, 2.0, 2.0, 2.0, 3.0, 9.9]}
+    )
+    out = mannwhitney_u(ray.data.from_pandas(df), "v", "g", "a", "b")
+    assert (out["n_a"][0], out["n_b"][0]) == (3, 2)
+    assert out["u_a"][0] == 1.0 and out["u_b"][0] == 5.0
+    out2 = mannwhitney_u(
+        ray.data.from_pandas(df), "v", "g", "a", "b", num_partitions=3
+    )
+    pd.testing.assert_frame_equal(out, out2)
