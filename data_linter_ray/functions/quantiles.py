@@ -637,3 +637,78 @@ def quantile_bucketize(
         return t.append_column(out_col, pa.array(b))
 
     return ds.select_columns(cols).map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_quantiles_approx(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    *,
+    k: int = 200,
+    seed: int = 7,
+):
+    """ZERO-shuffle approximate per-group quantiles — the scale path of
+    :func:`grouped_quantiles`, exactly as ``group_count_distinct_approx``
+    is to ``group_count_distinct``: per batch, one KLL sketch per group
+    present in the batch, serialized as data (retry-safe); driver merge
+    is groups-bounded (one O(k)-byte sketch per group), never
+    value-bounded — where the exact operator's refinement scans re-read
+    the column, this reads it ONCE. Normalized rank error is O(1/k)
+    w.h.p. (Karnin-Lang-Liberty FOCS 2016); ``seed`` pins each
+    partial's compaction coin, but the driver merge folds sketches in
+    block-arrival order, which can vary across runs — the rank-error
+    guarantee holds for EVERY order (the sketch is mergeable);
+    byte-identical reruns are not promised.
+
+    Deliberately NOT a driver-contract query (approximate by design —
+    the oracle table stays fully exact); tolerance-tested against the
+    exact operator in pytest.
+
+    → DataFrame(group, q, value), sorted by (group, q).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_linter_ray.functions.timeseries import _schema_types
+    from data_linter_ray.state.sketches import KLL
+
+    g_type = _schema_types(ds)[group_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col]).drop_null()
+        if not t.num_rows:
+            return pa.table(
+                {"g": pa.array([], g_type), "sk": pa.array([], pa.binary())}
+            )
+        df = t.to_pandas()
+        gs, sks = [], []
+        for gval, vals in df.groupby(group_col, sort=False)[value_col]:
+            sk = KLL(k, seed=seed)
+            sk.add(vals.to_numpy(np.float64))
+            gs.append(gval)
+            sks.append(sk.to_bytes())
+        return pa.table(
+            {"g": pa.array(gs, g_type), "sk": pa.array(sks, pa.binary())}
+        )
+
+    acc: dict = {}
+    for b in (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for gval, blob in zip(b["g"].to_pylist(), b["sk"].to_pylist()):
+            sk = KLL.from_bytes(blob)
+            if gval in acc:
+                acc[gval].merge(sk)
+            else:
+                acc[gval] = sk
+
+    rows = []
+    for gval in sorted(acc):
+        vals = acc[gval].quantiles(qs)
+        for q, v in zip(qs, vals):
+            rows.append((gval, q, float(v)))
+    return pd.DataFrame(rows, columns=[group_col, "q", "value"])

@@ -921,3 +921,39 @@ def test_group_count_distinct_approx_tolerance(ray_session):
         ray.data.from_arrow(t).repartition(17), "g", "v"
     ).set_index("g")["n_distinct_approx"]
     pd.testing.assert_series_equal(approx, approx2, check_names=False)
+
+
+def test_grouped_quantiles_approx_tolerance(ray_session, sf_dir):
+    """The KLL scale path must land within a rank-error envelope of the
+    exact per-group quantiles: for each (group, q), the approximate
+    value's true rank within the group must be within eps·n of q·n
+    (eps = 4/k, comfortably above the KLL constant)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from data_linter_ray.functions.quantiles import grouped_quantiles_approx
+
+    qs = [0.1, 0.5, 0.9]
+    k = 200
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    approx = grouped_quantiles_approx(ds, "event_type", "value", qs, k=k)
+
+    raw = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas().dropna()
+    eps = 4.0 / k
+    checked = 0
+    for (g, q), row in approx.set_index(["event_type", "q"]).iterrows():
+        vals = np.sort(raw[raw["event_type"] == g]["value"].to_numpy())
+        n = len(vals)
+        rank = np.searchsorted(vals, row["value"], side="right")
+        assert abs(rank - q * n) <= max(eps * n, 2.0), (g, q, rank, q * n)
+        checked += 1
+    assert checked == approx.shape[0] > 0
+
+    # groups match the exact operator's group set
+    assert set(approx["event_type"]) == set(raw["event_type"].unique())
