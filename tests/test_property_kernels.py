@@ -3,6 +3,7 @@ properties run hundreds of random cases; Ray-backed ops run a reduced
 example budget (a Dataset round-trip per example is expensive)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -300,3 +301,121 @@ def test_weighted_fraction_decision_is_row_local(rows, k):
             assert not mask[i]
         if k * w[i] >= W:
             assert mask[i]  # p caps at 1.0 -> u64-as-double < 2^64 always
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # key
+            st.integers(min_value=0, max_value=100),   # seconds offset
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_time_rolling_matches_bruteforce(ray_session, rows):
+    """RANGE-frame rolling sums/counts equal a brute-force per-key
+    [t-w, t] recount for random keyed streams — including duplicate
+    timestamps (peers), where every peer's frame holds ALL peers."""
+    import ray
+
+    from data_linter_ray.functions.window import time_rolling
+
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[s]").astype(
+                    "datetime64[us]"
+                ),
+                pa.timestamp("us"),
+            ),
+            "i": pa.array(list(range(len(rows))), pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    W_US = 10_000_000  # 10 s
+    out = (
+        time_rolling(
+            ray.data.from_arrow(t).repartition(3), "k", "ts", "i", "v",
+            window_us=W_US, num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    for idx, (k, sec, _v) in enumerate(rows):
+        frame = [
+            int(np.rint(v2 * 100))
+            for (k2, s2, v2) in rows
+            if k2 == k and sec - 10 <= s2 <= sec
+        ]
+        row = out[out["i"] == idx].iloc[0]
+        assert row["roll_n"] == len(frame)
+        assert row["roll_sum_cents"] == sum(frame)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # key
+            st.integers(min_value=0, max_value=40),    # seconds offset
+            st.floats(min_value=0, max_value=9, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_resample_ffill_matches_bruteforce(ray_session, rows):
+    """Grid forward-fill equals a brute-force last-observation-at-or-
+    before lookup with max-tie collapse at duplicate (key, ts)."""
+    import ray
+
+    from data_linter_ray.functions.timeseries import resample_ffill
+
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[s]").astype(
+                    "datetime64[us]"
+                ),
+                pa.timestamp("us"),
+            ),
+            "i": pa.array(list(range(len(rows))), pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    STEP = 7_000_000  # 7 s grid
+    out = (
+        resample_ffill(
+            ray.data.from_arrow(t).repartition(2), key="k", time_col="ts",
+            tie="i", value="v", start="1970-01-01T00:00:00",
+            stop="1970-01-01T00:00:42", step_us=STEP, num_partitions=2,
+        )
+        .to_pandas()
+    )
+    grid = list(range(0, 43, 7))
+    keys = sorted({r[0] for r in rows})
+    assert len(out) == len(grid) * len(keys)
+    for k in keys:
+        for gsec in grid:
+            # last obs (by ts, then tie i) at or before the grid point
+            cand = [
+                (s, i, v)
+                for i, (k2, s, v) in enumerate(rows)
+                if k2 == k and s <= gsec
+            ]
+            want = max(cand)[2] if cand else None
+            got_rows = out[
+                (out["k"] == k)
+                & (out["ts"] == np.datetime64(gsec, "s").astype("datetime64[us]"))
+            ]
+            got = got_rows["v"].iloc[0]
+            if want is None:
+                assert pd.isna(got)
+            else:
+                assert got == want
