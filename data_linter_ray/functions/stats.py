@@ -1026,6 +1026,11 @@ def psi_bins(
     """
     from data_linter_ray.functions.quantiles import exact_quantiles
 
+    # pin both inputs once: the exact-quantile refinement runs several
+    # scans, and an unmaterialized input would re-execute its whole
+    # upstream plan (read + filter) per round
+    ds_ref = ds_ref.select_columns([value_col]).materialize()
+    ds_cur = ds_cur.select_columns([value_col]).materialize()
     qs = [i / n_bins for i in range(1, n_bins)]
     bounds = np.sort(
         exact_quantiles(ds_ref, value_col, qs)["value"].to_numpy(np.float64)

@@ -139,11 +139,19 @@ def read_table_dataset(
         if p0.endswith((".jsonl", ".json"))
         else "lance"
         if p0.endswith(".lance")
+        else "orc"
+        if p0.endswith(".orc")
+        else "feather"
+        if p0.endswith((".feather", ".arrow"))
         else "parquet"
     )
 
     if fmt == "parquet":
         ds = ray.data.read_parquet(path, **fs_kwargs)
+    elif fmt == "orc":
+        ds = read_orc_dataset(path, **fs_kwargs)
+    elif fmt == "feather":
+        ds = read_feather_dataset(path, **fs_kwargs)
     elif fmt == "lance":
         try:
             ds = ray.data.read_lance(p0)  # requires lance in the env
@@ -170,3 +178,75 @@ def read_table_dataset(
         )
         ds = cast_to_schema(ds, use_schema)
     return ds
+
+
+# ---------------------------------------------------------------------------
+# Columnar source formats beyond Ray's built-ins: ORC and Feather (Arrow
+# IPC), as FileBasedDatasource subclasses — the idiomatic Ray Data
+# extension point. Both stream SUB-FILE units (ORC stripes / IPC record
+# batches) so one huge file never materializes as one block, and both
+# inherit the full path/filesystem/parallelism machinery (S3 included).
+# Reference provenance: the reference reads csv/jsonl/parquet only
+# (reference data_linter/validators); these extend §2.1's source matrix
+# the same way the lance gate does.
+# ---------------------------------------------------------------------------
+
+
+def _orc_datasource_cls():
+    from ray.data.datasource import FileBasedDatasource
+
+    class _OrcDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["orc"]
+
+        def _open_input_source(self, filesystem, path, **open_args):
+            # ORC needs RANDOM ACCESS (footer + stripe index); the
+            # default opens a forward-only stream
+            return filesystem.open_input_file(path)
+
+        def _read_stream(self, f, path: str):
+            import pyarrow.orc as po
+
+            import pyarrow as _pa
+
+            reader = po.ORCFile(f)
+            for i in range(reader.nstripes):
+                stripe = reader.read_stripe(i)  # → RecordBatch
+                yield _pa.Table.from_batches([stripe])
+
+    return _OrcDatasource
+
+
+def _feather_datasource_cls():
+    from ray.data.datasource import FileBasedDatasource
+
+    class _FeatherDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["feather", "arrow"]
+
+        def _open_input_source(self, filesystem, path, **open_args):
+            # the IPC FILE format reads its footer first — random access
+            return filesystem.open_input_file(path)
+
+        def _read_stream(self, f, path: str):
+            import pyarrow as _pa
+
+            reader = _pa.ipc.open_file(f)
+            for i in range(reader.num_record_batches):
+                b = reader.get_batch(i)
+                yield _pa.Table.from_batches([b])
+
+    return _FeatherDatasource
+
+
+def read_orc_dataset(path, **kwargs) -> "Dataset":
+    """ORC files → Dataset, one stripe per yielded block."""
+    import ray.data
+
+    return ray.data.read_datasource(_orc_datasource_cls()(path, **kwargs))
+
+
+def read_feather_dataset(path, **kwargs) -> "Dataset":
+    """Feather v2 / Arrow IPC files → Dataset, one record batch per
+    yielded block (zero-copy IPC decode)."""
+    import ray.data
+
+    return ray.data.read_datasource(_feather_datasource_cls()(path, **kwargs))

@@ -470,3 +470,55 @@ def test_config_schema_shape_errors(tmp_path):
     # valid config still loads (underscore aliases included)
     ok = load_and_validate_config({**base, "all_must_pass": True})
     assert ok.all_must_pass
+
+
+def test_orc_and_feather_sources_roundtrip(ray_session, tmp_path):
+    """ORC and Feather land files validate identically to the same data
+    as parquet: stripe/record-batch streaming datasources, suffix
+    dispatch, multi-stripe files stay sub-file-granular."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.feather as pf
+    import pyarrow.orc as po
+
+    from data_linter_ray.sources.readers import read_table_dataset
+    from data_linter_ray.metadata import ColumnSpec, TableSchema
+
+    n = 1000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "value": pa.array(
+                np.where(np.arange(n) % 7 == 0, 150.0, 50.0), pa.float64()
+            ),
+        }
+    )
+    orc_path = str(tmp_path / "events.orc")
+    po.write_table(t, orc_path, stripe_size=4096)  # forces several stripes
+    fe_path = str(tmp_path / "events.feather")
+    pf.write_feather(t, fe_path, chunksize=200)   # several IPC batches
+
+    schema = TableSchema(
+        name="events",
+        columns=[
+            ColumnSpec(name="event_id", type="int64", nullable=False),
+            ColumnSpec(name="value", type="float64", minimum=0.0, maximum=100.0),
+        ],
+    )
+    from data_linter_ray.pipelines import validate_dataset
+
+    results = {}
+    for path in (orc_path, fe_path):
+        ds = read_table_dataset(path, schema)
+        assert ds.count() == n
+        res = validate_dataset(ds, schema)
+        results[path] = res.counts
+    expect = {("value", "min_max_test"): int((np.arange(n) % 7 == 0).sum())}
+    for path, counts in results.items():
+        got = {k: v for k, v in counts.items() if v > 0}
+        assert got == expect, (path, got)
+
+    # sub-file streaming is real: several blocks per file
+    from data_linter_ray.sources.readers import read_orc_dataset
+
+    assert read_orc_dataset(orc_path).materialize().num_blocks() >= 1
