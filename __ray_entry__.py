@@ -2576,6 +2576,21 @@ def q_value_mannwhitney(sf_dir: str):
     return mannwhitney_u(ds, "value", "event_type", "click", "view")
 
 
+def q_price_quantity_spearman(sf_dir: str):
+    """EXACT Spearman rank correlation (quantity vs extendedprice,
+    heavy ties on the quantity side): distributed value->doubled-rank
+    maps + two hash joins + arbitrary-precision sufficient statistics;
+    the closed form is exact-int casts, two IEEE sqrts and one divide
+    -- bit-exact, no rounding."""
+    from data_linter_ray.functions.stats import spearman_corr
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    return spearman_corr(ds, "l_quantity", "l_extendedprice")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2701,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_psi": q_value_psi,
         "value_gini": q_value_gini,
         "value_mannwhitney": q_value_mannwhitney,
+        "price_quantity_spearman": q_price_quantity_spearman,
     }
 
 
@@ -4064,5 +4080,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(na AS DOUBLE)*CAST(nb AS DOUBLE) - "
             "CAST(R2a - CAST(na AS HUGEINT)*(na+1) AS DOUBLE)/2 AS u_b "
             "FROM s"
+        ),
+        # price_quantity_spearman: Pearson over doubled average ranks;
+        # HUGEINT sufficient statistics, two IEEE sqrts — bit-exact
+        "price_quantity_spearman": (
+            "WITH p AS (SELECT l_quantity AS x, l_extendedprice AS y "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL), "
+            "r AS (SELECT CAST(2*rank() OVER (ORDER BY x) + "
+            "count(*) OVER (PARTITION BY x) - 1 AS HUGEINT) AS rx, "
+            "CAST(2*rank() OVER (ORDER BY y) + "
+            "count(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS ry FROM p), "
+            "s AS (SELECT count(*) AS n, sum(rx) sx, sum(ry) sy, "
+            "sum(rx*rx) sxx, sum(ry*ry) syy, sum(rx*ry) sxy FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+            "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS rho FROM s"
         ),
     }

@@ -225,6 +225,7 @@ QUERY_NAMES = [
     "value_psi",
     "value_gini",
     "value_mannwhitney",
+    "price_quantity_spearman",
 ]
 
 

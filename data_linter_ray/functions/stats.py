@@ -1186,3 +1186,166 @@ def gini(
     denom = n * s0
     g = float(2 * s1 - (n + 1) * s0) / float(denom) if denom else np.nan
     return pd.DataFrame({"n": [n], "gini": [g]})
+
+
+def _attach_rank(rows_ds, col: str, out_col: str, P: int):
+    """Attach the DOUBLED average rank of ``col`` to every row via one
+    range exchange — the join-free form of :func:`_value_rank_map`:
+    rows are range-partitioned by the column (t-digest-balanced), so a
+    bucket holds ALL rows of each of its values; per-bucket tie-run
+    lengths are the exact global tie counts and the cross-bucket offset
+    is the prefix of bucket row counts (bincount partials, P ints).
+
+    → Dataset(rows + <out_col> int64)."""
+    from data_linter_ray.exchange import exchange_map_groups
+    from data_linter_ray.state.sketches import TDigest
+
+    if P > 1:
+        def digest_partial(t: pa.Table) -> pa.Table:
+            td = TDigest()
+            td.add(t[col].to_numpy(zero_copy_only=False))
+            return pa.table({"_d": pa.array([td.to_bytes()], pa.binary())})
+
+        digest = TDigest()
+        for b in rows_ds.map_batches(
+            digest_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for payload in b["_d"].to_pylist():
+                digest.merge(TDigest.from_bytes(payload))
+        bounds = np.unique(digest.quantiles([i / P for i in range(1, P)]))
+        bounds = bounds[np.isfinite(bounds)]
+    else:
+        bounds = np.empty(0, np.float64)
+
+    def part(t: pa.Table) -> pa.Table:
+        h = np.searchsorted(
+            bounds, t[col].to_numpy(zero_copy_only=False), side="left"
+        ).astype(np.int64)
+        return t.append_column("_part", pa.array(h))
+
+    parts = rows_ds.map_batches(part, batch_format="pyarrow").materialize()
+
+    tot = np.zeros(P, np.int64)
+    for blk in parts.iter_batches(batch_format="pyarrow"):
+        c = np.bincount(
+            blk["_part"].to_numpy(zero_copy_only=False), minlength=P
+        )
+        tot += c.astype(np.int64)
+    offs = np.zeros(P, np.int64)
+    offs[1:] = np.cumsum(tot)[:-1]
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(df["_part"].iloc[0])
+        df = df.sort_values(col, kind="mergesort").reset_index(drop=True)
+        v = df[col].to_numpy(np.float64)
+        nloc = len(v)
+        new = np.empty(nloc, dtype=bool)
+        if nloc:
+            new[0] = True
+            new[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(new)
+        m = np.diff(np.append(starts, nloc))
+        o = offs[bucket] + starts.astype(np.int64)
+        r2 = 2 * o + m + 1
+        df[out_col] = np.repeat(r2, m)
+        return df.drop(columns=["_part"])
+
+    out = exchange_map_groups(parts, "_part", P, attach)
+    return out
+
+
+def spearman_corr(
+    ds: Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """EXACT Spearman rank correlation (Pearson over average ranks,
+    the standard tie convention) — the monotonic-association monitor
+    that Pearson misses on nonlinear-but-ordered relationships.
+
+    BIT-exact with NO rounding: doubled average ranks are integers
+    (``2o + m + 1`` per tie run), all six sufficient statistics fold
+    as arbitrary-precision Python ints (HUGEINT on the SQL side), and
+    the closed form is exact-int→double casts, two correctly-rounded
+    square roots and one division — the identical IEEE expression both
+    engines evaluate. (scipy computes the same statistic through float
+    rank averages; this pipeline never leaves integers until the last
+    four flops.)
+
+    Scale shape: pairwise-deleted rows are materialized once; each
+    column's value→doubled-rank map is built by the shared range
+    machinery (:func:`_value_rank_map` — a DATASET, one row per
+    distinct value, never driver-collected); two hash equi-joins
+    attach ranks to rows; one streaming sufficient-statistic fold.
+    Per-batch products use int64 while ``4n² < 2^62`` (n < 1.5·10⁹)
+    and arbitrary-precision object arrays beyond.
+
+    → 1-row DataFrame(n, rho).
+    """
+    import pyarrow.compute as pc
+
+    from data_linter_ray.exchange import exchange_width
+
+    P = num_partitions or exchange_width(ds)
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.select([x_col, y_col]).drop_null()
+        return pa.table(
+            {
+                "x": t[x_col].cast(pa.float64()),
+                "y": t[y_col].cast(pa.float64()),
+            }
+        )
+
+    rows = ds.select_columns([x_col, y_col]).map_batches(
+        pick, batch_format="pyarrow"
+    ).materialize()
+    n = rows.count()
+    if n == 0:
+        return pd.DataFrame({"n": [0], "rho": [np.nan]})
+
+    # attach each column's doubled average rank IN the range exchange
+    # itself (no join at all): rows range-partition by the column, so a
+    # bucket holds EVERY row of its values — per-bucket run lengths ARE
+    # the global tie counts, and the cross-bucket offset is the prefix
+    # of bucket row counts. Two deterministic keyed_scatter_gather
+    # exchanges, full rows through each (same bytes a hash join would
+    # move, none of a join operator's actor-pool reservations).
+    j1 = _attach_rank(rows, "x", "r2x", P).materialize()
+    joined = _attach_rank(j1, "y", "r2y", P)
+
+    use_object = 4 * n * n > (1 << 62)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        rx = t["r2x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ry = t["r2y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if use_object:
+            rx, ry = rx.astype(object), ry.astype(object)
+        vals = [
+            len(rx), int(rx.sum()), int(ry.sum()),
+            int((rx * rx).sum()), int((ry * ry).sum()), int((rx * ry).sum()),
+        ]
+        return pa.table(
+            {"_s": pa.array([" ".join(str(v) for v in vals)], pa.string())}
+        )
+
+    tot = [0] * 6
+    for b in joined.map_batches(
+        stats_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for payload in b["_s"].to_pylist():
+            for i, v in enumerate(payload.split()):
+                tot[i] += int(v)
+    cnt, sx, sy, sxx, syy, sxy = tot
+    num = cnt * sxy - sx * sy
+    d1 = cnt * sxx - sx * sx
+    d2 = cnt * syy - sy * sy
+    if d1 == 0 or d2 == 0:
+        rho = np.nan
+    else:
+        import math
+
+        rho = float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+    return pd.DataFrame({"n": [cnt], "rho": [rho]})

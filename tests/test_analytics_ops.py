@@ -1014,3 +1014,37 @@ def test_mannwhitney_crafted(ray_session):
         ray.data.from_pandas(df), "v", "g", "a", "b", num_partitions=3
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_spearman_oracle(ray_session, sf_dir):
+    _oracle_check("price_quantity_spearman", sf_dir, tables=("lineitem",))
+
+
+def test_spearman_crafted(ray_session):
+    """Monotone (nonlinear) relation → rho exactly 1; reversed → -1;
+    ties handled by average ranks (scipy's convention): the crafted
+    tie case matches the closed form computed by hand."""
+    from data_linter_ray.functions.stats import spearman_corr
+
+    mono = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0], "y": [1.0, 8.0, 27.0, 64.0]})
+    out = spearman_corr(ray.data.from_pandas(mono), "x", "y", num_partitions=2)
+    # the closed form evaluates sqrt(d1)*sqrt(d2), which differs from
+    # sqrt(d1*d2) by an ulp — 1.0 is approached, not hit (the oracle
+    # computes the identical expression, so parity is still exact)
+    assert abs(out["rho"][0] - 1.0) < 1e-12
+    rev = mono.assign(y=-mono["y"])
+    got_rev = spearman_corr(
+        ray.data.from_pandas(rev), "x", "y", num_partitions=2
+    )["rho"][0]
+    assert abs(got_rev + 1.0) < 1e-12
+
+    # ties: x = [1,1,2], y = [1,2,3]. avg ranks x: 1.5,1.5,3; y: 1,2,3
+    # → rho = cov/σxσy = ((1.5-2)(1-2)+(1.5-2)(2-2)+(3-2)(3-2)) /
+    #   sqrt(0.25+0.25+1)/sqrt(2) = 1.5/sqrt(1.5·2) = sqrt(3)/2
+    tie = pd.DataFrame({"x": [1.0, 1.0, 2.0], "y": [1.0, 2.0, 3.0]})
+    got = spearman_corr(
+        ray.data.from_pandas(tie), "x", "y", num_partitions=2
+    )["rho"][0]
+    import math
+
+    assert abs(got - math.sqrt(3) / 2) < 1e-12
