@@ -2591,6 +2591,39 @@ def q_price_quantity_spearman(sf_dir: str):
     return spearman_corr(ds, "l_quantity", "l_extendedprice")
 
 
+def q_value_user_kendall(sf_dir: str):
+    """EXACT Kendall τ-b (rounded value vs user id, heavy ties on both
+    sides) WITHOUT enumerating the O(n²) pairs: same-x-bucket pairs by
+    per-bucket vectorized inversion counting, cross-bucket/same-y-
+    bucket pairs in a second range exchange, cross-bucket/cross-bucket
+    pairs from the P×Q joint count matrix on the driver — exact
+    integer c/d, bit-exact τ-b vs the SQL pairwise self-join.
+    ``round_mode="half_towards_infinity"`` (= half away from zero)
+    matches DuckDB's round()
+    (Arrow defaults to half-to-even)."""
+    import pyarrow.compute as pc_
+
+    from data_linter_ray.functions.stats import kendall_tau
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "user_id"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": pc_.round(
+                    t["value"], round_mode="half_towards_infinity"
+                ).cast(pa.int64()),
+                "y": t["user_id"],
+            }
+        )
+
+    return kendall_tau(
+        ds.map_batches(derive, batch_format="pyarrow"), "x", "y"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2717,6 +2750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_gini": q_value_gini,
         "value_mannwhitney": q_value_mannwhitney,
         "price_quantity_spearman": q_price_quantity_spearman,
+        "value_user_kendall": q_value_user_kendall,
     }
 
 
@@ -4097,5 +4131,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n*sxy - sx*sy AS DOUBLE) / "
             "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
             "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS rho FROM s"
+        ),
+        # value_user_kendall: O(n²) pairwise self-join ground truth —
+        # exact integer c/d; τ-b is the identical IEEE expression
+        "value_user_kendall": (
+            "WITH p AS (SELECT CAST(round(value) AS BIGINT) AS x, "
+            "user_id AS y FROM events WHERE value IS NOT NULL "
+            "AND user_id IS NOT NULL), "
+            "pr AS (SELECT x, y, row_number() OVER () AS rid FROM p), "
+            "s AS (SELECT count_if((a.x - b.x)*(a.y - b.y) > 0) AS c, "
+            "count_if((a.x - b.x)*(a.y - b.y) < 0) AS d, "
+            "count(*) AS n0, count_if(a.x = b.x) AS n1, "
+            "count_if(a.y = b.y) AS n2 "
+            "FROM pr a JOIN pr b ON a.rid < b.rid) "
+            "SELECT (SELECT count(*) FROM p) AS n, CAST(c AS BIGINT) AS c, "
+            "CAST(d AS BIGINT) AS d, "
+            "CAST(c - d AS DOUBLE)/(sqrt(CAST(n0 - n1 AS DOUBLE))"
+            "*sqrt(CAST(n0 - n2 AS DOUBLE))) AS tau_b FROM s"
         ),
     }

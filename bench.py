@@ -226,6 +226,7 @@ QUERY_NAMES = [
     "value_gini",
     "value_mannwhitney",
     "price_quantity_spearman",
+    "value_user_kendall",
 ]
 
 

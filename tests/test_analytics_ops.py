@@ -1048,3 +1048,36 @@ def test_spearman_crafted(ray_session):
     import math
 
     assert abs(got - math.sqrt(3) / 2) < 1e-12
+
+
+def test_kendall_oracle(ray_session, sf_dir):
+    _oracle_check("value_user_kendall", sf_dir, tables=("events",))
+
+
+def test_kendall_crafted_and_random(ray_session):
+    """Exact c/d vs an O(n²) brute force on random tied data at two
+    exchange widths, plus the textbook no-tie case τ = 1."""
+    from data_linter_ray.functions.stats import kendall_tau
+
+    mono = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [10.0, 20.0, 30.0]})
+    out = kendall_tau(ray.data.from_pandas(mono), "x", "y", num_partitions=2)
+    assert (out["c"][0], out["d"][0]) == (3, 0)
+    assert abs(out["tau_b"][0] - 1.0) < 1e-12
+
+    rng = np.random.RandomState(11)
+    n = 150
+    df = pd.DataFrame(
+        {
+            "x": rng.randint(0, 8, n).astype(float),
+            "y": rng.randint(0, 6, n).astype(float),
+        }
+    )
+    X, Y = df["x"].to_numpy(), df["y"].to_numpy()
+    c = d = 0
+    for i in range(n):
+        s = (X[i] - X[i + 1:]) * (Y[i] - Y[i + 1:])
+        c += int((s > 0).sum())
+        d += int((s < 0).sum())
+    for p in (2, 5):
+        out = kendall_tau(ray.data.from_pandas(df), "x", "y", num_partitions=p)
+        assert (out["c"][0], out["d"][0]) == (c, d), (p, out)
