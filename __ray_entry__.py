@@ -2624,6 +2624,51 @@ def q_value_user_kendall(sf_dir: str):
     )
 
 
+def q_event_segment_mi(sf_dir: str):
+    """Per-cell mutual information (event_type × user segment): exact
+    int operands, one IEEE ln per cell, round-9 both sides (the
+    group_entropy ln-ulp trade)."""
+    import pyarrow.compute as pc_
+
+    from data_linter_ray.functions.stats import mutual_information
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def seg(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "segment": pc_.bit_wise_and(t["user_id"], 3),
+            }
+        )
+
+    return mutual_information(
+        ds.map_batches(seg, batch_format="pyarrow"),
+        "event_type", "segment", round_to=9,
+    )
+
+
+def q_event_segment_cramers_v(sf_dir: str):
+    """Cramér's V summary of the χ² table: chi2 = cell-term sum (SQL
+    SUM order unspecified → round 6 both sides), V = sqrt(chi2 /
+    (N·min(R−1, C−1)))."""
+    import math
+
+    cells = q_event_segment_chisq(sf_dir)
+    n = int(cells["n"].sum())
+    chi2 = float(cells["chi2_term"].sum())
+    r = cells["event_type"].nunique()
+    c = cells["segment"].nunique()
+    v = math.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    import pandas as pd_
+
+    return pd_.DataFrame(
+        {"n": [n], "chi2": [round(chi2, 6)], "cramers_v": [round(v, 6)]}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2751,6 +2796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mannwhitney": q_value_mannwhitney,
         "price_quantity_spearman": q_price_quantity_spearman,
         "value_user_kendall": q_value_user_kendall,
+        "event_segment_mi": q_event_segment_mi,
+        "event_segment_cramers_v": q_event_segment_cramers_v,
     }
 
 
@@ -4148,5 +4195,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(d AS BIGINT) AS d, "
             "CAST(c - d AS DOUBLE)/(sqrt(CAST(n0 - n1 AS DOUBLE))"
             "*sqrt(CAST(n0 - n2 AS DOUBLE))) AS tau_b FROM s"
+        ),
+        # event_segment_mi: per-cell exact ints + one ln, round-9
+        "event_segment_mi": (
+            "WITH t AS (SELECT event_type, user_id & 3 AS segment "
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL), "
+            "c AS (SELECT event_type, segment, count(*) AS n FROM t "
+            "GROUP BY event_type, segment), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM c) "
+            "SELECT c.event_type, c.segment, c.n, "
+            "round((c.n/CAST(tot.N AS DOUBLE)) * ln(c.n*CAST(tot.N AS DOUBLE) / "
+            "((sum(c.n) OVER (PARTITION BY c.event_type)) * "
+            "(sum(c.n) OVER (PARTITION BY c.segment)))), 9) AS mi_term "
+            "FROM c, tot ORDER BY c.event_type, c.segment"
+        ),
+        # event_segment_cramers_v: chi2 cell sum round-6 + V
+        "event_segment_cramers_v": (
+            "WITH t AS (SELECT event_type, user_id & 3 AS segment "
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL), "
+            "c AS (SELECT event_type, segment, count(*) AS n FROM t "
+            "GROUP BY event_type, segment), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM c), "
+            "e AS (SELECT c.n, (sum(c.n) OVER (PARTITION BY c.event_type)) * "
+            "(sum(c.n) OVER (PARTITION BY c.segment)) / CAST(tot.N AS DOUBLE) "
+            "AS expected FROM c, tot), "
+            "s AS (SELECT sum(pow(n - expected, 2)/expected) AS chi2 FROM e), "
+            "dims AS (SELECT count(DISTINCT event_type) AS r, "
+            "count(DISTINCT segment) AS cc FROM t) "
+            "SELECT tot.N AS n, round(s.chi2, 6) AS chi2, "
+            "round(sqrt(s.chi2 / (tot.N * least(dims.r - 1, dims.cc - 1))), 6) "
+            "AS cramers_v FROM s, tot, dims"
         ),
     }

@@ -227,6 +227,8 @@ QUERY_NAMES = [
     "value_mannwhitney",
     "price_quantity_spearman",
     "value_user_kendall",
+    "event_segment_mi",
+    "event_segment_cramers_v",
 ]
 
 

@@ -956,6 +956,23 @@ def contingency_table(ds: Dataset, a_col: str, b_col: str) -> pd.DataFrame:
     BY over an inner WHERE). → DataFrame(a, b, n, expected,
     chi2_term), sorted by (a, b).
     """
+    cells, row_tot, col_tot, N = _pair_count_cells(ds, a_col, b_col)
+    if cells is None:
+        return pd.DataFrame(
+            columns=[a_col, b_col, "n", "expected", "chi2_term"]
+        )
+    exp = (row_tot * col_tot) / np.float64(N)
+    obs = cells["n"].to_numpy(np.float64)
+    cells["expected"] = exp
+    cells["chi2_term"] = (obs - exp) * (obs - exp) / exp
+    return cells.sort_values([a_col, b_col]).reset_index(drop=True)
+
+
+def _pair_count_cells(ds: Dataset, a_col: str, b_col: str):
+    """Shared front half of the categorical-association operators
+    (χ² / mutual information): per-batch (a, b) count combiner,
+    driver fold of the |A|·|B| cell table. → (cells DataFrame with
+    column n, row totals, col totals, N) or (None, …) when empty."""
     def partial(t: pa.Table) -> pa.Table:
         t = t.select([a_col, b_col]).drop_null()
         g = t.group_by([a_col, b_col]).aggregate([([], "count_all")])
@@ -977,19 +994,45 @@ def contingency_table(ds: Dataset, a_col: str, b_col: str) -> pd.DataFrame:
             acc[(a, b)] = acc.get((a, b), 0) + int(n)
 
     if not acc:
-        return pd.DataFrame(
-            columns=[a_col, b_col, "n", "expected", "chi2_term"]
-        )
+        return None, None, None, None
     cells = pd.DataFrame(
         [(a, b, n) for (a, b), n in acc.items()], columns=[a_col, b_col, "n"]
     )
     row_tot = cells.groupby(a_col)["n"].transform("sum").to_numpy(np.int64)
     col_tot = cells.groupby(b_col)["n"].transform("sum").to_numpy(np.int64)
     N = np.int64(cells["n"].sum())
-    exp = (row_tot * col_tot) / np.float64(N)
+    return cells, row_tot, col_tot, N
+
+
+def mutual_information(
+    ds: Dataset,
+    a_col: str,
+    b_col: str,
+    *,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Mutual information between two categorical columns, reported
+    per cell (the information-theoretic sibling of
+    :func:`contingency_table` — "how many bits does knowing the
+    segment give about the event type?"). ``mi_term =
+    (n_ab/N)·ln(n_ab·N/(n_a·n_b))`` — all operands exact ints, one
+    IEEE ln per cell; the oracle passes ``round_to=9`` (numpy vs
+    DuckDB ln last-ulp, the :func:`group_entropy` trade). The total
+    MI is the cell sum (callers sum + round — SQL SUM order is
+    unspecified).
+
+    → DataFrame(a, b, n, mi_term), sorted by (a, b).
+    """
+    cells, row_tot, col_tot, N = _pair_count_cells(ds, a_col, b_col)
+    if cells is None:
+        return pd.DataFrame(columns=[a_col, b_col, "n", "mi_term"])
     obs = cells["n"].to_numpy(np.float64)
-    cells["expected"] = exp
-    cells["chi2_term"] = (obs - exp) * (obs - exp) / exp
+    term = (obs / np.float64(N)) * np.log(
+        obs * np.float64(N) / (row_tot.astype(np.float64) * col_tot)
+    )
+    if round_to is not None:
+        term = np.round(term, round_to)
+    cells["mi_term"] = term
     return cells.sort_values([a_col, b_col]).reset_index(drop=True)
 
 

@@ -1081,3 +1081,28 @@ def test_kendall_crafted_and_random(ray_session):
     for p in (2, 5):
         out = kendall_tau(ray.data.from_pandas(df), "x", "y", num_partitions=p)
         assert (out["c"][0], out["d"][0]) == (c, d), (p, out)
+
+
+@pytest.mark.parametrize(
+    "name", ["event_segment_mi", "event_segment_cramers_v"]
+)
+def test_association_oracle_pairs(ray_session, sf_dir, name):
+    _oracle_check(name, sf_dir, tables=("events",))
+
+
+def test_mutual_information_crafted(ray_session):
+    """Independent columns → every mi_term 0 (exactly: n_ab·N equals
+    n_a·n_b, ln(1) = 0); a perfectly dependent pair → MI = ln(2)."""
+    from data_linter_ray.functions.stats import mutual_information
+
+    ind = pd.DataFrame(
+        {"a": ["x", "x", "y", "y"], "b": ["p", "q", "p", "q"]}
+    )
+    out = mutual_information(ray.data.from_pandas(ind), "a", "b")
+    assert (out["mi_term"] == 0.0).all()
+
+    dep = pd.DataFrame({"a": ["x", "y"] * 20, "b": ["p", "q"] * 20})
+    out = mutual_information(ray.data.from_pandas(dep), "a", "b")
+    import math
+
+    assert abs(out["mi_term"].sum() - math.log(2)) < 1e-12
