@@ -250,3 +250,39 @@ def read_feather_dataset(path, **kwargs) -> "Dataset":
     import ray.data
 
     return ray.data.read_datasource(_feather_datasource_cls()(path, **kwargs))
+
+
+def write_orc_dataset(ds, path: str, **kwargs) -> None:
+    """Dataset → partitioned ORC directory, one file per block (the
+    resumable many-files layout every sink in this engine uses)."""
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    class _OrcSink(BlockBasedFileDatasink):
+        def __init__(self, p):
+            super().__init__(p, file_format="orc", **kwargs)
+
+        def write_block_to_file(self, block, file):
+            import pyarrow.orc as po
+
+            po.write_table(block.to_arrow(), file)
+
+    ds.write_datasink(_OrcSink(path))
+
+
+def write_feather_dataset(ds, path: str, **kwargs) -> None:
+    """Dataset → partitioned Feather v2 (Arrow IPC) directory, one
+    file per block."""
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    class _FeatherSink(BlockBasedFileDatasink):
+        def __init__(self, p):
+            super().__init__(p, file_format="feather", **kwargs)
+
+        def write_block_to_file(self, block, file):
+            import pyarrow as _pa
+
+            t = block.to_arrow()
+            with _pa.ipc.new_file(file, t.schema) as w:
+                w.write_table(t)
+
+    ds.write_datasink(_FeatherSink(path))

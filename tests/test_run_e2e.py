@@ -522,3 +522,29 @@ def test_orc_and_feather_sources_roundtrip(ray_session, tmp_path):
     from data_linter_ray.sources.readers import read_orc_dataset
 
     assert read_orc_dataset(orc_path).materialize().num_blocks() >= 1
+
+
+def test_orc_feather_sink_roundtrip(ray_session, tmp_path):
+    """Write-side: ORC and Feather sinks produce one file per block
+    and round-trip through the matching readers losslessly."""
+    import ray as _ray
+
+    from data_linter_ray.sources.readers import (
+        read_feather_dataset,
+        read_orc_dataset,
+        write_feather_dataset,
+        write_orc_dataset,
+    )
+
+    ds = _ray.data.range(5000).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    orc_dir = str(tmp_path / "orc_out")
+    fe_dir = str(tmp_path / "fe_out")
+    write_orc_dataset(ds, orc_dir)
+    write_feather_dataset(ds, fe_dir)
+    back_o = read_orc_dataset(orc_dir)
+    back_f = read_feather_dataset(fe_dir)
+    assert back_o.count() == back_f.count() == 5000
+    assert sorted(back_o.to_pandas()["id"]) == list(range(5000))
+    assert sorted(back_f.to_pandas()["id"]) == list(range(5000))
