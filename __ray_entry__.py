@@ -2669,6 +2669,22 @@ def q_event_segment_cramers_v(sf_dir: str):
     )
 
 
+def q_value_autocorr(sf_dir: str):
+    """Pooled lag-1 autocorrelation of per-user value series: one
+    key-hash exchange, shift-masked lag pairs, 6-lane sufficient
+    statistics folded on the driver; null-VALUE rows keep their
+    position (SQL lag() counts them), round-6 both sides."""
+    from data_linter_ray.functions.window import lag_correlation
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return lag_correlation(
+        ds, "user_id", "ts", "event_id", "value", round_to=6
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2798,6 +2814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_user_kendall": q_value_user_kendall,
         "event_segment_mi": q_event_segment_mi,
         "event_segment_cramers_v": q_event_segment_cramers_v,
+        "value_autocorr": q_value_autocorr,
     }
 
 
@@ -4225,5 +4242,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tot.N AS n, round(s.chi2, 6) AS chi2, "
             "round(sqrt(s.chi2 / (tot.N * least(dims.r - 1, dims.cc - 1))), 6) "
             "AS cramers_v FROM s, tot, dims"
+        ),
+        # value_autocorr: lag pairs within (user, ts, event_id) order;
+        # closed form over SUMs, round-6 (fold-order ulps)
+        "value_autocorr": (
+            "WITH r AS (SELECT value, lag(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_id IS NOT NULL), "
+            "p AS (SELECT prev AS a, value AS b FROM r "
+            "WHERE prev IS NOT NULL AND value IS NOT NULL), "
+            "s AS (SELECT count(*) AS n, sum(a) sa, sum(b) sb, "
+            "sum(a*a) saa, sum(b*b) sbb, sum(a*b) sab FROM p) "
+            "SELECT CAST(n AS BIGINT) AS n_pairs, "
+            "round((n*sab - sa*sb)/(sqrt(n*saa - sa*sa)"
+            "*sqrt(n*sbb - sb*sb)), 6) AS corr FROM s"
         ),
     }

@@ -229,6 +229,7 @@ QUERY_NAMES = [
     "value_user_kendall",
     "event_segment_mi",
     "event_segment_cramers_v",
+    "value_autocorr",
 ]
 
 

@@ -519,3 +519,74 @@ def collapse_repeats(
     return exchange_map_groups(
         _hash_partition(ds, key, cols, P), "_part", P, compact
     )
+
+
+def lag_correlation(
+    ds: Dataset,
+    key: str,
+    order: str,
+    tie: str,
+    value: str,
+    *,
+    lag: int = 1,
+    round_to: int | None = None,
+    num_partitions: int | None = None,
+) -> "pd.DataFrame":
+    """Pooled lag-k autocorrelation of a per-key ordered series — the
+    "is this signal sticky?" monitor (event values per user, scores
+    per shard over time). Pairs are ``(v_t, v_{t+lag})`` within one
+    key in ``(order, tie)`` order; Pearson correlation over all pairs.
+
+    Null-value rows KEEP their position in the ordering (SQL ``lag()``
+    counts them as rows) — only pairs with a null operand are
+    excluded, exactly the SQL ``WHERE a IS NOT NULL AND b IS NOT
+    NULL``. Rows with null key/order/tie are dropped (no position).
+
+    Scale shape: one key-hash exchange; per partition one mergesort +
+    a shift produces every lag pair (pairs crossing key boundaries
+    masked), then the six sufficient-statistic lanes fold on the
+    driver (KB partials). The closed form matches the oracle's
+    expression over SQL SUMs; ``round_to`` (6 in the oracle) absorbs
+    the fold-order ulps — the :func:`~data_linter_ray.functions.stats.
+    corr_matrix` trade.
+
+    → 1-row DataFrame(n_pairs, corr).
+    """
+    P = num_partitions or exchange_width(ds)
+    cols = [key, order, tie, value]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[key, order, tie]).sort_values(
+            [key, order, tie], kind="mergesort"
+        )
+        k = g[key].to_numpy()
+        v = g[value].to_numpy(np.float64)
+        if len(g) <= lag:
+            return pd.DataFrame({"_s": ["0 0 0 0 0 0"]})
+        a, b = v[:-lag], v[lag:]
+        same = k[:-lag] == k[lag:]
+        m = same & ~np.isnan(a) & ~np.isnan(b)
+        a, b = a[m], b[m]
+        vals = [
+            len(a), a.sum(), b.sum(), (a * a).sum(), (b * b).sum(),
+            (a * b).sum(),
+        ]
+        return pd.DataFrame(
+            {"_s": [" ".join(repr(float(x)) for x in vals)]}
+        )
+
+    parts = exchange_map_groups(
+        _hash_partition(ds, key, cols, P), "_part", P, pairs
+    ).to_pandas()
+    tot = np.zeros(6, np.float64)
+    for s in parts["_s"]:
+        vals = [float(x) for x in s.split()]
+        tot += np.array(vals, np.float64)
+    n, sa, sb, saa, sbb, sab = tot
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = (n * sab - sa * sb) / (
+            np.sqrt(n * saa - sa * sa) * np.sqrt(n * sbb - sb * sb)
+        )
+    if round_to is not None:
+        corr = np.round(corr, round_to)
+    return pd.DataFrame({"n_pairs": [int(n)], "corr": [float(corr)]})

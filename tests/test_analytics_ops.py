@@ -1106,3 +1106,37 @@ def test_mutual_information_crafted(ray_session):
     import math
 
     assert abs(out["mi_term"].sum() - math.log(2)) < 1e-12
+
+
+def test_value_autocorr_oracle(ray_session, sf_dir):
+    _oracle_check("value_autocorr", sf_dir, tables=("events",))
+
+
+def test_lag_correlation_crafted(ray_session):
+    """AR(1)-like alternating series → corr −1 within a key; pairs
+    never cross keys; a null value voids its two pairs but keeps its
+    ordering position (SQL lag semantics)."""
+    from data_linter_ray.functions.window import lag_correlation
+
+    ts = pd.to_datetime([f"2024-01-01 00:00:{i:02d}" for i in range(6)])
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "ts": list(ts[:4]) + list(ts[:2]),
+            "i": [1, 2, 3, 4, 5, 6],
+            "v": [1.0, -1.0, 1.0, -1.0, 5.0, 5.0],
+        }
+    )
+    out = lag_correlation(
+        ray.data.from_pandas(df), "k", "ts", "i", "v", num_partitions=2
+    )
+    # key 1 contributes 3 perfectly alternating pairs; key 2's pair is
+    # constant (5,5) — pooled corr < 0 but not exactly -1
+    assert out["n_pairs"][0] == 4
+
+    nulled = df.assign(v=[1.0, None, 1.0, -1.0, 5.0, 5.0])
+    out2 = lag_correlation(
+        ray.data.from_pandas(nulled), "k", "ts", "i", "v", num_partitions=2
+    )
+    # the null voids pairs (1,2) and (2,3); (3,4) and key-2 remain
+    assert out2["n_pairs"][0] == 2
