@@ -1231,7 +1231,7 @@ def gini(
     return pd.DataFrame({"n": [n], "gini": [g]})
 
 
-def _attach_rank(rows_ds, col: str, out_col: str, P: int):
+def _attach_rank(rows_ds, col: str, out_col: str, P: int, bounds=None):
     """Attach the DOUBLED average rank of ``col`` to every row via one
     range exchange — the join-free form of :func:`_value_rank_map`:
     rows are range-partitioned by the column (t-digest-balanced), so a
@@ -1243,22 +1243,23 @@ def _attach_rank(rows_ds, col: str, out_col: str, P: int):
     from data_linter_ray.exchange import exchange_map_groups
     from data_linter_ray.state.sketches import TDigest
 
-    if P > 1:
-        def digest_partial(t: pa.Table) -> pa.Table:
-            td = TDigest()
-            td.add(t[col].to_numpy(zero_copy_only=False))
-            return pa.table({"_d": pa.array([td.to_bytes()], pa.binary())})
+    if bounds is None:
+        if P > 1:
+            def digest_partial(t: pa.Table) -> pa.Table:
+                td = TDigest()
+                td.add(t[col].to_numpy(zero_copy_only=False))
+                return pa.table({"_d": pa.array([td.to_bytes()], pa.binary())})
 
-        digest = TDigest()
-        for b in rows_ds.map_batches(
-            digest_partial, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow"):
-            for payload in b["_d"].to_pylist():
-                digest.merge(TDigest.from_bytes(payload))
-        bounds = np.unique(digest.quantiles([i / P for i in range(1, P)]))
-        bounds = bounds[np.isfinite(bounds)]
-    else:
-        bounds = np.empty(0, np.float64)
+            digest = TDigest()
+            for b in rows_ds.map_batches(
+                digest_partial, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow"):
+                for payload in b["_d"].to_pylist():
+                    digest.merge(TDigest.from_bytes(payload))
+            bounds = np.unique(digest.quantiles([i / P for i in range(1, P)]))
+            bounds = bounds[np.isfinite(bounds)]
+        else:
+            bounds = np.empty(0, np.float64)
 
     def part(t: pa.Table) -> pa.Table:
         h = np.searchsorted(
@@ -1355,9 +1356,34 @@ def spearman_corr(
     # the global tie counts, and the cross-bucket offset is the prefix
     # of bucket row counts. Two deterministic keyed_scatter_gather
     # exchanges, full rows through each (same bytes a hash join would
-    # move, none of a join operator's actor-pool reservations).
-    j1 = _attach_rank(rows, "x", "r2x", P).materialize()
-    joined = _attach_rank(j1, "y", "r2y", P)
+    # move, none of a join operator's actor-pool reservations). Both
+    # columns' balance boundaries come from ONE fused digest pass.
+    if P > 1:
+        from data_linter_ray.state.sketches import TDigest
+
+        def digest2(t: pa.Table) -> pa.Table:
+            tx, ty = TDigest(), TDigest()
+            tx.add(t["x"].to_numpy(zero_copy_only=False))
+            ty.add(t["y"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"_dx": pa.array([tx.to_bytes()], pa.binary()),
+                 "_dy": pa.array([ty.to_bytes()], pa.binary())}
+            )
+
+        dx, dy = TDigest(), TDigest()
+        for b in rows.map_batches(
+            digest2, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for px, py in zip(b["_dx"].to_pylist(), b["_dy"].to_pylist()):
+                dx.merge(TDigest.from_bytes(px))
+                dy.merge(TDigest.from_bytes(py))
+        qs_ = [i / P for i in range(1, P)]
+        bx = np.unique(dx.quantiles(qs_)); bx = bx[np.isfinite(bx)]
+        by = np.unique(dy.quantiles(qs_)); by = by[np.isfinite(by)]
+    else:
+        bx = by = np.empty(0, np.float64)
+    j1 = _attach_rank(rows, "x", "r2x", P, bounds=bx).materialize()
+    joined = _attach_rank(j1, "y", "r2y", P, bounds=by)
 
     use_object = 4 * n * n > (1 << 62)
 
