@@ -419,3 +419,34 @@ def test_resample_ffill_matches_bruteforce(ray_session, rows):
                 assert pd.isna(got)
             else:
                 assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=120))
+def test_strict_inversions_matches_bruteforce(ys):
+    """The O(n log² n) level-decomposition counter equals the O(n²)
+    definition for arbitrary tie-heavy sequences."""
+    from data_linter_ray.functions.stats import _strict_inversions
+
+    y = np.array(ys, dtype=np.float64)
+    got = _strict_inversions(y)
+    want = sum(
+        1
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+        if ys[i] > ys[j]
+    )
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=-5, max_value=5), min_size=0, max_size=100))
+def test_tie_pair_sums_matches_counter(vals):
+    from collections import Counter
+
+    from data_linter_ray.functions.stats import _tie_pair_sums
+
+    v = np.sort(np.array(vals, dtype=np.float64))
+    got = _tie_pair_sums(v)
+    want = sum(m * (m - 1) // 2 for m in Counter(vals).values())
+    assert got == want
