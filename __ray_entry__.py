@@ -2685,6 +2685,21 @@ def q_value_autocorr(sf_dir: str):
     )
 
 
+def q_price_quantity_heatmap(sf_dir: str):
+    """Exact joint equi-depth histogram (quantity × extendedprice, 6×6
+    deciles): exact quantile_disc boundaries over pairwise-deleted
+    rows, one searchsorted×2 + bincount pass, exact int cells."""
+    from data_linter_ray.functions.stats import joint_histogram
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    return joint_histogram(
+        ds, "l_quantity", "l_extendedprice", n_bins_x=6, n_bins_y=6
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2815,6 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_segment_mi": q_event_segment_mi,
         "event_segment_cramers_v": q_event_segment_cramers_v,
         "value_autocorr": q_value_autocorr,
+        "price_quantity_heatmap": q_price_quantity_heatmap,
     }
 
 
@@ -4257,5 +4273,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n_pairs, "
             "round((n*sab - sa*sb)/(sqrt(n*saa - sa*sa)"
             "*sqrt(n*sbb - sb*sb)), 6) AS corr FROM s"
+        ),
+        # price_quantity_heatmap: quantile_disc boundaries + the
+        # v >= q bin rule; exact integer cells, non-empty only
+        "price_quantity_heatmap": (
+            "WITH p AS (SELECT l_quantity AS x, l_extendedprice AS y "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL), "
+            "b AS (SELECT quantile_disc(x, [i/6.0 for i in range(1,6)]) AS qx, "
+            "quantile_disc(y, [i/6.0 for i in range(1,6)]) AS qy FROM p) "
+            "SELECT len(list_filter(b.qx, q -> p.x >= q)) AS bin_x, "
+            "len(list_filter(b.qy, q -> p.y >= q)) AS bin_y, count(*) AS n "
+            "FROM p, b GROUP BY 1, 2 ORDER BY 1, 2"
         ),
     }

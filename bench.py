@@ -230,6 +230,7 @@ QUERY_NAMES = [
     "event_segment_mi",
     "event_segment_cramers_v",
     "value_autocorr",
+    "price_quantity_heatmap",
 ]
 
 

@@ -1667,3 +1667,83 @@ def kendall_tau(
     return pd.DataFrame(
         {"n": [n], "c": [c], "d": [d], "tau_b": [tau]}
     )
+
+
+def joint_histogram(
+    ds: Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    n_bins_x: int = 8,
+    n_bins_y: int = 8,
+) -> pd.DataFrame:
+    """Exact joint (2D) equi-depth histogram — the dependence heatmap
+    behind "where does the mass sit?" profiling. Bin boundaries are
+    each column's exact ``quantile_disc`` cut points over the
+    PAIRWISE-DELETED rows (both columns non-null — the same rows the
+    counts run on, so the oracle reproduces the boundaries);
+    membership is ``bin = #{boundaries ≤ v}`` (the PSI convention).
+    Counts are exact int64; only non-empty cells are emitted (SQL
+    GROUP BY parity).
+
+    Scale shape: rows materialize once; two exact-quantile refinement
+    scans for boundaries; ONE counting pass with a vectorized
+    searchsorted × 2 + flat bincount partial (n_bins_x·n_bins_y int
+    lanes per batch), driver fold. No shuffle.
+
+    → DataFrame(bin_x, bin_y, n), sorted by (bin_x, bin_y).
+    """
+    from data_linter_ray.functions.quantiles import exact_quantiles
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.select([x_col, y_col]).drop_null()
+        return pa.table(
+            {
+                "x": t[x_col].cast(pa.float64()),
+                "y": t[y_col].cast(pa.float64()),
+            }
+        )
+
+    rows = ds.select_columns([x_col, y_col]).map_batches(
+        pick, batch_format="pyarrow"
+    ).materialize()
+
+    bx = np.sort(
+        exact_quantiles(
+            rows, "x", [i / n_bins_x for i in range(1, n_bins_x)]
+        )["value"].to_numpy(np.float64)
+    )
+    by = np.sort(
+        exact_quantiles(
+            rows, "y", [i / n_bins_y for i in range(1, n_bins_y)]
+        )["value"].to_numpy(np.float64)
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(bx, x, side="right")
+        iy = np.searchsorted(by, y, side="right")
+        flat = np.bincount(
+            ix * n_bins_y + iy, minlength=n_bins_x * n_bins_y
+        )
+        return pa.table(
+            {"_c": pa.array([flat.astype(np.int64).tobytes()], pa.binary())}
+        )
+
+    total = np.zeros(n_bins_x * n_bins_y, np.int64)
+    for b in rows.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for payload in b["_c"].to_pylist():
+            total += np.frombuffer(payload, np.int64)
+
+    grid = total.reshape(n_bins_x, n_bins_y)
+    nz = np.argwhere(grid > 0)
+    return pd.DataFrame(
+        {
+            "bin_x": nz[:, 0].astype(np.int64),
+            "bin_y": nz[:, 1].astype(np.int64),
+            "n": grid[nz[:, 0], nz[:, 1]].astype(np.int64),
+        }
+    ).sort_values(["bin_x", "bin_y"]).reset_index(drop=True)

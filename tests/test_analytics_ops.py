@@ -1140,3 +1140,25 @@ def test_lag_correlation_crafted(ray_session):
     )
     # the null voids pairs (1,2) and (2,3); (3,4) and key-2 remain
     assert out2["n_pairs"][0] == 2
+
+
+def test_joint_histogram_oracle(ray_session, sf_dir):
+    _oracle_check("price_quantity_heatmap", sf_dir, tables=("lineitem",))
+
+
+def test_joint_histogram_crafted(ray_session):
+    """Cell totals sum to n; boundary values go UP a bin; empty cells
+    are omitted (GROUP BY parity)."""
+    from data_linter_ray.functions.stats import joint_histogram
+
+    df = pd.DataFrame(
+        {"x": [1.0, 1.0, 2.0, 2.0], "y": [1.0, 2.0, 1.0, 2.0]}
+    )
+    out = joint_histogram(
+        ray.data.from_pandas(df), "x", "y", n_bins_x=2, n_bins_y=2
+    )
+    # boundaries: qx=[1], qy=[1] (quantile_disc at .5 of {1,1,2,2}=1);
+    # v >= q sends every value up: bins {1→1, 2→1}? No: #{[1] ≤ v} = 1
+    # for all → every row lands in (1, 1)
+    assert out["n"].sum() == 4
+    assert len(out) == 1 and (out.iloc[0]["bin_x"], out.iloc[0]["bin_y"]) == (1, 1)
