@@ -2700,6 +2700,20 @@ def q_price_quantity_heatmap(sf_dir: str):
     )
 
 
+def q_segment_drift_ks(sf_dir: str):
+    """Per-group drift table: exact KS sup distance of every event
+    type's value distribution vs the pooled corpus (which segment
+    drifted?) — (value, group, n) combiner, per-(bucket, group)
+    prefix offsets, one range exchange with G local sups per bucket;
+    bit-exact, no rounding."""
+    from data_linter_ray.functions.stats import ks_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "event_type"]
+    )
+    return ks_per_group(ds, "value", "event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2831,6 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_segment_cramers_v": q_event_segment_cramers_v,
         "value_autocorr": q_value_autocorr,
         "price_quantity_heatmap": q_price_quantity_heatmap,
+        "segment_drift_ks": q_segment_drift_ks,
     }
 
 
@@ -4285,5 +4300,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT len(list_filter(b.qx, q -> p.x >= q)) AS bin_x, "
             "len(list_filter(b.qy, q -> p.y >= q)) AS bin_y, count(*) AS n "
             "FROM p, b GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # segment_drift_ks: per-group vs pooled CDF sup, one window
+        # arm per group; identical divisions both sides — bit-exact
+        "segment_drift_ks": (
+            "WITH u AS (SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL) SELECT 'click' AS event_type, (SELECT count_if(g = 'click') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='click') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'click')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'error' AS event_type, (SELECT count_if(g = 'error') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='error') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'error')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'purchase' AS event_type, (SELECT count_if(g = 'purchase') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='purchase') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'purchase')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'signup' AS event_type, (SELECT count_if(g = 'signup') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='signup') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'signup')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'view' AS event_type, (SELECT count_if(g = 'view') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='view') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'view')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s ORDER BY event_type"
         ),
     }

@@ -231,6 +231,7 @@ QUERY_NAMES = [
     "event_segment_cramers_v",
     "value_autocorr",
     "price_quantity_heatmap",
+    "segment_drift_ks",
 ]
 
 

@@ -1747,3 +1747,134 @@ def joint_histogram(
             "n": grid[nz[:, 0], nz[:, 1]].astype(np.int64),
         }
     ).sort_values(["bin_x", "bin_y"]).reset_index(drop=True)
+
+
+def ks_per_group(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    *,
+    max_groups: int = 64,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Per-group drift table: for EVERY group, the exact KS sup
+    distance between the group's value distribution and the POOLED
+    (all-groups) distribution — "which source / segment / shard
+    drifted from the corpus?" in one operator, the per-group sibling
+    of :func:`ks_two_sample`.
+
+    Exact and bit-exact (the KS argument): per distinct value both
+    sides evaluate ``|c_g/n_g − C/N|`` from the same integers; sups
+    are selections. Groups are discovered first and must number
+    ≤ ``max_groups`` (each bucket's reduce builds a values×groups
+    cumulative matrix — a deliberate bound, raised loudly, because an
+    unbounded group domain belongs in :func:`ks_two_sample` one pair
+    at a time).
+
+    Scale shape: one t-digest pass for value-range boundaries, a
+    (value, group, n) count combiner, per-(bucket, group) totals →
+    driver prefix offsets (P·G ints), one range exchange emitting G
+    local sups per bucket.
+
+    → DataFrame(group, n, ks), sorted by group.
+    """
+    import pyarrow.compute as pc
+
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+    from data_linter_ray.state.sketches import TDigest
+
+    P = num_partitions or exchange_width(ds)
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.select([value_col, group_col]).drop_null()
+        return pa.table(
+            {
+                "v": t[value_col].cast(pa.float64()),
+                "g": t[group_col],
+            }
+        )
+
+    rows = ds.select_columns([value_col, group_col]).map_batches(
+        pick, batch_format="pyarrow"
+    ).materialize()
+
+    groups = sorted(
+        r["g"] for r in rows.groupby("g").count().take_all()
+    )
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"{len(groups)} groups exceed max_groups={max_groups}; "
+            "use ks_two_sample per pair for unbounded group domains"
+        )
+    G = len(groups)
+    gidx = {g: i for i, g in enumerate(groups)}
+    if G == 0:
+        return pd.DataFrame(columns=[group_col, "n", "ks"])
+
+    if P > 1:
+        def digest_partial(t: pa.Table) -> pa.Table:
+            td = TDigest()
+            td.add(t["v"].to_numpy(zero_copy_only=False))
+            return pa.table({"_d": pa.array([td.to_bytes()], pa.binary())})
+
+        digest = TDigest()
+        for b in rows.map_batches(
+            digest_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for payload in b["_d"].to_pylist():
+                digest.merge(TDigest.from_bytes(payload))
+        bounds = np.unique(digest.quantiles([i / P for i in range(1, P)]))
+        bounds = bounds[np.isfinite(bounds)]
+    else:
+        bounds = np.empty(0, np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["gi"] = df["g"].map(gidx).astype(np.int64)
+        agg = df.groupby(["v", "gi"], as_index=False, sort=False).size()
+        agg.columns = ["v", "gi", "n"]
+        agg["_part"] = np.searchsorted(
+            bounds, agg["v"].to_numpy(), side="left"
+        ).astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = rows.map_batches(partial, batch_format="pyarrow").materialize()
+
+    tot = np.zeros((P, G), np.int64)
+    for blk in parts.iter_batches(batch_format="pyarrow"):
+        pdf = blk.select(["_part", "gi", "n"]).to_pandas()
+        s = pdf.groupby(["_part", "gi"])["n"].sum()
+        for (b, gi), v in s.items():
+            tot[int(b), int(gi)] += int(v)
+    n_g = tot.sum(axis=0)
+    N = int(n_g.sum())
+    offs = np.zeros((P, G), np.int64)
+    offs[1:] = np.cumsum(tot, axis=0)[:-1]
+
+    def sup(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(df["_part"].iloc[0])
+        mat = (
+            df.groupby(["v", "gi"])["n"].sum().unstack(fill_value=0)
+            .reindex(columns=range(G), fill_value=0)
+            .sort_index()
+        )
+        cum = mat.to_numpy(np.int64).cumsum(axis=0) + offs[bucket]
+        C = cum.sum(axis=1, keepdims=True)  # pooled cumulative
+        with np.errstate(invalid="ignore", divide="ignore"):
+            d = np.abs(
+                cum / n_g.astype(np.float64) - C / np.float64(N)
+            )
+        local = d.max(axis=0) if len(d) else np.zeros(G)
+        return pd.DataFrame(
+            {"gi": np.arange(G, dtype=np.int64), "_sup": local}
+        )
+
+    sups = exchange_map_groups(parts, "_part", P, sup).to_pandas()
+    best = sups.groupby("gi")["_sup"].max()
+    return pd.DataFrame(
+        {
+            group_col: groups,
+            "n": n_g,
+            "ks": [float(best.get(i, 0.0)) for i in range(G)],
+        }
+    )

@@ -1162,3 +1162,33 @@ def test_joint_histogram_crafted(ray_session):
     # for all → every row lands in (1, 1)
     assert out["n"].sum() == 4
     assert len(out) == 1 and (out.iloc[0]["bin_x"], out.iloc[0]["bin_y"]) == (1, 1)
+
+
+def test_segment_drift_ks_oracle(ray_session, sf_dir):
+    _oracle_check("segment_drift_ks", sf_dir, tables=("events",))
+
+
+def test_ks_per_group_crafted(ray_session):
+    """A group identical to the pool has a small-but-nonzero KS (its
+    own mass shifts the pooled CDF); a disjoint-support group carries
+    the largest; width invariance; the max_groups guard raises."""
+    from data_linter_ray.functions.stats import ks_per_group
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 50 + ["b"] * 50,
+            "v": [float(i % 10) for i in range(50)]
+            + [float(100 + i % 10) for i in range(50)],
+        }
+    )
+    out = ks_per_group(ray.data.from_pandas(df), "v", "g")
+    # both groups hold half the mass with disjoint support: F_a hits 1
+    # while pooled is at .5 → sup = .5 for each
+    assert out["ks"].tolist() == [0.5, 0.5]
+    out2 = ks_per_group(
+        ray.data.from_pandas(df), "v", "g", num_partitions=3
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+    with pytest.raises(ValueError):
+        ks_per_group(ray.data.from_pandas(df), "v", "g", max_groups=1)
