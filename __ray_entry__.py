@@ -2714,6 +2714,56 @@ def q_segment_drift_ks(sf_dir: str):
     return ks_per_group(ds, "value", "event_type")
 
 
+def q_vocab_zipf_slope(sf_dir: str):
+    """Zipf law fit over the document-frequency vocabulary: the
+    distributed df operator feeds a driver-side OLS of ln(df) on
+    ln(rank) over the top 100 (rank-bounded — the only driver-side
+    rows); round-6 closed form over SUMs."""
+    import numpy as np_
+
+    from data_linter_ray.functions.text import token_doc_frequency
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    vocab = token_doc_frequency(ds, min_df=5).to_pandas()
+    top = (
+        vocab.sort_values(["df", "token"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    x = np_.log(np_.arange(1, len(top) + 1, dtype=np_.float64))
+    y = np_.log(top["df"].to_numpy(np_.float64))
+    n = float(len(top))
+    sx, sy, sxx, sxy = x.sum(), y.sum(), (x * x).sum(), (x * y).sum()
+    slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    import pandas as pd_
+
+    return pd_.DataFrame({"n_tokens": [int(n)], "zipf_slope": [slope]})
+
+
+def q_source_dup_rate(sf_dir: str):
+    """Per-source exact duplicate-text rate (provenance quality):
+    the distributed per-group count-distinct op + per-source counts;
+    dup_rate = 1 − distinct/n is one exact-int division — identical
+    doubles both sides, no rounding."""
+    import pandas as pd_
+
+    from data_linter_ray.functions.stats import group_count_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    distinct = group_count_distinct(ds, "source", "text")
+    counts = (
+        ds.groupby("source").count().to_pandas()
+        .rename(columns={"count()": "n_docs"})
+    )
+    out = counts.merge(distinct, on="source")
+    out["dup_rate"] = 1.0 - out["n_distinct"] / out["n_docs"].astype("float64")
+    return out.sort_values("source").reset_index(drop=True)[
+        ["source", "n_docs", "n_distinct", "dup_rate"]
+    ]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2846,6 +2896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_autocorr": q_value_autocorr,
         "price_quantity_heatmap": q_price_quantity_heatmap,
         "segment_drift_ks": q_segment_drift_ks,
+        "vocab_zipf_slope": q_vocab_zipf_slope,
+        "source_dup_rate": q_source_dup_rate,
     }
 
 
@@ -4305,5 +4357,29 @@ def oracle_sql() -> dict[str, str]:
         # arm per group; identical divisions both sides — bit-exact
         "segment_drift_ks": (
             "WITH u AS (SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL) SELECT 'click' AS event_type, (SELECT count_if(g = 'click') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='click') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'click')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'error' AS event_type, (SELECT count_if(g = 'error') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='error') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'error')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'purchase' AS event_type, (SELECT count_if(g = 'purchase') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='purchase') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'purchase')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'signup' AS event_type, (SELECT count_if(g = 'signup') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='signup') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'signup')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'view' AS event_type, (SELECT count_if(g = 'view') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='view') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'view')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s ORDER BY event_type"
+        ),
+        # vocab_zipf_slope: same df SQL as "vocabulary", rank-OLS
+        "vocab_zipf_slope": (
+            "WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter("
+            "regexp_split_to_array(lower(trim(text)), '\\W+'), t -> t <> ''))) "
+            "AS g FROM documents), "
+            "df_t AS (SELECT g AS token, count(*) AS df FROM toks "
+            "GROUP BY g HAVING count(*) >= 5), "
+            "top AS (SELECT ln(CAST(row_number() OVER (ORDER BY df DESC, token) "
+            "AS DOUBLE)) AS x, ln(CAST(df AS DOUBLE)) AS y "
+            "FROM df_t ORDER BY df DESC, token LIMIT 100), "
+            "s AS (SELECT count(*) AS n, sum(x) sx, sum(y) sy, "
+            "sum(x*x) sxx, sum(x*y) sxy FROM top) "
+            "SELECT CAST(n AS BIGINT) AS n_tokens, "
+            "round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS zipf_slope FROM s"
+        ),
+        # source_dup_rate: exact distinct texts per source; the rate is
+        # one exact-int division — no rounding
+        "source_dup_rate": (
+            "SELECT source, count(*) AS n_docs, "
+            "count(DISTINCT text) AS n_distinct, "
+            "1.0 - count(DISTINCT text)/CAST(count(*) AS DOUBLE) AS dup_rate "
+            "FROM documents WHERE source IS NOT NULL AND text IS NOT NULL "
+            "GROUP BY source ORDER BY source"
         ),
     }

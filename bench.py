@@ -232,6 +232,8 @@ QUERY_NAMES = [
     "value_autocorr",
     "price_quantity_heatmap",
     "segment_drift_ks",
+    "vocab_zipf_slope",
+    "source_dup_rate",
 ]
 
 

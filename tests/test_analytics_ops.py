@@ -1192,3 +1192,14 @@ def test_ks_per_group_crafted(ray_session):
 
     with pytest.raises(ValueError):
         ks_per_group(ray.data.from_pandas(df), "v", "g", max_groups=1)
+
+
+@pytest.mark.parametrize(
+    "name,tables",
+    [
+        ("vocab_zipf_slope", ("documents",)),
+        ("source_dup_rate", ("documents",)),
+    ],
+)
+def test_corpus_composition_oracle_pairs(ray_session, sf_dir, name, tables):
+    _oracle_check(name, sf_dir, tables=tables)
