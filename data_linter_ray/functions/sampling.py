@@ -288,3 +288,126 @@ def stratified_fraction(
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def group_topk_approx(
+    ds,
+    group_col: str,
+    value_col: str,
+    *,
+    k: int = 5,
+    m: int = 255,
+):
+    """ZERO-shuffle per-group top-k frequent values — the scale path of
+    :func:`group_topk` (as heavy_hitters is to top_values): per batch,
+    one Misra-Gries summary per group (exact value counts folded
+    through ≤ m counters — the MG mass argument makes the keys a
+    SUPERSET of every value with in-group share > 1/(m+1)); driver
+    merge is groups-bounded; the ≤ m candidates per group are then
+    broadcast and EXACTLY recounted in one filtered pass, so reported
+    counts are exact and the ranking is exact whenever the true top-k
+    all clear the 1/(m+1) share (k ≪ m — the intended regime;
+    heavier-tailed groups need a larger m).
+
+    Deliberately NOT a driver-contract query (approximate by design);
+    tolerance-tested against the exact operator in pytest.
+
+    → DataFrame(group, value, n, rank), rank 1..k per group by
+    (n desc, value asc).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from data_linter_ray.functions.timeseries import _schema_types
+    from data_linter_ray.state.sketches import MisraGries
+
+    sch = _schema_types(ds)
+    g_type, v_type = sch[group_col], sch[value_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, value_col]).drop_null().to_pandas()
+        gs, vals, cnts = [], [], []
+        for gval, sub in df.groupby(group_col, sort=False)[value_col]:
+            vc = sub.value_counts()
+            mg = MisraGries(m)
+            mg.add_counts(vc.index.to_numpy(object), vc.to_numpy(np.int64))
+            for v, c in mg.counts.items():
+                gs.append(gval)
+                vals.append(v)
+                cnts.append(int(c))
+            gs.append(gval)
+            vals.append(None)  # mass row
+            cnts.append(int(mg.n))
+        return pa.table(
+            {
+                "g": pa.array(gs, g_type),
+                "v": pa.array(vals, v_type),
+                "c": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for b in (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pandas")
+    ):
+        for gval, sub in b.groupby("g", sort=False):
+            mg = acc.setdefault(gval, MisraGries(m))
+            mass = sub[sub["v"].isna()]["c"].sum()
+            counters = sub.dropna(subset=["v"])
+            other = MisraGries(m)
+            other.add_counts(
+                counters["v"].to_numpy(object),
+                counters["c"].to_numpy(np.int64),
+            )
+            other.n = int(mass)
+            mg.merge(other)
+
+    candidates = {
+        g: list(mg.candidates()) for g, mg in acc.items()
+    }
+    if not candidates:
+        return pd.DataFrame(columns=[group_col, value_col, "n", "rank"])
+    cand_ref = ray.put(candidates)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref) if isinstance(cand_ref, ray.ObjectRef) else cand_ref
+        df = t.select([group_col, value_col]).drop_null().to_pandas()
+        out_g, out_v, out_n = [], [], []
+        for gval, sub in df.groupby(group_col, sort=False)[value_col]:
+            want = cand.get(gval)
+            if not want:
+                continue
+            vc = sub[sub.isin(want)].value_counts()
+            out_g.extend([gval] * len(vc))
+            out_v.extend(vc.index.tolist())
+            out_n.extend(int(x) for x in vc.to_numpy())
+        return pa.table(
+            {
+                "g": pa.array(out_g, g_type),
+                "v": pa.array(out_v, v_type),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    exact: dict = {}
+    for b in (
+        ds.select_columns([group_col, value_col])
+        .map_batches(recount, batch_format="pyarrow")
+        .iter_batches(batch_format="pandas")
+    ):
+        for g, v, n in b.itertuples(index=False):
+            exact[(g, v)] = exact.get((g, v), 0) + int(n)
+
+    rows = pd.DataFrame(
+        [(g, v, n) for (g, v), n in exact.items()],
+        columns=[group_col, value_col, "n"],
+    )
+    rows = rows.sort_values(
+        [group_col, "n", value_col], ascending=[True, False, True]
+    )
+    rows["rank"] = rows.groupby(group_col).cumcount() + 1
+    return rows[rows["rank"] <= k].reset_index(drop=True)

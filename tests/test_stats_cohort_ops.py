@@ -957,3 +957,33 @@ def test_grouped_quantiles_approx_tolerance(ray_session, sf_dir):
 
     # groups match the exact operator's group set
     assert set(approx["event_type"]) == set(raw["event_type"].unique())
+
+
+def test_group_topk_approx_matches_exact_on_skew(ray_session):
+    """The zero-shuffle MG-per-group scale path reproduces the exact
+    per-group top-k on Zipf-skewed data (top-k all clear the 1/(m+1)
+    share — the documented regime), with exact recounted counts."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from data_linter_ray.functions.sampling import group_topk_approx
+
+    rng = np.random.RandomState(5)
+    frames = []
+    for g in ["a", "b", "c"]:
+        vals = rng.zipf(1.5, 5000) % 1000
+        frames.append(pd.DataFrame({"g": g, "v": vals.astype(str)}))
+    df = pd.concat(frames, ignore_index=True)
+    got = group_topk_approx(
+        ray.data.from_pandas(df).repartition(6), "g", "v", k=5, m=64
+    )
+    truth = (
+        df.groupby(["g", "v"]).size().rename("n").reset_index()
+        .sort_values(["g", "n", "v"], ascending=[True, False, True])
+    )
+    truth["rank"] = truth.groupby("g").cumcount() + 1
+    truth = truth[truth["rank"] <= 5].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, truth[["g", "v", "n", "rank"]], check_dtype=False
+    )
