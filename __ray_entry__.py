@@ -2764,6 +2764,39 @@ def q_source_dup_rate(sf_dir: str):
     ]
 
 
+def q_event_basket_lift(sf_dir: str):
+    """Market-basket co-occurrence lift over (user, day) baskets:
+    distinct (basket, item) combiner → basket-hash exchange (disjoint
+    basket sets per partition) → vectorized per-basket pair counts;
+    lift is one exact-int expression — no rounding."""
+    import pyarrow.compute as pc_
+
+    from data_linter_ray.functions.stats import cooccurrence_lift
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def basket(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        return pa.table(
+            {
+                "basket": pc_.binary_join_element_wise(
+                    pc_.cast(t["user_id"], pa.string()),
+                    pc_.strftime(t["ts"], "%Y-%m-%d"),
+                    "@",
+                ),
+                "event_type": t["event_type"],
+            }
+        )
+
+    return cooccurrence_lift(
+        ds.map_batches(basket, batch_format="pyarrow"),
+        "basket", "event_type",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2898,6 +2931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_drift_ks": q_segment_drift_ks,
         "vocab_zipf_slope": q_vocab_zipf_slope,
         "source_dup_rate": q_source_dup_rate,
+        "event_basket_lift": q_event_basket_lift,
     }
 
 
@@ -4381,5 +4415,22 @@ def oracle_sql() -> dict[str, str]:
             "1.0 - count(DISTINCT text)/CAST(count(*) AS DOUBLE) AS dup_rate "
             "FROM documents WHERE source IS NOT NULL AND text IS NOT NULL "
             "GROUP BY source ORDER BY source"
+        ),
+        # event_basket_lift: distinct daily-basket presence; exact
+        # integer counts, one exact-int lift expression
+        "event_basket_lift": (
+            "WITH b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '@' || "
+            "strftime(ts, '%Y-%m-%d') AS u, event_type AS it FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "nb AS (SELECT count(DISTINCT u) AS n_baskets FROM b), "
+            "s AS (SELECT it, count(*) AS n FROM b GROUP BY it), "
+            "p AS (SELECT x.it AS item_a, y.it AS item_b, count(*) AS n_ab "
+            "FROM b x JOIN b y ON x.u = y.u AND x.it < y.it GROUP BY 1, 2) "
+            "SELECT p.item_a, p.item_b, p.n_ab, sa.n AS n_a, sb.n AS n_b, "
+            "nb.n_baskets, (p.n_ab * CAST(nb.n_baskets AS DOUBLE)) / "
+            "(sa.n * CAST(sb.n AS DOUBLE)) AS lift "
+            "FROM p JOIN s sa ON sa.it = p.item_a "
+            "JOIN s sb ON sb.it = p.item_b, nb ORDER BY p.item_a, p.item_b"
         ),
     }

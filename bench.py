@@ -234,6 +234,7 @@ QUERY_NAMES = [
     "segment_drift_ks",
     "vocab_zipf_slope",
     "source_dup_rate",
+    "event_basket_lift",
 ]
 
 

@@ -1878,3 +1878,126 @@ def ks_per_group(
             "ks": [float(best.get(i, 0.0)) for i in range(G)],
         }
     )
+
+
+def cooccurrence_lift(
+    ds: Dataset,
+    basket_col: str,
+    item_col: str,
+    *,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Market-basket co-occurrence with LIFT — "which items appear in
+    the same basket more often than independence predicts?" (event
+    types per user, tags per document, tools per session). A pair's
+    lift is ``(n_ab·n_baskets)/(n_a·n_b)`` over DISTINCT
+    (basket, item) presence.
+
+    All counts are exact integers; lift is one exact-int→double
+    expression — identical doubles both sides, no rounding.
+
+    Scale shape: per-batch DISTINCT (basket, item) combiner → one
+    basket-hash :func:`~data_linter_ray.exchange.keyed_scatter_gather`
+    exchange (all of a basket's items co-locate, partitions hold
+    DISJOINT basket sets) → per-partition globally-exact dedupe,
+    vectorized per-basket pair generation (self-merge bounded by the
+    item domain per basket, never the basket count) → item²-sized
+    partials: (item, None, n) singles, (a, b, n) pairs, and one
+    (None, None, basket_count) row per partition, folded on the
+    driver. Null baskets / items are excluded.
+
+    → DataFrame(item_a, item_b, n_ab, n_a, n_b, n_baskets, lift) for
+    every co-occurring unordered pair (item_a < item_b), sorted.
+    """
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.select([basket_col, item_col]).drop_null()
+        g = t.group_by([basket_col, item_col]).aggregate([])
+        h = hash_array(g[basket_col].combine_chunks()) % np.uint64(P)
+        return g.append_column("_part", pa.array(h.astype(np.int64)))
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([basket_col, item_col]).sort_values(
+            [basket_col, item_col], kind="mergesort"
+        )
+        singles = (
+            d.groupby(item_col, as_index=False, sort=False)
+            .size().rename(columns={"size": "n"})
+        )
+        merged = d.merge(d, on=basket_col, suffixes=("_a", "_b"))
+        merged = merged[merged[f"{item_col}_a"] < merged[f"{item_col}_b"]]
+        pairs = (
+            merged.groupby(
+                [f"{item_col}_a", f"{item_col}_b"], as_index=False, sort=False
+            ).size().rename(columns={"size": "n"})
+        )
+        a = pd.concat(
+            [singles[item_col], pairs[f"{item_col}_a"],
+             pd.Series([None])],
+            ignore_index=True,
+        )
+        b = pd.concat(
+            [pd.Series([None] * len(singles)), pairs[f"{item_col}_b"],
+             pd.Series([None])],
+            ignore_index=True,
+        )
+        n = pd.concat(
+            [singles["n"], pairs["n"],
+             pd.Series([d[basket_col].nunique()])],
+            ignore_index=True,
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"a": a.astype(object), "b": b.astype(object), "n": n}
+            ),
+            preserve_index=False,
+        ).cast(
+            pa.schema(
+                [("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
+            )
+        )
+
+    parts = exchange_map_groups(
+        ds.select_columns([basket_col, item_col]).map_batches(
+            pair_partial, batch_format="pyarrow"
+        ),
+        "_part",
+        P,
+        reduce_pairs,
+    ).to_pandas()
+    if "a" not in parts.columns:
+        return pd.DataFrame(
+            columns=[
+                "item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets", "lift",
+            ]
+        )
+    n_baskets = int(parts[parts["a"].isna()]["n"].sum())
+    singles = (
+        parts[parts["a"].notna() & parts["b"].isna()]
+        .groupby("a")["n"].sum()
+    )
+    pairs = (
+        parts[parts["b"].notna()]
+        .groupby(["a", "b"], as_index=False)["n"].sum()
+    )
+    n_a = pairs["a"].map(singles).to_numpy(np.int64)
+    n_b = pairs["b"].map(singles).to_numpy(np.int64)
+    n_ab = pairs["n"].to_numpy(np.int64)
+    lift = (n_ab.astype(np.float64) * np.float64(n_baskets)) / (
+        n_a.astype(np.float64) * n_b
+    )
+    return pd.DataFrame(
+        {
+            "item_a": pairs["a"],
+            "item_b": pairs["b"],
+            "n_ab": n_ab,
+            "n_a": n_a,
+            "n_b": n_b,
+            "n_baskets": np.int64(n_baskets),
+            "lift": lift,
+        }
+    ).sort_values(["item_a", "item_b"]).reset_index(drop=True)

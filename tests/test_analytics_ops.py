@@ -1203,3 +1203,29 @@ def test_ks_per_group_crafted(ray_session):
 )
 def test_corpus_composition_oracle_pairs(ray_session, sf_dir, name, tables):
     _oracle_check(name, sf_dir, tables=tables)
+
+
+def test_event_basket_lift_oracle(ray_session, sf_dir):
+    _oracle_check("event_basket_lift", sf_dir, tables=("events",))
+
+
+def test_cooccurrence_lift_crafted(ray_session):
+    """Hand-computed 3-basket case: items P/Q co-occur in 2 of 3
+    baskets with n_P = 3, n_Q = 2 → lift = 2·3/(3·2) = 1; a pair
+    appearing once with rarer singles lifts above 1; duplicates within
+    a basket count once."""
+    from data_linter_ray.functions.stats import cooccurrence_lift
+
+    df = pd.DataFrame(
+        {
+            "b": ["1", "1", "1", "2", "2", "3", "3", "3"],
+            "i": ["P", "Q", "P", "P", "Q", "P", "R", "R"],
+        }
+    )
+    out = cooccurrence_lift(ray.data.from_pandas(df), "b", "i", num_partitions=2)
+    out = out.set_index(["item_a", "item_b"])
+    assert out.loc[("P", "Q"), "n_ab"] == 2
+    assert out.loc[("P", "Q"), "lift"] == (2 * 3) / (3 * 2)
+    assert out.loc[("P", "R"), "n_ab"] == 1
+    assert out.loc[("P", "R"), "lift"] == (1 * 3) / (3 * 1)
+    assert ("Q", "R") not in out.index
