@@ -1908,6 +1908,8 @@ def cooccurrence_lift(
 
     → DataFrame(item_a, item_b, n_ab, n_a, n_b, n_baskets, lift) for
     every co-occurring unordered pair (item_a < item_b), sorted.
+    Items must be STRINGS (the partial's pinned exchange schema —
+    cast other types upstream).
     """
     from data_linter_ray.exchange import exchange_map_groups, exchange_width
     from data_linter_ray.state.sketches import hash_array
