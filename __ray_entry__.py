@@ -2797,6 +2797,70 @@ def q_event_basket_lift(sf_dir: str):
     )
 
 
+def q_price_by_quantity_quartiles(sf_dir: str):
+    """Conditional quantiles by composition (binned quantile
+    regression): exact quantity quartile buckets feed the per-group
+    exact quantile scan of extendedprice — quantile_disc values are
+    selections, hash-exact."""
+    from data_linter_ray.functions.quantiles import (
+        grouped_quantiles,
+        quantile_bucketize,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    binned = quantile_bucketize(
+        ds, "l_quantity", keep_cols=["l_extendedprice"]
+    )
+    return grouped_quantiles(
+        binned, "l_extendedprice", "bucket", [0.25, 0.5, 0.75]
+    )
+
+
+def q_weekly_drift_ks(sf_dir: str):
+    """Weekly drift series: exact per-week KS of the value CDF vs the
+    pooled month (ks_per_group with week-of-month groups) — the drift
+    TIMELINE a monitor plots; bit-exact."""
+    import pyarrow.compute as pc_
+
+    from data_linter_ray.functions.stats import ks_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def week(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        w = pc_.divide(
+            pc_.subtract(pc_.day(t["ts"]), 1), 7
+        )
+        return pa.table({"value": t["value"], "week": w.cast(pa.int64())})
+
+    return ks_per_group(
+        ds.map_batches(week, batch_format="pyarrow"), "value", "week"
+    )
+
+
+def q_funnel_conversion(sf_dir: str):
+    """Funnel conversion summary: users per reached-stage level from
+    the distributed funnel — exact integer counts."""
+    from ray.data.aggregate import Count
+
+    from data_linter_ray.functions.window import funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    fun = funnel(ds, "user_id", "ts", "event_type",
+                 ["view", "click", "purchase"])
+    out = fun.groupby("reached").count().to_pandas()
+    out = out.rename(columns={"count()": "n_users"})
+    return out.sort_values("reached").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2932,6 +2996,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_zipf_slope": q_vocab_zipf_slope,
         "source_dup_rate": q_source_dup_rate,
         "event_basket_lift": q_event_basket_lift,
+        "price_by_quantity_quartiles": q_price_by_quantity_quartiles,
+        "weekly_drift_ks": q_weekly_drift_ks,
+        "funnel_conversion": q_funnel_conversion,
     }
 
 
@@ -4432,5 +4499,46 @@ def oracle_sql() -> dict[str, str]:
             "(sa.n * CAST(sb.n AS DOUBLE)) AS lift "
             "FROM p JOIN s sa ON sa.it = p.item_a "
             "JOIN s sb ON sb.it = p.item_b, nb ORDER BY p.item_a, p.item_b"
+        ),
+        # price_by_quantity_quartiles: bucket rule + per-bucket
+        # quantile_disc — selections, hash-exact
+        "price_by_quantity_quartiles": (
+            "WITH q AS (SELECT quantile_disc(l_quantity, 0.25) AS q1, "
+            "quantile_disc(l_quantity, 0.50) AS q2, "
+            "quantile_disc(l_quantity, 0.75) AS q3 FROM lineitem "
+            "WHERE l_quantity IS NOT NULL), "
+            "b AS (SELECT 1 + CAST(l_quantity > q1 AS INT) + "
+            "CAST(l_quantity > q2 AS INT) + CAST(l_quantity > q3 AS INT) "
+            "AS bucket, l_extendedprice FROM lineitem, q "
+            "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), "
+            "lq AS (SELECT bucket AS \"group\", "
+            "quantile_disc(l_extendedprice, [0.25,0.5,0.75]) AS vs "
+            "FROM b GROUP BY bucket) "
+            "SELECT \"group\", unnest([0.25,0.5,0.75]) AS q, "
+            "unnest(vs) AS value FROM lq"
+        ),
+        # weekly_drift_ks: per-week vs pooled CDF sup — bit-exact
+        "weekly_drift_ks": (
+            'WITH u AS (SELECT value AS v, (day(ts)-1)//7 AS g FROM events WHERE value IS NOT NULL AND ts IS NOT NULL) SELECT 0 AS week, (SELECT count_if(g = 0) FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g=0) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 0)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 1 AS week, (SELECT count_if(g = 1) FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g=1) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 1)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 2 AS week, (SELECT count_if(g = 2) FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g=2) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 2)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 3 AS week, (SELECT count_if(g = 3) FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g=3) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 3)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 4 AS week, (SELECT count_if(g = 4) FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g=4) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 4)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s ORDER BY week'
+        ),
+        # funnel_conversion: the funnel chain aggregated by level
+        "funnel_conversion": (
+            "WITH base AS (SELECT user_id, ts, event_type FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "u AS (SELECT DISTINCT user_id FROM base), "
+            "s1 AS (SELECT user_id, min(ts) AS t1 FROM base "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT b.user_id, min(b.ts) AS t2 FROM base b "
+            "JOIN s1 USING (user_id) WHERE b.event_type = 'click' "
+            "AND b.ts > s1.t1 GROUP BY b.user_id), "
+            "s3 AS (SELECT b.user_id, min(b.ts) AS t3 FROM base b "
+            "JOIN s2 USING (user_id) WHERE b.event_type = 'purchase' "
+            "AND b.ts > s2.t2 GROUP BY b.user_id), "
+            "r AS (SELECT ((s1.t1 IS NOT NULL)::BIGINT + "
+            "(s2.t2 IS NOT NULL)::BIGINT + (s3.t3 IS NOT NULL)::BIGINT) "
+            "AS reached FROM u LEFT JOIN s1 USING (user_id) "
+            "LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)) "
+            "SELECT reached, count(*) AS n_users FROM r "
+            "GROUP BY reached ORDER BY reached"
         ),
     }

@@ -235,6 +235,9 @@ QUERY_NAMES = [
     "vocab_zipf_slope",
     "source_dup_rate",
     "event_basket_lift",
+    "price_by_quantity_quartiles",
+    "weekly_drift_ks",
+    "funnel_conversion",
 ]
 
 

@@ -1229,3 +1229,18 @@ def test_cooccurrence_lift_crafted(ray_session):
     assert out.loc[("P", "R"), "n_ab"] == 1
     assert out.loc[("P", "R"), "lift"] == (1 * 3) / (3 * 1)
     assert ("Q", "R") not in out.index
+
+
+@pytest.mark.parametrize(
+    "name,tables",
+    [
+        ("price_by_quantity_quartiles", ("lineitem",)),
+        ("weekly_drift_ks", ("events",)),
+        ("funnel_conversion", ("events",)),
+    ],
+)
+def test_batch3_composition_oracle_pairs(ray_session, sf_dir, name, tables):
+    """Composition queries: conditional quantiles (bucketize →
+    grouped quantiles), the weekly drift-KS timeline, and the funnel
+    conversion summary."""
+    _oracle_check(name, sf_dir, tables=tables)
