@@ -334,3 +334,37 @@ def test_profile_flag_writes_to_s3_log(ray_session, moto_s3, tmp_path):
     prof = json.loads(fs.read_text(names[0]))
     cols = {row["column"] for row in prof}
     assert "my_int" in cols
+
+
+def test_s3_orc_source_reads(ray_session, moto_s3, tmp_path):
+    """The ORC FileBasedDatasource inherits the explicit S3 filesystem
+    (endpoint + credentials travel with the scan tasks): an ORC object
+    in the moto store reads back through read_table_dataset."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from data_linter_ray.metadata import ColumnSpec, TableSchema
+    from data_linter_ray.sources.readers import read_table_dataset
+
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(200), pa.int64()),
+            "value": pa.array(np.linspace(0, 99, 200), pa.float64()),
+        }
+    )
+    local = str(tmp_path / "events.orc")
+    po.write_table(t, local)
+    moto_s3.upload_file(local, "land", "orc-src/events.orc")
+
+    schema = TableSchema(
+        name="events",
+        columns=[
+            ColumnSpec(name="event_id", type="int64", nullable=False),
+            ColumnSpec(name="value", type="float64"),
+        ],
+    )
+    ds = read_table_dataset("s3://land/orc-src/events.orc", schema)
+    assert ds.count() == 200
+    got = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == list(range(200))
