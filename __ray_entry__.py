@@ -2861,6 +2861,24 @@ def q_funnel_conversion(sf_dir: str):
     return out.sort_values("reached").reset_index(drop=True)
 
 
+def q_value_sla_verdicts(sf_dir: str):
+    """Quantile SLA gate (the linter verdict framing over exact order
+    statistics): p50/p95/p99 of value checked against fixed ceilings;
+    quantile values are selections (hash-exact), the verdict an
+    integer-free boolean comparison — identical both sides."""
+    import pandas as pd_
+
+    from data_linter_ray.functions.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    qs = exact_quantiles(ds, "value", [0.5, 0.95, 0.99])
+    rules = {0.5: 60.0, 0.95: 110.0, 0.99: 140.0}
+    out = qs.copy()
+    out["threshold"] = out["q"].map(rules)
+    out["passed"] = out["value"] <= out["threshold"]
+    return out[["q", "value", "threshold", "passed"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -2999,6 +3017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_by_quantity_quartiles": q_price_by_quantity_quartiles,
         "weekly_drift_ks": q_weekly_drift_ks,
         "funnel_conversion": q_funnel_conversion,
+        "value_sla_verdicts": q_value_sla_verdicts,
     }
 
 
@@ -4540,5 +4559,15 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)) "
             "SELECT reached, count(*) AS n_users FROM r "
             "GROUP BY reached ORDER BY reached"
+        ),
+        # value_sla_verdicts: exact quantile_disc + fixed ceilings
+        "value_sla_verdicts": (
+            "WITH q AS (SELECT unnest([0.5, 0.95, 0.99]) AS q, "
+            "unnest(quantile_disc(value, [0.5, 0.95, 0.99])) AS value "
+            "FROM events WHERE value IS NOT NULL), "
+            "r(q, threshold) AS (VALUES (0.5, 60.0), (0.95, 110.0), "
+            "(0.99, 140.0)) "
+            "SELECT q.q, q.value, r.threshold, q.value <= r.threshold "
+            "AS passed FROM q JOIN r USING (q) ORDER BY q.q"
         ),
     }

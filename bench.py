@@ -238,6 +238,7 @@ QUERY_NAMES = [
     "price_by_quantity_quartiles",
     "weekly_drift_ks",
     "funnel_conversion",
+    "value_sla_verdicts",
 ]
 
 

@@ -1244,3 +1244,7 @@ def test_batch3_composition_oracle_pairs(ray_session, sf_dir, name, tables):
     grouped quantiles), the weekly drift-KS timeline, and the funnel
     conversion summary."""
     _oracle_check(name, sf_dir, tables=tables)
+
+
+def test_value_sla_verdicts_oracle(ray_session, sf_dir):
+    _oracle_check("value_sla_verdicts", sf_dir, tables=("events",))
