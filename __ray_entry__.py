@@ -2879,6 +2879,23 @@ def q_value_sla_verdicts(sf_dir: str):
     return out[["q", "value", "threshold", "passed"]]
 
 
+def q_weekly_active_users(sf_dir: str):
+    """EXACT rolling 7-day active users per day (WAU) without
+    per-window dedupe: per-user activity-day interval union → ±1
+    delta rows → span-bounded driver cumsum; exact integer counts."""
+    from data_linter_ray.functions.cohort import windowed_active_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = windowed_active_counts(ds, "user_id", "ts", window_days=7)
+    import pandas as pd_
+
+    out = out.copy()
+    out["day"] = pd_.to_datetime(out["day"])
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -3018,6 +3035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_drift_ks": q_weekly_drift_ks,
         "funnel_conversion": q_funnel_conversion,
         "value_sla_verdicts": q_value_sla_verdicts,
+        "weekly_active_users": q_weekly_active_users,
     }
 
 
@@ -4569,5 +4587,17 @@ def oracle_sql() -> dict[str, str]:
             "(0.99, 140.0)) "
             "SELECT q.q, q.value, r.threshold, q.value <= r.threshold "
             "AS passed FROM q JOIN r USING (q) ORDER BY q.q"
+        ),
+        # weekly_active_users: distinct-in-trailing-window per day
+        "weekly_active_users": (
+            "WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "span AS (SELECT min(d) AS lo, max(d) AS hi FROM a), "
+            "grid AS (SELECT unnest(generate_series(span.lo, "
+            "span.hi + INTERVAL 6 DAY, INTERVAL 1 DAY))::TIMESTAMP AS day "
+            "FROM span) "
+            "SELECT grid.day, (SELECT count(DISTINCT a.user_id) FROM a "
+            "WHERE a.d BETWEEN grid.day - INTERVAL 6 DAY AND grid.day) "
+            "AS n_active FROM grid ORDER BY grid.day"
         ),
     }

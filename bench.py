@@ -239,6 +239,7 @@ QUERY_NAMES = [
     "weekly_drift_ks",
     "funnel_conversion",
     "value_sla_verdicts",
+    "weekly_active_users",
 ]
 
 

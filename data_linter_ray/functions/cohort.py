@@ -116,3 +116,110 @@ def retention_matrix(
         .reset_index(drop=True)
     )
     return out
+
+
+def windowed_active_counts(
+    ds,
+    key: str,
+    time_col: str,
+    *,
+    window_days: int = 7,
+    num_partitions: int | None = None,
+):
+    """EXACT rolling N-day active entities per day (WAU/MAU): for every
+    calendar day in the observed span, the number of distinct keys with
+    ≥ 1 event in the trailing ``window_days``-day window — the product
+    metric sliding-distinct usually forces into approximation.
+
+    Exact at scale without per-window dedupe: a key is active in the
+    windows ending on days ``[d, d+N-1]`` for each of its activity days
+    d, so its covered window-end days are a UNION OF INTERVALS. Per
+    key, overlapping intervals merge in one vectorized pass (sorted
+    distinct activity days; gaps > N−1 start a new run) and each run
+    emits two delta rows (+1 at start, −1 after end). The day-indexed
+    delta vector folds on the driver (span-bounded — days, not keys)
+    and one cumsum yields every day's exact count.
+
+    Scale shape: distinct (key, day) per-batch combiner → one key-hash
+    :func:`~data_linter_ray.exchange.keyed_scatter_gather` exchange
+    (all of a key's days co-locate; partitions hold disjoint key sets)
+    → per-partition interval merge → tiny (day, delta) partials. Null
+    keys/times excluded.
+
+    → DataFrame(day [date], n_active), one row per day of the span,
+    sorted.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_linter_ray.exchange import exchange_map_groups, exchange_width
+    from data_linter_ray.state.sketches import hash_array
+
+    P = num_partitions or exchange_width(ds)
+    N = int(window_days)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.select([key, time_col]).drop_null()
+        days = pc.cast(pc.floor_temporal(t[time_col], unit="day"), pa.date32())
+        g = pa.table({"k": t[key], "d": days}).group_by(["k", "d"]).aggregate([])
+        h = hash_array(g["k"].combine_chunks()) % np.uint64(P)
+        return g.append_column("_part", pa.array(h.astype(np.int64)))
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["k", "d"]).sort_values(
+            ["k", "d"], kind="mergesort"
+        )
+        k = d["k"].to_numpy()
+        day = d["d"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        n = len(d)
+        if not n:
+            return pd.DataFrame({"day": [], "delta": []})
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        # a new RUN starts at a new key or a gap the window can't bridge
+        gap = np.empty(n, dtype=bool)
+        gap[0] = True
+        gap[1:] = (day[1:] - day[:-1]) > (N - 1)
+        run_start = new_key | gap
+        starts = np.flatnonzero(run_start)
+        ends = np.append(starts[1:], n) - 1
+        s_days = day[starts]                # first window-end covered
+        e_days = day[ends] + (N - 1)        # last window-end covered
+        out = pd.DataFrame(
+            {
+                "day": np.concatenate([s_days, e_days + 1]),
+                "delta": np.concatenate(
+                    [np.ones(len(starts), np.int64),
+                     -np.ones(len(starts), np.int64)]
+                ),
+            }
+        )
+        return out.groupby("day", as_index=False)["delta"].sum()
+
+    parts = exchange_map_groups(
+        ds.select_columns([key, time_col]).map_batches(
+            pair_partial, batch_format="pyarrow"
+        ),
+        "_part",
+        P,
+        deltas,
+    ).to_pandas()
+    if "day" not in parts.columns or not len(parts):
+        return pd.DataFrame(columns=["day", "n_active"])
+    fold = parts.groupby("day", as_index=True)["delta"].sum().sort_index()
+    lo, hi = int(fold.index.min()), int(fold.index.max())
+    grid = np.arange(lo, hi, dtype=np.int64)  # hi is the first zero day
+    vec = np.zeros(hi - lo, np.int64)
+    idx = fold.index.to_numpy(np.int64) - lo
+    vec[idx[idx < len(vec)]] = fold.to_numpy(np.int64)[idx < len(vec)]
+    counts = np.cumsum(vec)
+    return pd.DataFrame(
+        {
+            "day": grid.astype("datetime64[D]"),
+            "n_active": counts,
+        }
+    )

@@ -987,3 +987,50 @@ def test_group_topk_approx_matches_exact_on_skew(ray_session):
     pd.testing.assert_frame_equal(
         got, truth[["g", "v", "n", "rank"]], check_dtype=False
     )
+
+
+def test_weekly_active_users_oracle(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    got = e.queries()["weekly_active_users"](sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    exp = con.execute(e.oracle_sql()["weekly_active_users"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False, check_exact=True
+    )
+
+
+def test_windowed_active_counts_crafted(ray_session):
+    """Interval-union semantics: one user active on days 0 and 10 with
+    a 7-day window covers window-ends 0..6 and 10..16 (two runs, no
+    bridge); a second user on day 3 overlaps; gap days count 1."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from data_linter_ray.functions.cohort import windowed_active_counts
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 2],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-11", "2024-01-04"]),
+        }
+    )
+    out = windowed_active_counts(
+        ray.data.from_pandas(df), "u", "ts", window_days=7, num_partitions=2
+    )
+    by_day = dict(zip(pd.to_datetime(out["day"]).dt.day, out["n_active"]))
+    assert by_day[1] == 1           # only user 1's first run
+    assert by_day[4] == 2           # both users cover day 4
+    assert by_day[7] == 2           # user 1 run ends day 7; user 2 covers
+    assert by_day[8] == 1           # user 2 only (covers 4..10)
+    assert by_day[10] == 1          # user 2's last covered window-end
+    assert by_day[11] == 1          # user 1's second run (11..17)
+    assert by_day[17] == 1          # last covered window-end
+    assert 18 not in by_day
