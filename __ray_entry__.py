@@ -2896,6 +2896,38 @@ def q_weekly_active_users(sf_dir: str):
     return out
 
 
+def q_session_duration_quartiles(sf_dir: str):
+    """Session-duration quartiles for multi-event sessions by
+    composition: distributed sessionize → duration derive + filter →
+    sort-free exact quantile scan; int64 microsecond durations,
+    quantile values are selections — hash-exact."""
+    import pandas as pd_
+    import pyarrow.compute as pc_
+
+    from data_linter_ray.functions.quantiles import exact_quantiles
+    from data_linter_ray.functions.timeseries import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    sess = sessionize(
+        ds, time_col="ts", by="user_id", gap=pd_.Timedelta(minutes=30)
+    )
+
+    def dur(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.greater(t["n_rows"], 1))
+        d = pc_.subtract(
+            t["session_end"].cast(pa.timestamp("us")),
+            t["session_start"].cast(pa.timestamp("us")),
+        )
+        return pa.table({"duration_us": d.cast(pa.int64())})
+
+    return exact_quantiles(
+        sess.map_batches(dur, batch_format="pyarrow"),
+        "duration_us", [0.25, 0.5, 0.75],
+    ).sort_values("q").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -3036,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": q_funnel_conversion,
         "value_sla_verdicts": q_value_sla_verdicts,
         "weekly_active_users": q_weekly_active_users,
+        "session_duration_quartiles": q_session_duration_quartiles,
     }
 
 
@@ -4599,5 +4632,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT grid.day, (SELECT count(DISTINCT a.user_id) FROM a "
             "WHERE a.d BETWEEN grid.day - INTERVAL 6 DAY AND grid.day) "
             "AS n_active FROM grid ORDER BY grid.day"
+        ),
+        # session_duration_quartiles: the session_stats CTE + HAVING
+        # count(*) > 1 + quantile_disc over int64 microsecond durations
+        "session_duration_quartiles": (
+            "WITH o AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "d AS (SELECT epoch_us(max(ts)) - epoch_us(min(ts)) "
+            "AS duration_us FROM s GROUP BY user_id, sid "
+            "HAVING count(*) > 1) "
+            "SELECT unnest([0.25, 0.5, 0.75]) AS q, "
+            "unnest(quantile_disc(duration_us, [0.25, 0.5, 0.75])) "
+            "AS value FROM d"
         ),
     }

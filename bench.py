@@ -240,6 +240,7 @@ QUERY_NAMES = [
     "funnel_conversion",
     "value_sla_verdicts",
     "weekly_active_users",
+    "session_duration_quartiles",
 ]
 
 

@@ -1248,3 +1248,7 @@ def test_batch3_composition_oracle_pairs(ray_session, sf_dir, name, tables):
 
 def test_value_sla_verdicts_oracle(ray_session, sf_dir):
     _oracle_check("value_sla_verdicts", sf_dir, tables=("events",))
+
+
+def test_session_duration_quartiles_oracle(ray_session, sf_dir):
+    _oracle_check("session_duration_quartiles", sf_dir, tables=("events",))
