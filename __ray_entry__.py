@@ -2928,6 +2928,67 @@ def q_session_duration_quartiles(sf_dir: str):
     ).sort_values("q").reset_index(drop=True)
 
 
+def q_source_pareto(sf_dir: str):
+    """Contribution / Pareto analysis: per-source document-char mass
+    with cumulative share in descending-mass order ("which sources
+    drive 80% of the corpus?"). Exact integer sums; shares are
+    int→double divisions in a fixed driver-side order (sources
+    bounded); cum_share rounded 9 dp both sides (SQL window SUM over
+    doubles is order-fixed here by ORDER BY, engine matches with an
+    ordered cumsum — rounding guards the last ulp)."""
+    import numpy as np_
+    import pandas as pd_
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    agg = (
+        ds.groupby("source")
+        .aggregate(Count(), Sum("n_chars", alias_name="chars"))
+        .to_pandas()
+        .rename(columns={"count()": "n_docs"})
+    )
+    agg = agg.sort_values(
+        ["chars", "source"], ascending=[False, True]
+    ).reset_index(drop=True)
+    total = np_.int64(agg["chars"].sum())
+    share = agg["chars"].to_numpy(np_.int64) / np_.float64(total)
+    agg["share"] = share
+    agg["cum_share"] = np_.round(np_.cumsum(share), 9)
+    agg["rank"] = np_.arange(1, len(agg) + 1, dtype=np_.int64)
+    return agg[["rank", "source", "n_docs", "chars", "share", "cum_share"]]
+
+
+def q_source_freshness(sf_dir: str):
+    """Freshness verdicts per event segment: each event_type's max ts
+    lag behind the global max, gated at 1 hour — exact microsecond
+    integers, boolean verdicts."""
+    import pandas as pd_
+
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    per = ds.groupby("event_type").aggregate(Max("ts")).to_pandas()
+    per = per.rename(columns={"max(ts)": "max_ts"})
+    global_max = per["max_ts"].max()
+    lag_us = (
+        (global_max - per["max_ts"]).dt.total_seconds() * 1_000_000
+    ).round().astype("int64")
+    out = pd_.DataFrame(
+        {
+            "event_type": per["event_type"],
+            "max_ts": per["max_ts"],
+            "lag_us": lag_us,
+            "fresh": lag_us <= 3_600_000_000,
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -3069,6 +3130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_sla_verdicts": q_value_sla_verdicts,
         "weekly_active_users": q_weekly_active_users,
         "session_duration_quartiles": q_session_duration_quartiles,
+        "source_pareto": q_source_pareto,
+        "source_freshness": q_source_freshness,
     }
 
 
@@ -4648,5 +4711,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest([0.25, 0.5, 0.75]) AS q, "
             "unnest(quantile_disc(duration_us, [0.25, 0.5, 0.75])) "
             "AS value FROM d"
+        ),
+        # source_pareto: exact integer mass; ordered cumulative share
+        # rounded 9 dp both sides
+        "source_pareto": (
+            "WITH a AS (SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS chars FROM documents "
+            "WHERE source IS NOT NULL AND n_chars IS NOT NULL "
+            "GROUP BY source), "
+            "t AS (SELECT CAST(sum(chars) AS DOUBLE) AS total FROM a), "
+            "r AS (SELECT a.*, row_number() OVER "
+            "(ORDER BY chars DESC, source) AS rank, "
+            "chars/t.total AS share FROM a, t) "
+            "SELECT rank, source, n_docs, chars, share, "
+            "round(sum(share) OVER (ORDER BY rank), 9) AS cum_share "
+            "FROM r ORDER BY rank"
+        ),
+        # source_freshness: exact microsecond lags vs the global max
+        "source_freshness": (
+            "WITH p AS (SELECT event_type, max(ts) AS max_ts FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL "
+            "GROUP BY event_type), "
+            "g AS (SELECT max(max_ts) AS gm FROM p) "
+            "SELECT p.event_type, p.max_ts, "
+            "epoch_us(g.gm) - epoch_us(p.max_ts) AS lag_us, "
+            "(epoch_us(g.gm) - epoch_us(p.max_ts)) <= 3600000000 AS fresh "
+            "FROM p, g ORDER BY p.event_type"
         ),
     }

@@ -241,6 +241,8 @@ QUERY_NAMES = [
     "value_sla_verdicts",
     "weekly_active_users",
     "session_duration_quartiles",
+    "source_pareto",
+    "source_freshness",
 ]
 
 

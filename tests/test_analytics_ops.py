@@ -1252,3 +1252,14 @@ def test_value_sla_verdicts_oracle(ray_session, sf_dir):
 
 def test_session_duration_quartiles_oracle(ray_session, sf_dir):
     _oracle_check("session_duration_quartiles", sf_dir, tables=("events",))
+
+
+@pytest.mark.parametrize(
+    "name,tables",
+    [
+        ("source_pareto", ("documents",)),
+        ("source_freshness", ("events",)),
+    ],
+)
+def test_quality_dashboard_oracle_pairs(ray_session, sf_dir, name, tables):
+    _oracle_check(name, sf_dir, tables=tables)
