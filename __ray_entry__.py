@@ -2989,6 +2989,24 @@ def q_source_freshness(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_value_cusum_alarms(sf_dir: str):
+    """Per-user one-sided CUSUM drift alarms (sequential changepoint
+    detection): the clamped recursion has the closed form
+    C − min(0, running min C), so one cumsum + one segmented
+    minimum.accumulate per partition computes every alarm — integer
+    cents, hash-exact vs the SQL nested-window oracle."""
+    from data_linter_ray.functions.window import cusum_alarms
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return cusum_alarms(
+        ds, "user_id", "ts", "event_id", "value",
+        ref_cents=5500, slack_cents=0, threshold_cents=20000,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -3132,6 +3150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_quartiles": q_session_duration_quartiles,
         "source_pareto": q_source_pareto,
         "source_freshness": q_source_freshness,
+        "value_cusum_alarms": q_value_cusum_alarms,
     }
 
 
@@ -4737,5 +4756,21 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(g.gm) - epoch_us(p.max_ts) AS lag_us, "
             "(epoch_us(g.gm) - epoch_us(p.max_ts)) <= 3600000000 AS fresh "
             "FROM p, g ORDER BY p.event_type"
+        ),
+        # value_cusum_alarms: nested windows — per-key cumsum of cents
+        # deviations, running min, clamp; integer-exact
+        "value_cusum_alarms": (
+            "WITH r AS (SELECT user_id, event_id, ts, "
+            "COALESCE(CAST(round(value*100) AS BIGINT) - 5500, 0) AS dev "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_id IS NOT NULL), "
+            "c AS (SELECT user_id, event_id, ts, sum(dev) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS C FROM r), "
+            "m AS (SELECT user_id, event_id, ts, C, min(C) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS mn FROM c) "
+            "SELECT user_id, event_id, ts, C - least(0, mn) AS cusum_cents "
+            "FROM m WHERE C - least(0, mn) > 20000"
         ),
     }

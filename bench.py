@@ -243,6 +243,7 @@ QUERY_NAMES = [
     "session_duration_quartiles",
     "source_pareto",
     "source_freshness",
+    "value_cusum_alarms",
 ]
 
 

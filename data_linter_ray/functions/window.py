@@ -590,3 +590,94 @@ def lag_correlation(
     if round_to is not None:
         corr = np.round(corr, round_to)
     return pd.DataFrame({"n_pairs": [int(n)], "corr": [float(corr)]})
+
+
+def cusum_alarms(
+    ds: Dataset,
+    key: str,
+    order: str,
+    tie: str,
+    value: str,
+    *,
+    ref_cents: int,
+    slack_cents: int = 0,
+    threshold_cents: int,
+    scale: int = 100,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-key one-sided CUSUM drift alarms — the classic sequential
+    changepoint detector ("this user's / shard's values have run above
+    the reference level long enough to matter"). For each row, the
+    CUSUM statistic over the key's ``(order, tie)``-ordered cents
+    series is
+
+        S_i = max(0, S_{i-1} + cents_i − (ref + slack))
+
+    and rows with ``S_i > threshold`` are emitted as alarms. The
+    clamped recursion is NOT a prefix sum, but it has the exact
+    closed form ``S_i = C_i − min(0, min_{j≤i} C_j)`` with
+    ``C = cumsum(cents − (ref+slack))`` — one cumsum + one
+    ``np.minimum.accumulate`` per key segment, fully vectorized and
+    INTEGER-exact (hash-exact vs the SQL nested-window oracle).
+
+    Null key/order/tie rows are dropped; null values contribute zero
+    deviation (they neither advance nor reset the statistic —
+    documented; the oracle COALESCEs identically).
+
+    → Dataset(key, tie, order, cusum_cents) — alarm rows only.
+    """
+    P = num_partitions or exchange_width(ds)
+    cols = [key, order, tie, value]
+    from data_linter_ray.functions.timeseries import _schema_types
+
+    sch = _schema_types(ds)
+    key_t, tie_t = sch[key], sch[tie]
+    drift = np.int64(ref_cents + slack_cents)
+
+    def alarms(g: pd.DataFrame) -> pa.Table:
+        g = g.dropna(subset=[key, order, tie]).sort_values(
+            [key, order, tie], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(g)
+        k = g[key].to_numpy()
+        v = g[value].to_numpy(np.float64)
+        cents = np.where(
+            np.isnan(v), 0, np.rint(np.where(np.isnan(v), 0.0, v) * scale)
+        ).astype(np.int64) - np.where(np.isnan(v), 0, drift)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        # per-key cumsum: global cumsum minus the value just before the
+        # key's first row
+        C = np.cumsum(cents)
+        base = np.repeat(np.concatenate(([0], C[starts[1:] - 1])) if n else
+                         np.empty(0, np.int64), counts)
+        C = C - base
+        # per-key running min of C (clamped at 0): segmented
+        # minimum.accumulate via DESCENDING per-key bands — later keys
+        # sit strictly BELOW earlier ones, so the carried minimum can
+        # never leak across a key boundary (the time_rolling banding
+        # idea, inverted for minima)
+        BIG = np.int64((np.abs(C).max() if n else 0))
+        band = np.repeat(
+            -np.arange(len(starts), dtype=np.int64) * (2 * BIG + 1),
+            counts,
+        )
+        m = np.minimum.accumulate(C + band) - band
+        # S_i = C_i - min(0, min_{j<=i within key} C_j)
+        S = C - np.minimum(0, m)
+        viol = S > np.int64(threshold_cents)
+        sel = g[viol]
+        return pa.table(
+            {
+                key: pa.Array.from_pandas(sel[key], type=key_t),
+                tie: pa.Array.from_pandas(sel[tie], type=tie_t),
+                order: pa.Array.from_pandas(sel[order]),
+                "cusum_cents": pa.array(S[viol], pa.int64()),
+            }
+        )
+
+    return exchange_map_groups(_hash_partition(ds, key, cols, P), "_part", P, alarms)

@@ -1263,3 +1263,48 @@ def test_session_duration_quartiles_oracle(ray_session, sf_dir):
 )
 def test_quality_dashboard_oracle_pairs(ray_session, sf_dir, name, tables):
     _oracle_check(name, sf_dir, tables=tables)
+
+
+def test_value_cusum_alarms_oracle(ray_session, sf_dir):
+    _oracle_check("value_cusum_alarms", sf_dir, tables=("events",))
+
+
+def test_cusum_alarms_crafted(ray_session):
+    """The clamp resets after dips; alarms fire only once the running
+    excess crosses the threshold; keys are independent (band-segmented
+    running min never leaks across keys); null values are neutral."""
+    from data_linter_ray.functions.window import cusum_alarms
+
+    ts = pd.to_datetime([f"2024-01-01 00:00:{i:02d}" for i in range(10)])
+    df = pd.DataFrame(
+        {
+            "k": [1] * 6 + [2] * 4,
+            "ts": list(ts[:6]) + list(ts[:4]),
+            "i": list(range(10)),
+            "v": [50.0, 52.0, 55.0, 54.0, None, 55.0,
+                  40.0, 45.0, 50.0, 42.0],
+        }
+    )
+    out = (
+        cusum_alarms(
+            ray.data.from_pandas(df), "k", "ts", "i", "v",
+            ref_cents=5000, slack_cents=100, threshold_cents=500,
+            num_partitions=2,
+        )
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+
+    def brute(vals):
+        S, flags = 0, []
+        for v in vals:
+            dev = 0 if v is None else int(round(v * 100)) - 5100
+            S = max(0, S + dev)
+            flags.append(S > 500)
+        return flags
+
+    b1 = brute([50, 52, 55, 54, None, 55])
+    b2 = brute([40, 45, 50, 42])
+    expect = [i for i, f in enumerate(b1) if f] + [
+        6 + i for i, f in enumerate(b2) if f
+    ]
+    assert out["i"].tolist() == expect
