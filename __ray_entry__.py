@@ -3007,6 +3007,18 @@ def q_value_cusum_alarms(sf_dir: str):
     )
 
 
+def q_grouped_value_mad(sf_dir: str):
+    """Per-segment robust dispersion: exact median + median absolute
+    deviation via two grouped quantile scans and one broadcast medians
+    map — selections, hash-exact vs SQL quantile_disc semantics."""
+    from data_linter_ray.functions.quantiles import grouped_mad
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_mad(ds, "value", "event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -3151,6 +3163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_pareto": q_source_pareto,
         "source_freshness": q_source_freshness,
         "value_cusum_alarms": q_value_cusum_alarms,
+        "grouped_value_mad": q_grouped_value_mad,
     }
 
 
@@ -4772,5 +4785,18 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS mn FROM c) "
             "SELECT user_id, event_id, ts, C - least(0, mn) AS cusum_cents "
             "FROM m WHERE C - least(0, mn) > 20000"
+        ),
+        # grouped_value_mad: per-group median + MAD, quantile_disc
+        # lower-of-two semantics — selections, hash-exact
+        "grouped_value_mad": (
+            "WITH m AS (SELECT event_type AS \"group\", "
+            "quantile_disc(value, 0.5) AS median FROM events "
+            "WHERE event_type IS NOT NULL AND value IS NOT NULL "
+            "GROUP BY event_type) "
+            "SELECT m.\"group\", m.median, "
+            "(SELECT quantile_disc(abs(e.value - m.median), 0.5) "
+            "FROM events e WHERE e.event_type = m.\"group\" "
+            "AND e.value IS NOT NULL) AS mad "
+            "FROM m ORDER BY m.\"group\""
         ),
     }

@@ -244,6 +244,7 @@ QUERY_NAMES = [
     "source_pareto",
     "source_freshness",
     "value_cusum_alarms",
+    "grouped_value_mad",
 ]
 
 

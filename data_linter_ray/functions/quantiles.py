@@ -712,3 +712,52 @@ def grouped_quantiles_approx(
         for q, v in zip(qs, vals):
             rows.append((gval, q, float(v)))
     return pd.DataFrame(rows, columns=[group_col, "q", "value"])
+
+
+def grouped_mad(
+    ds,
+    value_col: str,
+    group_col: str,
+    **kwargs,
+):
+    """Exact per-group median absolute deviation — the robust
+    dispersion report (`mad()` per segment): two grouped exact-median
+    scans composed with one broadcast. Pass 1 resolves each group's
+    exact median (the sort-free per-group refinement); the medians map
+    (groups-bounded) ships once via the closure; pass 2 runs the same
+    machinery over the derived ``|value − median_g|`` column. Both
+    outputs are selections — hash-exact vs SQL
+    ``median``/``mad`` (quantile_disc semantics: lower-of-two for
+    even groups, matching ``quantile_disc(x, 0.5)``).
+
+    → DataFrame(group, median, mad), sorted by group.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    med = grouped_quantiles(ds, value_col, group_col, [0.5], **kwargs)
+    med = med.to_pandas() if hasattr(med, "to_pandas") else med
+    med_map = dict(zip(med["group"], med["value"]))
+
+    def absdev(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, value_col]).drop_null().to_pandas()
+        m = df[group_col].map(med_map).to_numpy(np.float64)
+        return pa.table(
+            {
+                group_col: pa.Array.from_pandas(df[group_col]),
+                "_absdev": pa.array(
+                    np.abs(df[value_col].to_numpy(np.float64) - m)
+                ),
+            }
+        )
+
+    mad = grouped_quantiles(
+        ds.map_batches(absdev, batch_format="pyarrow"),
+        "_absdev", group_col, [0.5], **kwargs,
+    )
+    mad = mad.to_pandas() if hasattr(mad, "to_pandas") else mad
+    out = med.rename(columns={"value": "median"})[["group", "median"]].merge(
+        mad.rename(columns={"value": "mad"})[["group", "mad"]], on="group"
+    )
+    return out.sort_values("group").reset_index(drop=True)

@@ -1308,3 +1308,7 @@ def test_cusum_alarms_crafted(ray_session):
         6 + i for i, f in enumerate(b2) if f
     ]
     assert out["i"].tolist() == expect
+
+
+def test_grouped_value_mad_oracle(ray_session, sf_dir):
+    _oracle_check("grouped_value_mad", sf_dir, tables=("events",))
