@@ -104,3 +104,70 @@ def flag_contaminated(
     return corpus.select_columns([id_col, text_col]).map_batches(
         flagger, batch_format="pyarrow"
     )
+
+
+def flag_contaminated_bloom(
+    corpus: Dataset,
+    benchmark: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    n_bits: int = 1 << 23,
+    k: int = 7,
+) -> Dataset:
+    """The fixed-memory scale path of :func:`flag_contaminated`: the
+    benchmark gram set becomes a :class:`~data_linter_ray.state.
+    sketches.BloomFilter` (n_bits/8 bytes REGARDLESS of benchmark
+    size — a 10¹⁰-gram benchmark that would broadcast 80 GB of raw
+    hashes ships as a fixed bitmap), built in one streaming driver
+    fold of per-batch distinct gram hashes and broadcast once via
+    ``ray.put``. NO FALSE NEGATIVES by construction — every doc the
+    exact operator flags is flagged here (tested as a superset
+    property); per-doc ``n_shared`` may count extra grams at the
+    filter's FP rate, so this is the PRE-FILTER whose survivors can
+    feed the exact verifier when exactness matters.
+
+    → (id_col, n_shared) rows, like the exact operator.
+    """
+    from data_linter_ray.state.sketches import BloomFilter
+
+    bloom = BloomFilter(n_bits=n_bits, k=k)
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        sh, _ = _doc_distinct_grams(t[text_col], ngram)
+        return pa.table(
+            {"_h": pa.array([np.unique(sh).tobytes()], pa.binary())}
+        )
+
+    for b in (
+        benchmark.select_columns([text_col])
+        .map_batches(gram_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for payload in b["_h"].to_pylist():
+            bloom.add_hashes(np.frombuffer(payload, np.uint64))
+
+    bloom_ref = ray.put(bloom.to_bytes())
+
+    def flagger(t: pa.Table) -> pa.Table:
+        blob = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+        bf = BloomFilter.from_bytes(blob)
+        sh, sp = _doc_distinct_grams(t[text_col], ngram)
+        n_rows = len(t)
+        if len(sh):
+            hit = bf.contains_hashes(sh)
+            n_shared = np.bincount(sp[hit], minlength=n_rows).astype(np.int64)
+        else:
+            n_shared = np.zeros(n_rows, np.int64)
+        keep = n_shared > 0
+        return pa.table(
+            {
+                id_col: t[id_col].take(pa.array(np.flatnonzero(keep))),
+                "n_shared": pa.array(n_shared[keep]),
+            }
+        )
+
+    return corpus.select_columns([id_col, text_col]).map_batches(
+        flagger, batch_format="pyarrow"
+    )

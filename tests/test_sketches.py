@@ -367,3 +367,41 @@ def test_misra_gries_duplicate_labels_in_one_ingest():
                  np.array(cnts[3:5] + cnts[15:]))
     a.merge(b)
     assert "H" in a.candidates() and a.n == n
+
+
+def test_bloom_filter_properties():
+    """No false negatives ever; FP rate near the analytic bound at the
+    design load; OR-merge equals bulk insert; byte roundtrip exact;
+    parameter guards raise."""
+    import numpy as np
+
+    from data_linter_ray.state.sketches import BloomFilter
+
+    rng = np.random.RandomState(7)
+    added = rng.randint(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
+    other = rng.randint(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
+    other = other[~np.isin(other, added)]
+
+    bf = BloomFilter(n_bits=1 << 20, k=7)  # ~0.6% FP at 50k/1M bits
+    bf.add_hashes(added)
+    assert bf.contains_hashes(added).all()          # no false negatives
+    fp = bf.contains_hashes(other).mean()
+    assert fp < 0.02, fp
+
+    # split-merge == bulk
+    a, b = BloomFilter(1 << 20, 7), BloomFilter(1 << 20, 7)
+    a.add_hashes(added[:25_000]); b.add_hashes(added[25_000:])
+    a.merge(b)
+    assert (a.words == bf.words).all()
+
+    rt = BloomFilter.from_bytes(bf.to_bytes())
+    assert (rt.words == bf.words).all() and rt.k == bf.k and rt.m == bf.m
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BloomFilter(n_bits=100)        # not a multiple of 64
+    with _pytest.raises(ValueError):
+        BloomFilter(k=0)
+    with _pytest.raises(ValueError):
+        a.merge(BloomFilter(1 << 21, 7))

@@ -730,3 +730,41 @@ def test_quantile_bucketize_exact(ray_session):
         ray.data.from_arrow(with_null), "v", keep_cols=["id"]
     ).to_pandas()
     assert out["id"].tolist() == [1]
+
+
+def test_flag_contaminated_bloom_superset(ray_session, sf_dir):
+    """The Bloom pre-filter flags a SUPERSET of the exact operator's
+    docs (no false negatives), with identical n_shared whenever the
+    filter is large enough that no probe collides."""
+    import pandas as pd
+    import ray
+
+    from data_linter_ray.functions.decontam import (
+        flag_contaminated,
+        flag_contaminated_bloom,
+    )
+
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    bench = corpus.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 7), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    exact = flag_contaminated(corpus, bench).to_pandas()
+    bloom = flag_contaminated_bloom(
+        corpus, bench, n_bits=1 << 22, k=7
+    ).to_pandas()
+    e = exact.set_index("doc_id")["n_shared"]
+    b = bloom.set_index("doc_id")["n_shared"]
+    assert set(e.index).issubset(set(b.index))      # superset of flags
+    # no false negatives per gram either: bloom count >= exact count
+    joined = pd.concat([e, b], axis=1, keys=["e", "bl"]).fillna(0)
+    assert (joined["bl"] >= joined["e"]).all()
+    # at this tiny load the 4M-bit filter should be exact in practice
+    assert (joined["bl"] == joined["e"]).mean() > 0.99
