@@ -130,9 +130,9 @@ def flag_contaminated_bloom(
 
     → (id_col, n_shared) rows, like the exact operator.
     """
-    from data_linter_ray.state.sketches import BloomFilter
+    from data_linter_ray.state.bloom import BloomFilter
 
-    bloom = BloomFilter(n_bits=n_bits, k=k)
+    bloom = BloomFilter(n_bits, k)
 
     def gram_partial(t: pa.Table) -> pa.Table:
         sh, _ = _doc_distinct_grams(t[text_col], ngram)

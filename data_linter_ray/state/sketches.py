@@ -512,88 +512,3 @@ class MisraGries:
         a guaranteed superset of the true heavy hitters."""
         return list(self.counts.index)
 
-
-class BloomFilter:
-    """Bloom filter over 64-bit hashes (Bloom, CACM 1970) — the
-    fixed-memory membership set with NO false negatives and a tunable
-    false-positive rate ≈ (1 − e^{−kn/m})^k. Probe positions derive
-    from the single input hash by double hashing (Kirsch & Mitzenmacher,
-    ESA 2006: g_i = h1 + i·h2 suffices for the Bloom FP bound), so
-    callers reuse the engine's existing vectorized 64-bit gram/shingle
-    hashes. OR-mergeable (partials-as-data safe); fully vectorized
-    adds and probes over numpy uint64 words.
-    """
-
-    MIX = np.uint64(0x9E3779B97F4A7C15)
-
-    @staticmethod
-    def _finalize(h: np.ndarray) -> np.ndarray:
-        # splitmix64 finalizer — a plain multiplicative h2 leaves the
-        # LOW bits a function of the input's low bits, and the
-        # power-of-two modulus reads exactly those bits (measured: 8×
-        # the analytic FP rate); full avalanche restores the bound
-        with np.errstate(over="ignore"):
-            z = h.copy()
-            z ^= z >> np.uint64(30)
-            z *= np.uint64(0xBF58476D1CE4E5B9)
-            z ^= z >> np.uint64(27)
-            z *= np.uint64(0x94D049BB133111EB)
-            z ^= z >> np.uint64(31)
-        return z
-
-    def __init__(self, n_bits: int = 1 << 23, k: int = 7):
-        if n_bits <= 0 or (n_bits & 63):
-            raise ValueError("n_bits must be a positive multiple of 64")
-        if not (1 <= k <= 16):
-            raise ValueError("k must be in [1, 16]")
-        self.m = np.uint64(n_bits)
-        self.k = int(k)
-        self.words = np.zeros(n_bits >> 6, dtype=np.uint64)
-
-    def _positions(self, h: np.ndarray) -> np.ndarray:
-        h = h.astype(np.uint64, copy=False)
-        with np.errstate(over="ignore"):
-            h1 = self._finalize(h)
-            h2 = self._finalize(h ^ self.MIX) | np.uint64(1)
-            # (k, n) probe positions (Kirsch-Mitzenmacher)
-            ks = np.arange(self.k, dtype=np.uint64)[:, None]
-            return (h1[None, :] + ks * h2[None, :]) % self.m
-
-    def add_hashes(self, h: np.ndarray) -> None:
-        if not len(h):
-            return
-        pos = self._positions(np.asarray(h)).ravel()
-        np.bitwise_or.at(
-            self.words, (pos >> np.uint64(6)).astype(np.int64),
-            np.uint64(1) << (pos & np.uint64(63)),
-        )
-
-    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
-        if not len(h):
-            return np.zeros(0, dtype=bool)
-        pos = self._positions(np.asarray(h))
-        bits = (
-            self.words[(pos >> np.uint64(6)).astype(np.int64)]
-            >> (pos & np.uint64(63))
-        ) & np.uint64(1)
-        return bits.all(axis=0)
-
-    def merge(self, other: "BloomFilter") -> "BloomFilter":
-        if self.m != other.m or self.k != other.k:
-            raise ValueError("incompatible Bloom parameters")
-        np.bitwise_or(self.words, other.words, out=self.words)
-        return self
-
-    def fill_ratio(self) -> float:
-        return float(np.unpackbits(self.words.view(np.uint8)).mean())
-
-    def to_bytes(self) -> bytes:
-        head = struct.pack("<qq", int(self.m), self.k)
-        return head + self.words.tobytes()
-
-    @classmethod
-    def from_bytes(cls, b: bytes) -> "BloomFilter":
-        m, k = struct.unpack_from("<qq", b, 0)
-        out = cls(n_bits=m, k=k)
-        out.words = np.frombuffer(b, np.uint64, offset=16).copy()
-        return out

@@ -372,36 +372,37 @@ def test_misra_gries_duplicate_labels_in_one_ingest():
 def test_bloom_filter_properties():
     """No false negatives ever; FP rate near the analytic bound at the
     design load; OR-merge equals bulk insert; byte roundtrip exact;
-    parameter guards raise."""
+    geometry-mismatch merge raises. (Exercises state/bloom.py — the
+    filter the referential pre-filter and Bloom decontam share.)"""
     import numpy as np
+    import pytest as _pytest
 
-    from data_linter_ray.state.sketches import BloomFilter
+    from data_linter_ray.state.bloom import BloomFilter
 
     rng = np.random.RandomState(7)
     added = rng.randint(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
     other = rng.randint(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
     other = other[~np.isin(other, added)]
 
-    bf = BloomFilter(n_bits=1 << 20, k=7)  # ~0.6% FP at 50k/1M bits
+    bf = BloomFilter(1 << 20, 7)  # ~0.6% FP at 50k keys / 1M bits
     bf.add_hashes(added)
     assert bf.contains_hashes(added).all()          # no false negatives
     fp = bf.contains_hashes(other).mean()
     assert fp < 0.02, fp
 
-    # split-merge == bulk
     a, b = BloomFilter(1 << 20, 7), BloomFilter(1 << 20, 7)
-    a.add_hashes(added[:25_000]); b.add_hashes(added[25_000:])
+    a.add_hashes(added[:25_000])
+    b.add_hashes(added[25_000:])
     a.merge(b)
-    assert (a.words == bf.words).all()
+    assert (a.bits == bf.bits).all()
 
     rt = BloomFilter.from_bytes(bf.to_bytes())
-    assert (rt.words == bf.words).all() and rt.k == bf.k and rt.m == bf.m
+    assert (rt.bits == bf.bits).all() and rt.k == bf.k and rt.m == bf.m
 
-    import pytest as _pytest
+    sized = BloomFilter.from_capacity(50_000, fpr=0.01)
+    sized.add_hashes(added)
+    assert sized.contains_hashes(added).all()
+    assert sized.contains_hashes(other).mean() < 0.03
 
-    with _pytest.raises(ValueError):
-        BloomFilter(n_bits=100)        # not a multiple of 64
-    with _pytest.raises(ValueError):
-        BloomFilter(k=0)
     with _pytest.raises(ValueError):
         a.merge(BloomFilter(1 << 21, 7))
