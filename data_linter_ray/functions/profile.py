@@ -462,3 +462,55 @@ def null_cooccurrence(ds: Dataset, cols: list[str]) -> "pd.DataFrame":
             "n_both_null": list(total[1 + C:]),
         }
     )
+
+
+def approx_value_counts(
+    ds: Dataset,
+    column: str,
+    probe_values: list,
+    *,
+    width: int = 1 << 14,
+    depth: int = 5,
+) -> "pd.DataFrame":
+    """ZERO-shuffle approximate frequencies for a PROBE SET of values —
+    "how often do these specific ids / tokens / labels appear?" when
+    the column's distinct domain is too large to exchange and the
+    probes are known up front. One streaming scan of per-batch
+    Count-Min partials (width·depth int64 cells each, element-wise
+    added on the driver); estimates carry the sketch's ONE-SIDED
+    guarantee — never under the true count, over by at most ε·N
+    (ε = e/width) w.p. ≥ 1−δ (δ = e^−depth).
+
+    Deliberately NOT a driver-contract query (approximate by design);
+    the guarantee is tolerance-tested against exact counts in pytest.
+
+    → DataFrame(value, n_est), probe order preserved.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from data_linter_ray.state.sketches import CountMin, hash_array
+
+    cm = CountMin(width=width, depth=depth)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[column].drop_null()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        local = CountMin(width=width, depth=depth)
+        local.add_hashes(hash_array(col))
+        return pa.table(
+            {"_cm": pa.array([local.to_bytes()], pa.binary())}
+        )
+
+    for b in (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for payload in b["_cm"].to_pylist():
+            cm.merge(CountMin.from_bytes(payload))
+
+    probes = pa.array(probe_values)
+    est = cm.estimate_hashes(hash_array(probes))
+    return pd.DataFrame({"value": probe_values, "n_est": est.astype(np.int64)})

@@ -406,3 +406,29 @@ def test_bloom_filter_properties():
 
     with _pytest.raises(ValueError):
         a.merge(BloomFilter(1 << 21, 7))
+
+
+def test_approx_value_counts_one_sided(ray_session, sf_dir):
+    """Count-Min probe estimates never undercount the exact counts and
+    stay within the eps*N overcount bound for every probed user id."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from data_linter_ray.functions.profile import approx_value_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    raw = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )["user_id"].to_pandas()
+    probes = raw.value_counts().head(20).index.tolist() + [999_999_999]
+    got = approx_value_counts(ds, "user_id", probes, width=1 << 14, depth=5)
+    exact = raw.value_counts()
+    N = len(raw)
+    eps_bound = np.e / (1 << 14) * N * 3  # slack over the w.h.p. bound
+    for v, est in zip(got["value"], got["n_est"]):
+        true = int(exact.get(v, 0))
+        assert est >= true, (v, est, true)
+        assert est - true <= max(eps_bound, 1), (v, est, true)
