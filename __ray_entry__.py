@@ -3019,6 +3019,28 @@ def q_grouped_value_mad(sf_dir: str):
     return grouped_mad(ds, "value", "event_type")
 
 
+def q_gap_quartiles(sf_dir: str):
+    """Inter-arrival cadence: quartiles of per-user inter-event gaps
+    by composition (keyed_window gap lane → exact quantile scan);
+    int64 microsecond gaps, selections — hash-exact."""
+    import pyarrow.compute as pc_
+
+    from data_linter_ray.functions.quantiles import exact_quantiles
+    from data_linter_ray.functions.window import keyed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    win = keyed_window(ds, "user_id", "ts", "event_id")
+    gaps = win.map_batches(
+        lambda t: pa.table({"gap_us": t["gap_us"]}).drop_null(),
+        batch_format="pyarrow",
+    )
+    return exact_quantiles(
+        gaps, "gap_us", [0.25, 0.5, 0.75]
+    ).sort_values("q").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": q_token_stats,
@@ -3164,6 +3186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_freshness": q_source_freshness,
         "value_cusum_alarms": q_value_cusum_alarms,
         "grouped_value_mad": q_grouped_value_mad,
+        "gap_quartiles": q_gap_quartiles,
     }
 
 
@@ -4798,5 +4821,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e WHERE e.event_type = m.\"group\" "
             "AND e.value IS NOT NULL) AS mad "
             "FROM m ORDER BY m.\"group\""
+        ),
+        # gap_quartiles: lag gaps in (ts, event_id) order per user
+        "gap_quartiles": (
+            "WITH g AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_id IS NOT NULL) "
+            "SELECT unnest([0.25, 0.5, 0.75]) AS q, "
+            "unnest(quantile_disc(gap_us, [0.25, 0.5, 0.75])) AS value "
+            "FROM g WHERE gap_us IS NOT NULL"
         ),
     }

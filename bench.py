@@ -245,6 +245,7 @@ QUERY_NAMES = [
     "source_freshness",
     "value_cusum_alarms",
     "grouped_value_mad",
+    "gap_quartiles",
 ]
 
 

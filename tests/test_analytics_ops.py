@@ -1312,3 +1312,7 @@ def test_cusum_alarms_crafted(ray_session):
 
 def test_grouped_value_mad_oracle(ray_session, sf_dir):
     _oracle_check("grouped_value_mad", sf_dir, tables=("events",))
+
+
+def test_gap_quartiles_oracle(ray_session, sf_dir):
+    _oracle_check("gap_quartiles", sf_dir, tables=("events",))
