@@ -388,6 +388,16 @@ def main() -> int:
     p.add_argument("--n-docs", type=int, default=None)
     args = p.parse_args()
     result = scaling_run(args) if args.scaling else single_run(args)
+    # The driver tail-captures stdout and parses the LAST line as JSON;
+    # round 3's single giant line (143 per-query timings) got its head
+    # truncated and parsed as null.  Emit the bulky per-query map on its
+    # own line FIRST, then a short (<500 byte) summary as the last line.
+    queries = result.pop("queries", {})
+    if queries:
+        print(json.dumps({"per_query_seconds": queries, "sf": result.get("sf")}))
+        result["n_queries"] = len(queries)
+        result["queries_total_seconds"] = round(sum(queries.values()), 1)
+    result["queries"] = {}
     print(json.dumps(result))
     return 0
 
