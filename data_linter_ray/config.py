@@ -169,7 +169,15 @@ class RunConfig:
         if missing:
             raise ConfigError(f"config missing required keys: {missing}")
         engine = d.get("validator-engine", "ray")
-        if engine not in ("ray", "pandas", "parquet"):
+        # reference parity: the config schema ACCEPTS the
+        # frictionless / great-expectations names (config-schema.json:36-49)
+        # even though no such validator module ships — the failure there is
+        # a missing-module KeyError at dispatch time (validation.py:58-61,
+        # :418), mirrored by our get_validator registry raising the same
+        # shape. Only genuinely unknown names fail config validation.
+        if engine not in (
+            "ray", "pandas", "parquet", "frictionless", "great-expectations"
+        ):
             raise ConfigError(f"unknown validator-engine: {engine}")
         engine_params = _dashify(
             d.get("validator-engine-params", {}) or {}, _ENGINE_PARAM_KEYS

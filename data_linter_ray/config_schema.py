@@ -56,7 +56,14 @@ CONFIG_SCHEMA = {
                 "exceptions": {"type": "array", "items": {"type": "string"}}
             },
         },
-        "validator-engine": {"enum": ["ray", "pandas", "parquet"]},
+        # frictionless / great-expectations: accepted by the reference's
+        # config-schema.json:36-49 despite no validator module shipping —
+        # dispatch raises KeyError (validators.get_validator mirrors it)
+        "validator-engine": {
+            "enum": [
+                "ray", "pandas", "parquet", "frictionless", "great-expectations"
+            ]
+        },
         "validator-engine-params": {"type": "object"},
         "timestamp-partition-name": {"type": "string"},
         "tables": {

@@ -561,11 +561,14 @@ def dedup_components(
 
 
 #: at or below this many loser (non-survivor) ids the drop set is
-#: broadcast via ray.put (int64 ids → ≤ ~160 MB at the threshold);
-#: above it, the corpus is anti-filtered through a coarse id-hash
-#: exchange against the partitioned loser set — no broadcast object,
-#: bounded per-partition memory.
-BROADCAST_DROP_THRESHOLD = 20_000_000
+#: broadcast once (a remote task concatenates the loser blocks in the
+#: object store — the driver only ever holds the ObjectRef); above it,
+#: the corpus is anti-filtered through a coarse id-hash exchange
+#: against the partitioned loser set — no broadcast object, bounded
+#: per-partition memory.  5M is sized for *string* ids (doc ids are
+#: fat — ~30-60 B each → a few hundred MB broadcast worst-case, read
+#: zero-copy from plasma once per node).
+BROADCAST_DROP_THRESHOLD = 5_000_000
 
 
 def drop_near_duplicates(
@@ -595,11 +598,24 @@ def drop_near_duplicates(
     n_losers = losers_ds.count()
 
     if n_losers <= BROADCAST_DROP_THRESHOLD:
-        losers = losers_ds.to_pandas()["_loser"].to_numpy()
-        losers_ref = ray.put(pa.array(losers))
+        # build the broadcast value set in the object store: a remote
+        # task concatenates the (already Arrow) loser blocks — the
+        # loser ids never pass through the driver as pandas/python.
+        @ray.remote(num_cpus=1)
+        def _concat(*blocks) -> pa.Array:
+            tabs = [
+                b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                for b in blocks
+            ]
+            col = pa.concat_tables(tabs)["_loser"].combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+            return col
+
+        losers_ref = _concat.remote(*losers_ds.to_arrow_refs())
 
         def keep(t: pa.Table) -> pa.Table:
-            ls = ray.get(losers_ref) if not isinstance(losers_ref, pa.Array) else losers_ref
+            ls = ray.get(losers_ref)  # plasma-local after first node fetch
             return t.filter(
                 pc.invert(pc.fill_null(pc.is_in(t[id_col], value_set=ls), False))
             )

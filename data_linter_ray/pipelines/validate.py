@@ -202,13 +202,20 @@ def _split_preagg_block(num_parts: int, unique_cols: list[str], *blocks):
     ) + (counts,)
 
 
-def _detect_bucket(*parts):
-    """Ray task: reduce side — sum counts per (col_code, h); keep n>1."""
+def _detect_bucket(cap: int, n_cols: int, *parts):
+    """Ray task: reduce side — sum counts per (col_code, h); keep n>1.
+
+    Returns ``(m, col_counts)``: ``col_counts`` is the EXACT number of
+    duplicated keys per column in this bucket (feeds the verdict counts),
+    while ``m`` — the (code, h, n) triples shipped back to the driver for
+    the duplicate-key report — is capped at the ``cap`` most-duplicated
+    keys (ties broken by hash for determinism).  This bounds the driver
+    fold on adversarial inputs where #duplicated keys ~ corpus size."""
     import numpy as np
 
     nonempty = [p for p in parts if p.size]
     if not nonempty:
-        return np.zeros((3, 0), dtype=np.int64)
+        return np.zeros((3, 0), dtype=np.int64), np.zeros(n_cols, dtype=np.int64)
     m = np.concatenate(nonempty, axis=1)
     code, h, n = m[0], m[1], m[2]
     order = np.lexsort((h, code))
@@ -219,7 +226,12 @@ def _detect_bucket(*parts):
     idx = np.flatnonzero(boundary)
     sums = np.add.reduceat(n, idx)
     dup = sums > 1
-    return np.stack([code[idx][dup], h[idx][dup], sums[dup]])
+    dup_code, dup_h, dup_n = code[idx][dup], h[idx][dup], sums[dup]
+    col_counts = np.bincount(dup_code, minlength=n_cols).astype(np.int64)
+    if len(dup_h) > cap:
+        top = np.lexsort((dup_h, -dup_n))[:cap]
+        dup_code, dup_h, dup_n = dup_code[top], dup_h[top], dup_n[top]
+    return np.stack([dup_code, dup_h, dup_n]), col_counts
 
 
 def _report_block(block: pa.Table, dup_h):
@@ -254,9 +266,16 @@ def _finalize_unique_violations(dup_n: dict, *hit_tables):
     ).cast(VIOLATION_SCHEMA)
 
 
+#: ceiling on duplicate keys materialized on the driver for the
+#: uniqueness REPORT (the top-N most-duplicated keys are reported; the
+#: per-column verdict counts remain exact regardless). Keeps driver
+#: memory fixed on adversarial inputs where most keys are duplicated.
+UNIQUE_REPORT_CAP = 1_000_000
+
+
 def _uniqueness_from_preagg(
     mat: Dataset, unique_cols: list[str]
-) -> tuple[Dataset, dict]:
+) -> tuple[Dataset, dict, dict, int, bool]:
     """Global duplicate detection over the kind-2 pre-aggregates, as a
     MANUAL hash exchange with raw Ray tasks.
 
@@ -274,7 +293,15 @@ def _uniqueness_from_preagg(
     hashing: collision probability stays negligible below ~10^9 distinct
     keys per column; swap in a 128-bit hash beyond that.
 
-    Returns (violation rows Dataset, {(col, unique_test): n})."""
+    Driver memory is bounded: the verdict COUNTS are always exact
+    (folded vectorized inside the reduce tasks), but the duplicate-key
+    REPORT rows are capped at the ``UNIQUE_REPORT_CAP`` most-duplicated
+    keys overall — the 5th return value flags truncation (mirrors the
+    similarity ops' ``truncated`` convention; full violation detail for
+    such adversarial inputs lives in the sunk parquet, not the driver).
+
+    Returns (violation rows Dataset, {(col, unique_test): n},
+    fold_counts, row_count, report_truncated)."""
     import numpy as np
     import ray
     import ray.data as rd
@@ -299,8 +326,10 @@ def _uniqueness_from_preagg(
         split_task.options(num_returns=P + 1).remote(P, unique_cols, *g)
         for g in block_groups
     ]
+    cap_per_bucket = max(1, UNIQUE_REPORT_CAP // P)
     detect_refs = [
-        detect_task.remote(*[pb[p] for pb in per_block]) for p in range(P)
+        detect_task.remote(cap_per_bucket, len(unique_cols), *[pb[p] for pb in per_block])
+        for p in range(P)
     ]
     # fold the piggybacked count partials (last return of each split task)
     fold_counts: dict[tuple[str, str], int] = {}
@@ -312,25 +341,29 @@ def _uniqueness_from_preagg(
     row_count = fold_counts.pop((ROWS_KEY, ROWS_KEY), 0)
 
     counts: dict[tuple[str, str], int] = {}
+    total_per_col = np.zeros(len(unique_cols), dtype=np.int64)
     dup_n: dict[tuple[str, int], int] = {}
-    for m in dup_parts:
-        for code, h, n in m.T:
-            col = unique_cols[int(code)]
-            dup_n[(col, int(h))] = int(n)
-            key = (col, checks.UNIQUE_TEST)
-            counts[key] = counts.get(key, 0) + 1
+    for m, col_counts in dup_parts:
+        total_per_col += col_counts
+        for code, h, n in m.T:  # bounded by cap_per_bucket per bucket
+            dup_n[(unique_cols[int(code)], int(h))] = int(n)
+    for i, col in enumerate(unique_cols):
+        if total_per_col[i]:
+            counts[(col, checks.UNIQUE_TEST)] = int(total_per_col[i])
+    truncated = len(dup_n) < int(total_per_col.sum())
     if not dup_n:
         return (
             rd.from_arrow(VIOLATION_SCHEMA.empty_table()),
             counts,
             fold_counts,
             row_count,
+            truncated,
         )
 
     dup_h = pa.array(np.array([h for (_, h) in dup_n], dtype=np.int64))
     hit_refs = [report_task.remote(b, dup_h) for b in block_refs]
     final_ref = finalize_task.remote(dup_n, *hit_refs)
-    return rd.from_arrow_refs([final_ref]), counts, fold_counts, row_count
+    return rd.from_arrow_refs([final_ref]), counts, fold_counts, row_count, truncated
 
 
 @dataclass
@@ -339,6 +372,9 @@ class TableValidationResult:
     violations: Optional[Dataset]
     row_count: int = 0
     counts: dict = field(default_factory=dict)  # (column, test) -> n_violations
+    #: True when the duplicate-key REPORT rows were capped at
+    #: UNIQUE_REPORT_CAP (counts stay exact; see _uniqueness_from_preagg)
+    unique_report_truncated: bool = False
 
     @property
     def valid(self) -> bool:
@@ -502,11 +538,12 @@ def validate_dataset(
     violation_parts: list[Dataset] = [
         mat.map_batches(_keep_violations, batch_format="pyarrow")
     ]
+    unique_truncated = False
     if unique_cols:
         # one manual exchange does dup detection AND the count fold
         # (partials piggyback on the split tasks — no extra pass)
-        uniq_viol, uniq_counts, counts, row_count = _uniqueness_from_preagg(
-            mat, unique_cols
+        uniq_viol, uniq_counts, counts, row_count, unique_truncated = (
+            _uniqueness_from_preagg(mat, unique_cols)
         )
         violation_parts.append(uniq_viol)
         counts.update(uniq_counts)
@@ -565,6 +602,7 @@ def validate_dataset(
         violations=violations,
         row_count=row_count,
         counts=counts,
+        unique_report_truncated=unique_truncated,
     )
 
 

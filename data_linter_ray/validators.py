@@ -109,8 +109,30 @@ class ParquetValidator(BaseTableValidator):
         self.response = validate_parquet_schema(self.filepath, self.schema)
 
 
-get_validator = {
-    "ray": RayValidator,
-    "pandas": RayValidator,  # alias: same semantics, Ray execution
-    "parquet": ParquetValidator,
-}
+class _MissingValidatorModule(dict):
+    """Registry matching the reference's dispatch failure shape: the
+    config schema accepts the ``frictionless`` / ``great-expectations``
+    engine names but no validator module ships for them, so lookup
+    raises KeyError exactly like the reference's bare ``get_validator``
+    dict (reference validation.py:58-61 + config-schema.json:36-49) —
+    ours just says why."""
+
+    _ACCEPTED_UNIMPLEMENTED = ("frictionless", "great-expectations")
+
+    def __missing__(self, key):
+        if key in self._ACCEPTED_UNIMPLEMENTED:
+            raise KeyError(
+                f"validator-engine '{key}' is accepted by the config schema "
+                "but no such validator module is installed (reference "
+                "parity: data_linter ships only pandas/parquet validators)"
+            )
+        raise KeyError(key)
+
+
+get_validator = _MissingValidatorModule(
+    {
+        "ray": RayValidator,
+        "pandas": RayValidator,  # alias: same semantics, Ray execution
+        "parquet": ParquetValidator,
+    }
+)

@@ -128,3 +128,27 @@ def test_reference_module_layout(ray_session, tmp_path):
     res = V.collect_all_status(cfg)
     assert res.all_tables_passed
     assert "pandas" in V.get_validator and "parquet" in V.get_validator
+
+
+def test_accepted_but_unimplemented_engine_names(tmp_path):
+    """Reference parity: config-schema.json accepts the frictionless /
+    great-expectations engine names, but dispatch fails with a KeyError
+    (reference validation.py:58-61 ships no such validator module)."""
+    import pytest
+
+    from data_linter_ray.config import ConfigError, RunConfig
+    from data_linter_ray.validators import get_validator
+
+    base = {
+        "land-base-path": str(tmp_path) + "/",
+        "fail-base-path": str(tmp_path) + "/",
+        "log-base-path": str(tmp_path) + "/",
+        "tables": {"t": {}},
+    }
+    for name in ("frictionless", "great-expectations"):
+        cfg = RunConfig.from_dict({**base, "validator-engine": name})
+        assert cfg.validator_engine == name  # config validation accepts
+        with pytest.raises(KeyError, match="no such validator module"):
+            get_validator[name]  # dispatch fails, reference shape
+    with pytest.raises(ConfigError, match="validator-engine"):
+        RunConfig.from_dict({**base, "validator-engine": "sqlmesh"})

@@ -580,6 +580,39 @@ def test_drop_near_duplicates_shuffle_path_parity(ray_session, monkeypatch):
     assert sorted(broad.columns) == sorted(shuffled.columns)
 
 
+def test_drop_near_duplicates_threshold_boundary_heavy_dup(ray_session, monkeypatch):
+    """Heavy-dup corpus (80% of rows are losers) with string doc ids,
+    pinned exactly at the broadcast/exchange boundary: n_losers equal to
+    the threshold takes the broadcast path, one less than n_losers takes
+    the co-partition path; both keep the identical survivor set."""
+    import ray.data as rd
+
+    n = 500
+    # 100 groups of 5 near-identical docs -> survivor = lexicographic min id
+    corpus = rd.from_items(
+        [{"doc_id": f"doc-{i:05d}", "text": f"g{i % 100}"} for i in range(n)]
+    )
+    pairs = rd.from_items(
+        [
+            {"id_a": f"doc-{g:05d}", "id_b": f"doc-{g + 100 * k:05d}"}
+            for g in range(100)
+            for k in range(1, 5)
+        ]
+    )
+    comps = dedup.dedup_components(pairs)
+    n_losers = 400
+
+    monkeypatch.setattr(dedup, "BROADCAST_DROP_THRESHOLD", n_losers)
+    broad = dedup.drop_near_duplicates(corpus, comps).to_pandas()
+    monkeypatch.setattr(dedup, "BROADCAST_DROP_THRESHOLD", n_losers - 1)
+    shuffled = dedup.drop_near_duplicates(corpus, comps).to_pandas()
+
+    expect = sorted(f"doc-{g:05d}" for g in range(100))
+    assert sorted(broad["doc_id"]) == expect
+    assert sorted(shuffled["doc_id"]) == expect
+    assert sorted(broad.columns) == sorted(shuffled.columns)
+
+
 def test_near_dup_truncated_flag(ray_session):
     """Oversized IVF clusters / LSH buckets must NOT cap silently: every
     emitted pair carries the ``truncated`` flag (True when its bucket

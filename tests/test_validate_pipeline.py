@@ -119,6 +119,42 @@ def test_uniqueness(ray_session):
     viol = res.violations.to_pandas()
     dup = dict(zip(viol["row_ref"], viol["value"]))
     assert dup == {"a": "3", "b": "2"}
+    assert res.unique_report_truncated is False
+
+
+def test_uniqueness_report_cap_heavy_skew(ray_session, monkeypatch):
+    """Adversarial skew: 1M rows where EVERY key is duplicated (500k
+    duplicated keys). With the report cap forced low the driver fold
+    stays fixed-size — counts remain exact, report rows are the top-N
+    most-duplicated keys, and the truncation flag is raised."""
+    import numpy as np
+
+    from data_linter_ray.pipelines import validate as vmod
+
+    n = 1_000_000
+    schema = TableSchema(
+        name="t", columns=[ColumnSpec(name="k", type="string", unique=True)]
+    )
+
+    def gen(batch):
+        i = batch["id"].to_numpy()
+        # key j appears twice, except key 0 which appears 4 times (the
+        # top-duplicated key the capped report must keep)
+        k = np.where(i < 4, 0, i // 2)
+        return pa.table({"k": pa.array(np.char.add("k", k.astype("U7")))})
+
+    ds = ray.data.range(n, override_num_blocks=16).map_batches(
+        gen, batch_format="pyarrow"
+    )
+    monkeypatch.setattr(vmod, "UNIQUE_REPORT_CAP", 1_000)
+    res = validate_dataset(ds, schema, id_column="k")
+    assert not res.valid
+    assert res.counts[("k", "unique_test")] == n // 2 - 1  # exact, uncapped
+    assert res.unique_report_truncated is True
+    viol = res.violations.to_pandas()
+    assert 0 < len(viol) <= 1_000 + 64  # ≤ cap + one per-bucket remainder
+    top = dict(zip(viol["row_ref"], viol["value"]))
+    assert top["k0"] == "4"  # most-duplicated key survives the cap
 
 
 def test_referential(ray_session):
