@@ -614,6 +614,11 @@ def cross_knn(
     r_tbl = reference.select_columns([id_col, emb_col]).to_pandas()
     rids = r_tbl[id_col].to_numpy()
     R = _normalize(np.stack(r_tbl[emb_col].to_numpy()).astype(np.float64))
+    # pre-sort the reference by id: positions then scan in ascending id
+    # order, which makes the boundary-tie repair below (and any
+    # equal-similarity ordering) deterministic by (−sim, id)
+    _order = np.argsort(rids, kind="stable")
+    rids, R = rids[_order], R[_order]
     ref_ref = ray.put((rids, R))
 
     out_schema = pa.schema(
@@ -638,6 +643,20 @@ def cross_knn(
         idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
         rows = np.arange(n)[:, None]
         sims = S[rows, idx]
+        # argpartition picks an ARBITRARY subset of entries tied exactly
+        # at the k-th similarity (common with duplicate reference
+        # embeddings); repair those rows so boundary ties resolve to the
+        # smallest neighbor ids (reference is pre-sorted by id, so
+        # ascending position == ascending id)
+        thr = sims.min(axis=1)
+        n_gt = (S > thr[:, None]).sum(axis=1)
+        n_eq = (S == thr[:, None]).sum(axis=1)
+        for r in np.flatnonzero(n_gt + n_eq > kk):
+            gt = np.flatnonzero(S[r] > thr[r])
+            eq = np.flatnonzero(S[r] == thr[r])[: kk - len(gt)]
+            sel = np.concatenate([gt, eq])
+            idx[r, :] = sel
+            sims[r, :] = S[r, sel]
         nbr = ri[idx]
         # per-row order by (-sim, neighbor id): two stable argsorts
         o1 = np.argsort(nbr, axis=1, kind="stable")

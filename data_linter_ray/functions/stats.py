@@ -296,12 +296,19 @@ def candidate_keys(
     *,
     num_partitions: int | None = None,
 ) -> pd.DataFrame:
-    """Key discovery: for each candidate column, its exact distinct
-    count vs the table's row count and whether it is a unique key
+    """Key discovery: for each candidate column, its distinct count vs
+    the table's row count and whether it is a unique key
     (n_distinct == n_non_null == n_rows). One pruned scan per batch
     emits per-column distinct-value partials (the count-distinct
     combiner, one lane per column) into a single value-hash exchange —
     all columns resolved together, not one scan per column.
+
+    Distinctness is resolved on a 128-bit hash PAIR (two independently
+    seeded 64-bit hashes), not the raw values: the birthday bound for a
+    spurious collision — which would undercount n_distinct and could
+    flip ``is_unique`` false for a truly unique key — is ~n²/2¹²⁹,
+    i.e. < 10⁻²⁰ even at 10¹² keys. (``group_count_distinct`` dedupes
+    real values when byte-exactness is required.)
 
     → DataFrame(column, n_rows, n_non_null, n_distinct, is_unique)."""
     import pyarrow.compute as pc
@@ -312,7 +319,7 @@ def candidate_keys(
     P = num_partitions or exchange_width(ds)
 
     def partials(t: pa.Table) -> pa.Table:
-        outs = {"col": [], "h": [], "_part": []}
+        outs = {"col": [], "h": [], "h2": [], "_part": []}
         n = t.num_rows
         nn = []
         for ci, c in enumerate(cols):
@@ -321,13 +328,16 @@ def candidate_keys(
             nn.append(len(valid))
             u = valid.unique()
             h = hash_array(u)
+            h2 = hash_array(u, seed=0x5EED_1337)  # second 64 bits
             outs["col"].append(np.full(len(u), ci, np.int64))
             outs["h"].append(h.astype(np.int64))
+            outs["h2"].append(h2.astype(np.int64))
             outs["_part"].append(((h ^ np.uint64(ci * 0x9E37)) % np.uint64(P)).astype(np.int64))
         meta = pa.table(
             {
                 "col": pa.array([-1], pa.int64()),
                 "h": pa.array([n], pa.int64()),
+                "h2": pa.array([0], pa.int64()),
                 "_part": pa.array([0], pa.int64()),
             }
         )
@@ -337,6 +347,7 @@ def candidate_keys(
             {
                 "col": pa.array(-2 - np.arange(len(cols)), pa.int64()),
                 "h": pa.array(np.array(nn, np.int64)),
+                "h2": pa.array(np.zeros(len(cols), np.int64)),
                 "_part": pa.array(np.zeros(len(cols), np.int64)),
             }
         )
@@ -344,6 +355,7 @@ def candidate_keys(
             {
                 "col": pa.array(np.concatenate(outs["col"])),
                 "h": pa.array(np.concatenate(outs["h"])),
+                "h2": pa.array(np.concatenate(outs["h2"])),
                 "_part": pa.array(np.concatenate(outs["_part"])),
             }
         )
@@ -351,7 +363,7 @@ def candidate_keys(
 
     def count_part(df: pd.DataFrame) -> pd.DataFrame:
         meta = df[df["col"] < 0]
-        data = df[df["col"] >= 0].drop_duplicates(["col", "h"])
+        data = df[df["col"] >= 0].drop_duplicates(["col", "h", "h2"])
         agg = data.groupby("col", as_index=False).size().rename(
             columns={"size": "n"}
         )
@@ -1385,12 +1397,14 @@ def spearman_corr(
     j1 = _attach_rank(rows, "x", "r2x", P, bounds=bx).materialize()
     joined = _attach_rank(j1, "y", "r2y", P, bounds=by)
 
-    use_object = 4 * n * n > (1 << 62)
-
     def stats_partial(t: pa.Table) -> pa.Table:
         rx = t["r2x"].to_numpy(zero_copy_only=False).astype(np.int64)
         ry = t["r2y"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if use_object:
+        # overflow guard must bound the per-BATCH sum, not the
+        # per-element product: doubled ranks are ≤ 2n, so a batch of B
+        # rows accumulates up to B·4n² in (rx*rx).sum() — switch to
+        # arbitrary-precision ints before that can reach 2^63
+        if len(rx) and 4 * n * n * len(rx) >= (1 << 63):
             rx, ry = rx.astype(object), ry.astype(object)
         vals = [
             len(rx), int(rx.sum()), int(ry.sum()),

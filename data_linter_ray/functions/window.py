@@ -273,6 +273,10 @@ def time_rolling(
     This is the event-RATE window (`requests in the trailing hour`)
     that ROWS-frame rolling cannot express when arrival gaps vary.
 
+    ``ts`` may be a timestamp column (compared at ns precision) or a
+    plain numeric column, which is treated as µs-epoch: ``window_us``
+    is compared against it in the SAME unit, never rescaled.
+
     Scale shape: one key-hash exchange; per partition one mergesort by
     ``(key, ts, tie)``, then frame bounds for ALL rows at once via two
     ``np.searchsorted`` calls on a key-banded int64 time axis — each
@@ -291,7 +295,6 @@ def time_rolling(
 
     sch = _schema_types(ds)
     key_t, tie_t = sch[key], sch[tie]
-    w = np.int64(window_us * 1000)  # ns — matches the fold precision
 
     def roll(g: pd.DataFrame) -> pa.Table:
         g = g.dropna(subset=[key, ts]).sort_values(
@@ -300,8 +303,17 @@ def time_rolling(
         n = len(g)
         k = g[key].to_numpy()
         t_raw = g[ts].to_numpy()
-        ti = t_raw.astype("datetime64[ns]").astype(np.int64) \
-            if t_raw.dtype.kind == "M" else t_raw.astype(np.int64)
+        # datetime axes fold at ns precision, so the µs window widens
+        # ×1000; a plain NUMERIC order column is compared in its own
+        # units (µs-epoch by convention) — scaling it too would make
+        # the window 1000× too wide (sequence_order_violations has the
+        # same numeric-column contract)
+        if t_raw.dtype.kind == "M":
+            ti = t_raw.astype("datetime64[ns]").astype(np.int64)
+            w = np.int64(window_us) * 1000  # ns
+        else:
+            ti = t_raw.astype(np.int64)
+            w = np.int64(window_us)  # same unit as the column
         new = np.empty(n, dtype=bool)
         if n:
             new[0] = True

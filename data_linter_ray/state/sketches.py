@@ -174,13 +174,17 @@ class HyperLogLog:
         return hll
 
 
-def hash_array(values) -> np.ndarray:
+def hash_array(values, seed: int = 42) -> np.ndarray:
     """Stable vectorized 64-bit hash of an arrow/numpy/pandas array.
 
     polars' seeded hash is cross-process deterministic (for a fixed
     polars version — pin it alongside this engine) and ~40× faster than
     pandas' hash_pandas_object on string columns; pandas is the fallback
-    when polars is unavailable."""
+    when polars is unavailable.
+
+    Two calls with independent ``seed`` values give an effective
+    128-bit hash pair — use that where a 64-bit birthday bound is not
+    acceptable (e.g. exact distinct counts at billion-key scale)."""
     import pyarrow as pa
 
     try:
@@ -190,15 +194,16 @@ def hash_array(values) -> np.ndarray:
             values = values.combine_chunks()
         if not isinstance(values, pa.Array):
             values = pa.array(values)
-        return pl.from_arrow(values).hash(seed=42).to_numpy().astype(np.uint64)
+        return pl.from_arrow(values).hash(seed=seed).to_numpy().astype(np.uint64)
     except ImportError:  # pragma: no cover
         import pandas as pd
 
         if isinstance(values, (pa.Array, pa.ChunkedArray)):
             values = values.to_pandas()
-        return pd.util.hash_pandas_object(pd.Series(values), index=False).to_numpy(
-            dtype=np.uint64
-        )
+        # hash_key is pandas' seeding mechanism (16-byte key string)
+        return pd.util.hash_pandas_object(
+            pd.Series(values), index=False, hash_key=f"{seed:016d}"[:16]
+        ).to_numpy(dtype=np.uint64)
 
 
 class KLL:
@@ -398,8 +403,10 @@ class ReservoirSample:
     Determinism: all randomness derives from a caller-provided seed +
     the sketch's own counters, so identical inputs reproduce identical
     samples; merge order changes which items survive (inherent to any
-    single-pass sample) but never the uniformity guarantee. Values are
-    stored as an object array — KB-scale for scalar columns."""
+    single-pass sample). Merge uniformity is exact while reservoirs
+    hold their full streams and the standard mergeable-summaries
+    approximation beyond that (see :meth:`merge`). Values are stored
+    as an object array — KB-scale for scalar columns."""
 
     def __init__(self, k: int = 64, seed: int = 42):
         if k < 1:
@@ -421,6 +428,15 @@ class ReservoirSample:
                     self.values[j] = v
 
     def merge(self, other: "ReservoirSample") -> "ReservoirSample":
+        """Weighted without-replacement union: each draw takes from
+        side 1 with probability r1/(r1+r2) where r1, r2 are the sides'
+        REMAINING stream masses, and the consumed side's mass drops by
+        its per-item weight (n_i / len(reservoir_i)).  The fixed-
+        probability variant biases the merged sample (k=2, n1=n2=2:
+        P(both from side 1) would be 1/4 instead of the correct 1/6);
+        decrementing restores exact uniformity whenever the reservoirs
+        hold their full streams (n_i ≤ k) and the standard mergeable-
+        summaries approximation otherwise."""
         if self.k != other.k:
             raise ValueError("cannot merge reservoirs of different k")
         total = self.n + other.n
@@ -433,15 +449,19 @@ class ReservoirSample:
         mine, theirs = list(self.values), list(other.values)
         rng.shuffle(mine)
         rng.shuffle(theirs)
+        r1, r2 = float(self.n), float(other.n)
+        w1 = self.n / len(mine) if mine else 0.0
+        w2 = other.n / len(theirs) if theirs else 0.0
         for _ in range(min(self.k, total)):
-            take_mine = (
-                mine
-                and (
-                    not theirs
-                    or rng.rand() < (self.n / (self.n + other.n))
-                )
+            take_mine = mine and (
+                not theirs or rng.rand() < (r1 / (r1 + r2))
             )
-            merged.append(mine.pop() if take_mine else theirs.pop())
+            if take_mine:
+                merged.append(mine.pop())
+                r1 = max(0.0, r1 - w1)
+            else:
+                merged.append(theirs.pop())
+                r2 = max(0.0, r2 - w2)
         self.values = merged
         self.n = total
         return self

@@ -773,6 +773,36 @@ def test_time_rolling_crafted_peers_and_bounds(ray_session):
     assert got["roll_n"].tolist() == [1, 3, 3, 3, 0, 1]
 
 
+def test_time_rolling_numeric_axis_same_unit(ray_session):
+    """A plain numeric µs-epoch order column is compared against
+    window_us in the SAME unit (no ×1000 ns rescale): results equal
+    the timestamp-typed run on identical instants."""
+    from data_linter_ray.functions.window import time_rolling
+
+    us = np.array([0, 30, 30, 90, 180, 10], dtype=np.int64) * 60_000_000
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 1, 2],
+            "ts_us": us,
+            "i": [1, 2, 3, 4, 5, 6],
+            "v": [1.0, 2.0, 4.0, 8.0, None, 16.0],
+        }
+    )
+    df_dt = df.assign(ts_us=pd.to_datetime(us, unit="us"))
+    got_num = (
+        time_rolling(ray.data.from_pandas(df), "k", "ts_us", "i", "v",
+                     window_us=3_600_000_000, num_partitions=2)
+        .to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    got_dt = (
+        time_rolling(ray.data.from_pandas(df_dt), "k", "ts_us", "i", "v",
+                     window_us=3_600_000_000, num_partitions=2)
+        .to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    assert got_num["roll_sum_cents"].tolist()[:4] == [100, 700, 700, 1400]
+    assert got_num["roll_n"].tolist() == got_dt["roll_n"].tolist() == [1, 3, 3, 3, 0, 1]
+
+
 def test_time_rolling_band_blocks_equal(ray_session, sf_dir):
     """The overflow-safe key-block path (several bands per partition)
     must produce the identical table as the single-block path."""

@@ -287,6 +287,30 @@ def test_reservoir_sample_uniform_and_mergeable():
     assert frac_b > 0.5
 
 
+def test_reservoir_merge_without_replacement_uniformity():
+    """Merge draws decrement the consumed side's remaining mass: with
+    k=2 and two 2-item streams the merged pair is a uniform draw of 2
+    from 4 — P(both from one side) = 1/6 each, P(one each) = 2/3. The
+    fixed-probability variant this replaces gave 1/4 / 1/2 / 1/4."""
+    from collections import Counter
+
+    from data_linter_ray.state.sketches import ReservoirSample
+
+    c = Counter()
+    n_trials = 8000
+    for seed in range(n_trials):
+        a = ReservoirSample(k=2, seed=seed)
+        a.add([1, 2])
+        b = ReservoirSample(k=2, seed=seed + 77_777)
+        b.add([3, 4])
+        a.merge(b)
+        c[sum(1 for v in a.values if v in (1, 2))] += 1
+    # ~±0.02 noise at 8k trials; 1/4 vs 1/6 is a 0.083 separation
+    assert abs(c[2] / n_trials - 1 / 6) < 0.03
+    assert abs(c[0] / n_trials - 1 / 6) < 0.03
+    assert abs(c[1] / n_trials - 2 / 3) < 0.03
+
+
 def test_misra_gries_guarantee_and_merge():
     """Every value with frequency > n/(m+1) survives arbitrary batch
     splits and merges; summary size stays <= m; undercount <= n/(m+1)."""

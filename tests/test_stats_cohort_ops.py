@@ -433,6 +433,45 @@ def test_cross_knn_crafted(ray_session):
     assert out[out["query_id"] == 11]["neighbor_id"].tolist() == [2, 3]
 
 
+def test_cross_knn_boundary_ties_pick_smallest_ids(ray_session):
+    """Ties EXACTLY at the k-th similarity: argpartition alone would
+    admit an arbitrary tied neighbor; the repair must keep the smallest
+    ids. 4 identical references tie at rank 2-4 with k=2 → neighbor
+    set {1, 2}, never {1, 3} or {1, 4}; shuffled insertion order must
+    not matter."""
+    from data_linter_ray.functions.similarity import cross_knn
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([10], pa.int64()),
+                "embedding": [[1.0, 0.0]],
+            }
+        )
+    )
+    refs = ray.data.from_arrow(
+        pa.table(
+            {
+                # deliberately NOT id-sorted; ids 2,3,4 are duplicates
+                "vec_id": pa.array([4, 1, 3, 2], pa.int64()),
+                "embedding": [
+                    [0.5, 0.5],
+                    [0.9, 0.1],
+                    [0.5, 0.5],
+                    [0.5, 0.5],
+                ],
+            }
+        )
+    )
+    out = (
+        cross_knn(left, refs, k=2)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out["neighbor_id"].tolist() == [1, 2]
+
+
 def test_event_type_reach_vs_duckdb(ray_session, sf_dir):
     _oracle_check("event_type_reach", sf_dir, ("events",))
 
