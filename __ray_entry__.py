@@ -293,6 +293,134 @@ def q_span_equality(sf_dir: str):
     return span_equality_violations(ray.data.read_parquet(paths["zipped"]))
 
 
+def q_run_summary(sf_dir: str):
+    """Config-driven run lifecycle end-to-end (reference §3.1:
+    validation.py run → match → validate → route → log): executes
+    ``run_validation`` over a copy of the deterministic land fixture
+    and emits the routing table — one row per matched file with its
+    verdict, violation count and the root it was routed to.
+    ``routed_to`` is derived from the manifest's ARCHIVED path, so the
+    row proves the file really moved, not just that a flag was set."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from data_linter_ray import synth
+    from data_linter_ray.pipelines.run import run_validation
+
+    master = synth.ensure_run_fixture()
+    work = tempfile.mkdtemp(prefix="dlr_run_summary_")
+    land = os.path.join(work, "land")
+    shutil.copytree(master, land)
+    os.remove(os.path.join(land, "run_fixture.done.json"))
+    cfg = {
+        "land-base-path": land + "/",
+        "pass-base-path": os.path.join(work, "pass") + "/",
+        "fail-base-path": os.path.join(work, "fail") + "/",
+        "log-base-path": os.path.join(work, "log") + "/",
+        "tables": {
+            "table1": {
+                "pattern": "table1_",
+                "metadata": {
+                    "name": "table1",
+                    "columns": [
+                        {
+                            "name": "my_int",
+                            "type": "int64",
+                            "minimum": 10,
+                            "maximum": 20,
+                            "nullable": False,
+                        },
+                        {
+                            "name": "animal",
+                            "type": "string",
+                            "enum": ["cat", "dog", "fish", "chicken"],
+                            "nullable": False,
+                        },
+                        {"name": "my_email", "type": "string"},
+                    ],
+                },
+            },
+            "events_tbl": {
+                "pattern": "events_tbl_",
+                "metadata": {
+                    "name": "events_tbl",
+                    "columns": [
+                        {"name": "event_id", "type": "int64"},
+                        {
+                            "name": "value",
+                            "type": "float64",
+                            "minimum": 0.0,
+                            "maximum": 100.0,
+                        },
+                    ],
+                },
+            },
+        },
+    }
+    try:
+        res = run_validation(cfg)
+        rows = []
+        for m in res.manifests:
+            routed = "pass" if (m.archived_path or "").startswith(
+                cfg["pass-base-path"]
+            ) else "fail"
+            rows.append(
+                {
+                    "file_name": os.path.basename(m.source_path),
+                    "table_name": m.table,
+                    "valid": m.valid,
+                    "n_violations": sum((m.counts or {}).values()),
+                    "routed_to": routed,
+                }
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        pd.DataFrame(rows)
+        .sort_values("file_name")
+        .reset_index(drop=True)
+    )
+
+
+def _run_summary_sql(master: str) -> str:
+    """DuckDB mirror of the run lifecycle over the same land-fixture
+    bytes: per-file violation counts recomputed with the engine's check
+    semantics (min/max nulls pass; enum with nullable=False counts
+    nulls; nullable counts nulls) — verdict and routing follow."""
+    enum = "'cat','dog','fish','chicken'"
+
+    def t1(fname: str) -> str:
+        return (
+            f"SELECT '{fname}' AS file_name, 'table1' AS table_name, "
+            f"(SELECT count(*) FROM read_parquet('{master}/{fname}') "
+            f"  WHERE my_int < 10 OR my_int > 20) + "
+            f"(SELECT count(*) FROM read_parquet('{master}/{fname}') "
+            f"  WHERE my_int IS NULL) + "
+            f"(SELECT count(*) FROM read_parquet('{master}/{fname}') "
+            f"  WHERE animal IS NULL OR animal NOT IN ({enum})) + "
+            f"(SELECT count(*) FROM read_parquet('{master}/{fname}') "
+            f"  WHERE animal IS NULL) AS nv"
+        )
+
+    ev = (
+        f"SELECT 'events_tbl_file1.parquet' AS file_name, "
+        f"'events_tbl' AS table_name, "
+        f"(SELECT count(*) FROM read_parquet('{master}/events_tbl_file1.parquet') "
+        f" WHERE value < 0 OR value > 100) AS nv"
+    )
+    return (
+        f"WITH per_file AS ({t1('table1_file1.parquet')} "
+        f"UNION ALL {t1('table1_file2.parquet')} UNION ALL {ev}) "
+        "SELECT file_name, table_name, nv = 0 AS valid, "
+        "CAST(nv AS BIGINT) AS n_violations, "
+        "CASE WHEN nv = 0 THEN 'pass' ELSE 'fail' END AS routed_to "
+        "FROM per_file ORDER BY file_name"
+    )
+
+
 def _docs(sf_dir: str, cols=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
@@ -1680,7 +1808,12 @@ def q_apply_changes(sf_dir: str):
 def q_embedding_clusters(sf_dir: str):
     """Spherical k-means over the embeddings table: sample-trained
     centroids broadcast once, one streaming assignment matmul pass.
-    Iterative float training is not SQL-expressible — rows-only."""
+    Iterative float training is not SQL-expressible — rows-only by
+    design (a SQL-mirrored float digest would hinge on BLAS-vs-DuckDB
+    summation order at argmax boundaries). Validity is pinned in
+    pytest instead: assignment optimality, determinism, and
+    partitioning-invariant cluster sizes
+    (test_analytics_ops.py::test_kmeans_cluster_size_stability)."""
     from data_linter_ray.functions.similarity import kmeans_cluster
 
     ds = ray.data.read_parquet(
@@ -3072,6 +3205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_acctbal_violations": q_customer_acctbal_violations,
         # -- round-3 driver-red row, digest now integer-pinned --
         "quantized_embeddings": q_quantized_embeddings,
+        # -- config-driven run lifecycle (reference §3.1) --
+        "run_summary": q_run_summary,
         # -- flagship LLM-pipeline operators --
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -3342,6 +3477,7 @@ def oracle_sql() -> dict[str, str]:
     enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
     return {
         **_pii_sql(),
+        "run_summary": _run_summary_sql(synth.ensure_run_fixture()),
         "pack_offsets": (
             "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
             r"len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) "

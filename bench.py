@@ -102,6 +102,7 @@ def run_headline(n_docs: int) -> dict:
 
 
 QUERY_NAMES = [
+    "run_summary",
     "verdict_summary",
     "minmax_violations",
     "date_format_violations",

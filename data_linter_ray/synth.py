@@ -374,3 +374,79 @@ def ensure_span_fixture(root: str = "/tmp/dlr_fixtures") -> dict[str, str]:
     with open(marker, "w") as f:
         json.dump(want, f)
     return paths
+
+
+RUN_FIXTURE_VERSION = 1
+
+
+def ensure_run_fixture(root: str = "/tmp/dlr_fixtures/run_land") -> str:
+    """Materialize the deterministic LAND fixture for the config-driven
+    run-lifecycle query (``run_summary``): three parquet land files over
+    two tables — one fully valid, one with a known violation mix
+    (min/max + enum + nullable), one with out-of-range values — so the
+    DuckDB oracle can recompute each file's verdict from the same bytes.
+
+    The run itself must execute over a COPY of this directory (routing
+    moves files out of land); this master stays untouched.
+
+    Returns the master land directory path.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(root, "run_fixture.done.json")
+    want = {"version": RUN_FIXTURE_VERSION}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == want:
+                    return root
+        except (json.JSONDecodeError, OSError):
+            pass
+    os.makedirs(root, exist_ok=True)
+    # table1_file1: 40 valid rows
+    n = 40
+    pq.write_table(
+        pa.table(
+            {
+                "my_int": pa.array((10 + (np.arange(n) % 11)).astype(np.int64)),
+                "animal": pa.array(
+                    [["cat", "dog", "fish", "chicken"][i % 4] for i in range(n)]
+                ),
+                "my_email": pa.array([f"u{i}@example.org" for i in range(n)]),
+            }
+        ),
+        os.path.join(root, "table1_file1.parquet"),
+    )
+    # table1_file2: 25 rows — 3 min/max (5, 25, 99), 1 null my_int,
+    # 2 enum ('robot'), 1 null animal (counts under enum AND nullable
+    # with nullable=False)
+    my_int = [5, 25, 99, None] + [12] * 21
+    animal = ["cat"] * 4 + ["robot", "robot", None] + ["dog"] * 18
+    pq.write_table(
+        pa.table(
+            {
+                "my_int": pa.array(my_int, pa.int64()),
+                "animal": pa.array(animal, pa.string()),
+                "my_email": pa.array([f"v{i}@example.org" for i in range(25)]),
+            }
+        ),
+        os.path.join(root, "table1_file2.parquet"),
+    )
+    # events_tbl_file1: 30 rows, 4 with value > 100
+    vals = (np.arange(30) * 3.5) % 100.0
+    vals[[3, 11, 19, 27]] = [101.5, 250.0, 999.0, 100.001]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(30, dtype=np.int64)),
+                "value": pa.array(vals),
+            }
+        ),
+        os.path.join(root, "events_tbl_file1.parquet"),
+    )
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return root

@@ -606,6 +606,34 @@ def test_kmeans_cluster_validity_and_determinism(ray_session, sf_dir):
     assert (out1["cluster"].to_numpy() == S.argmax(axis=1)).all()
 
 
+def test_kmeans_cluster_size_stability(ray_session, sf_dir):
+    """Documented pass for the rows-only driver check (iterative float
+    training is not SQL-expressible): the PARTITIONING of points into
+    clusters must be invariant to input block layout and to re-runs —
+    identical per-cluster sizes and identical member sets."""
+    from data_linter_ray.functions.similarity import kmeans_cluster
+
+    ds1 = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds2 = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).repartition(7)
+    a = (
+        kmeans_cluster(ds1, id_col="vec_id", n_clusters=8, iters=5)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        kmeans_cluster(ds2, id_col="vec_id", n_clusters=8, iters=5)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert a["cluster"].tolist() == b["cluster"].tolist()
+    sizes = a.groupby("cluster").size()
+    assert sizes.sum() == len(a)
+    # no cluster degenerates to a singleton dump on the real corpus
+    assert (sizes > 0).all() and sizes.max() < len(a)
+
+
 def test_value_percent_rank_vs_duckdb(ray_session, sf_dir):
     _oracle_check("value_percent_rank", sf_dir)
 
