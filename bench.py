@@ -26,13 +26,13 @@ DOCS_PER_SF = 20_000_000  # headline table rows at sf=1.0 (sf0.1 → 2M)
 # scaling runs need enough compute that fixed startup (~2-3s of Ray
 # Data planning + small control-plane executions) is amortized away: at
 # 16M docs that constant is ~22% of the 8-cpu runtime but only ~7% of
-# the 2-cpu runtime, structurally depressing the ratio; at 32M docs it
-# is ~10% vs ~3.5% and BOTH absolute throughputs rise (round-3
-# measurement: 0.77 median @16M → 0.81+ @32M with 2cpu 572k/s and 8cpu
-# 1.86M/s). Real N→4N node scaling is a long job on a fleet — the
-# larger size is the honest analog, not a cherry-pick.
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "32000000"))
-SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+# the 2-cpu runtime, structurally depressing the ratio; at 32M it is
+# ~10% vs ~3.5%, and at 64M (round-4 default) ~5% vs ~1.7% with BOTH
+# absolute throughputs rising (round 4: 8cpu peak 2.16M docs/s @64M).
+# Real N→4N node scaling is a long job on a fleet — the larger size is
+# the honest analog, not a cherry-pick.
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "64000000"))
+SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 # N and 4N CPUs. Default 2→8: measured on this VM, 8 vCPUs already
 # saturate memory bandwidth (8→32 adds only ~20% on a bandwidth-bound
 # scan), so 2→8 is the regime where CPU scaling is actually observable.
@@ -319,16 +319,24 @@ def single_run(args) -> dict:
         "sf": sf,
         "num_cpus": args.cpus,
         # last recorded `bench.py --scaling` result (see BASELINE.md for
-        # the run log and the N-vs-4N methodology): round-4 median of 3
-        # full runs at 32M docs (0.761 / 0.803 / 0.844)
-        "scaling_efficiency_recorded": 0.803,
-        "scaling_pair_recorded": "median of 3 runs (r4): 2cpu=566816 docs/s vs 8cpu=1837248 docs/s, 32M docs",
+        # the full run log and the N-vs-4N methodology): round-4 pooled
+        # median of 6 interleaved 2cpu/8cpu rounds at 64M docs across two
+        # campaigns (0.811/0.674/0.848 and 0.751/0.919/0.798)
+        "scaling_efficiency_recorded": 0.805,
+        "scaling_pair_recorded": "median of 6 interleaved rounds (r4): 2cpu peak 659867 docs/s vs 8cpu peak 2156112 docs/s, 64M docs",
     }
 
 
 def scaling_run(args) -> dict:
-    """Same job, same input, fresh processes at 8 and 32 CPUs."""
-    # pre-materialize the input so neither process times generation, then
+    """Same job, same input, fresh processes at N and 4N CPUs.
+
+    The levels are INTERLEAVED per round (lo, hi, lo, hi, …) and the
+    reported efficiency is the MEDIAN of per-round ratios: this single
+    box drifts 15-30% over minutes (measured round 4: 2-cpu level
+    540k-720k docs/s across six campaigns), so a ratio of temporally
+    adjacent runs cancels the drift that a ratio of best-of-N levels —
+    whose bests can land many minutes apart — does not."""
+    # pre-materialize the input so no process times generation, then
     # release the parent's (auto-initialized) Ray session — a lingering
     # idle session skews the children's measurements badly
     headline_input(SCALING_DOCS)
@@ -337,43 +345,51 @@ def scaling_run(args) -> dict:
     if ray.is_initialized():
         ray.shutdown()
     lo, hi = SCALING_PAIR
-    results = {}
-    for cpus in (lo, hi):
-        best = None
-        for _ in range(SCALING_REPEATS):  # best-of-N damps sandbox noise
-            out = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--headline-only",
-                    "--cpus",
-                    str(cpus),
-                    "--n-docs",
-                    str(SCALING_DOCS),
-                    "--sf-dir",
-                    args.sf_dir,
-                ],
-                capture_output=True,
-                text=True,
-                check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or r["value"] > best["value"]:
-                best = r
-        results[cpus] = best
-    t_lo = results[lo]["value"]
-    t_hi = results[hi]["value"]
+
+    def run_once(cpus: int) -> dict:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--headline-only",
+                "--cpus",
+                str(cpus),
+                "--n-docs",
+                str(SCALING_DOCS),
+                "--sf-dir",
+                args.sf_dir,
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    runs = {lo: [], hi: []}
+    ratios = []
+    for _ in range(SCALING_REPEATS):
+        r_lo = run_once(lo)
+        r_hi = run_once(hi)
+        runs[lo].append(round(r_lo["value"], 1))
+        runs[hi].append(round(r_hi["value"], 1))
+        ratios.append(round((r_hi["value"] / r_lo["value"]) / (hi / lo), 3))
+    mid = sorted(ratios)[len(ratios) // 2] if len(ratios) % 2 else round(
+        (sorted(ratios)[len(ratios) // 2 - 1] + sorted(ratios)[len(ratios) // 2]) / 2, 3
+    )
     return {
         "metric": (
-            f"scaling efficiency (docs/sec @{hi}cpu vs @{lo}cpu, "
-            "fresh processes, best-of-%d)" % SCALING_REPEATS
+            f"scaling efficiency (docs/sec @{hi}cpu vs @{lo}cpu, fresh "
+            f"processes, median of {SCALING_REPEATS} interleaved rounds)"
         ),
-        "value": round((t_hi / t_lo) / (hi / lo), 3),
+        "value": mid,
         "unit": "efficiency",
-        f"throughput_{lo}cpu": t_lo,
-        f"throughput_{hi}cpu": t_hi,
-        "n_docs": results[lo]["n_docs"],
+        "round_efficiencies": ratios,
+        f"throughput_{lo}cpu": max(runs[lo]),
+        f"throughput_{hi}cpu": max(runs[hi]),
+        f"runs_{lo}cpu": runs[lo],
+        f"runs_{hi}cpu": runs[hi],
+        "n_docs": SCALING_DOCS,
         "sf": sf_of(args.sf_dir),
         "num_cpus": hi,
         "queries": {},
