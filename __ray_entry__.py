@@ -3649,7 +3649,7 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST((n >= 60 AND n <= 100000) AND "
             "(cs >= 3 * n AND cs <= 10 * n AND n > 0) "
             "AND (top_n * 100 <= 30 * n) "
-            "AND ((n_tri - n_dist) * 100 <= 30 * n_tri) AS BIGINT)) AS n_kept "
+            "AND ((n_tri - n_dist) * 100 <= 30 * n_tri) AS BIGINT)) :: BIGINT AS n_kept "
             "FROM f GROUP BY source"
         ),
         "rolling_anomalies": (
@@ -3749,7 +3749,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH e AS (SELECT event_type, "
             "CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
             "SELECT event_type, count(*) AS n, min(k) AS min_k, "
-            "max(k) AS max_k, sum(k) AS sum_k FROM e "
+            "max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k FROM e "
             "WHERE k IS NOT NULL AND event_type IS NOT NULL "
             "GROUP BY event_type"
         ),
@@ -3816,9 +3816,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "user_value_rolling": (
             "SELECT user_id, event_id, ts, "
-            "sum(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_sum_cents, "
-            "sum(CAST(round(value * 100) AS BIGINT) * "
-            "CAST(round(value * 100) AS BIGINT)) OVER w AS roll_sum_sq_cents, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS roll_sum_cents, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT) * "
+            "CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS roll_sum_sq_cents, "
             "count(value) OVER w AS roll_n, "
             "max(value) OVER w AS roll_max "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
@@ -4334,9 +4336,9 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(n_chars, 0.50) AS q2, "
             "quantile_disc(n_chars, 0.75) AS q3 FROM documents "
             "WHERE n_chars IS NOT NULL) "
-            "SELECT doc_id, n_chars, 1 + CAST(n_chars > q1 AS INT) "
+            "SELECT doc_id, n_chars, CAST(1 + CAST(n_chars > q1 AS INT) "
             "+ CAST(n_chars > q2 AS INT) + CAST(n_chars > q3 AS INT) "
-            "AS bucket FROM documents, q "
+            "AS BIGINT) AS bucket FROM documents, q "
             "WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL"
         ),
         # compacted_events: first row per key OR value IS DISTINCT FROM
@@ -4444,8 +4446,9 @@ def oracle_sql() -> dict[str, str]:
             "x -> CAST(round(CAST(x AS DOUBLE) / q_scale * 127) AS BIGINT)) AS qv "
             "FROM base) "
             "SELECT vec_id, CAST(floor(q_scale * 1e9) AS BIGINT) AS q_scale_e9, "
-            "list_sum(qv) AS q_sum, "
-            "list_sum(list_transform(qv, v -> abs(v))) AS q_l1 FROM qq"
+            "CAST(list_sum(qv) AS BIGINT) AS q_sum, "  # list_sum yields DOUBLE
+            "CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1 "
+            "FROM qq"
         ),
         "value_histogram": (
             "SELECT bin, count(*) AS n FROM ("
@@ -4489,7 +4492,7 @@ def oracle_sql() -> dict[str, str]:
             "max(o_totalprice) AS max_price FROM orders GROUP BY o_orderpriority"
         ),
         "orders_by_nation": (
-            "SELECT c_nationkey, count(*) AS n, "
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n, "
             "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey"
@@ -4561,7 +4564,8 @@ def oracle_sql() -> dict[str, str]:
         # make the windowed sum associative and exact on both sides
         "trailing_hour_load": (
             "SELECT user_id, event_id, ts, "
-            "SUM(CAST(round(value*100) AS BIGINT)) OVER w AS roll_sum_cents, "
+            "CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS roll_sum_cents, "
             "COUNT(value) OVER w AS roll_n "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
@@ -4602,15 +4606,19 @@ def oracle_sql() -> dict[str, str]:
             "NULLIF(l_tax, 0.0) AS l_tax, "
             "NULLIF(l_returnflag, 'N') AS l_returnflag FROM lineitem) "
             "SELECT 'l_discount' AS col_a, 'l_returnflag' AS col_b, "
-            "count(*) AS n_rows, count_if(l_discount IS NULL) AS n_a_null, "
-            "count_if(l_returnflag IS NULL) AS n_b_null, "
-            "count_if(l_discount IS NULL AND l_returnflag IS NULL) AS n_both_null FROM t "
+            "count(*) AS n_rows, "
+            "CAST(count_if(l_discount IS NULL) AS BIGINT) AS n_a_null, "
+            "CAST(count_if(l_returnflag IS NULL) AS BIGINT) AS n_b_null, "
+            "CAST(count_if(l_discount IS NULL AND l_returnflag IS NULL) "
+            "AS BIGINT) AS n_both_null FROM t "
             "UNION ALL SELECT 'l_discount', 'l_tax', count(*), "
-            "count_if(l_discount IS NULL), count_if(l_tax IS NULL), "
-            "count_if(l_discount IS NULL AND l_tax IS NULL) FROM t "
+            "CAST(count_if(l_discount IS NULL) AS BIGINT), "
+            "CAST(count_if(l_tax IS NULL) AS BIGINT), "
+            "CAST(count_if(l_discount IS NULL AND l_tax IS NULL) AS BIGINT) FROM t "
             "UNION ALL SELECT 'l_returnflag', 'l_tax', count(*), "
-            "count_if(l_returnflag IS NULL), count_if(l_tax IS NULL), "
-            "count_if(l_returnflag IS NULL AND l_tax IS NULL) FROM t"
+            "CAST(count_if(l_returnflag IS NULL) AS BIGINT), "
+            "CAST(count_if(l_tax IS NULL) AS BIGINT), "
+            "CAST(count_if(l_returnflag IS NULL AND l_tax IS NULL) AS BIGINT) FROM t"
         ),
         # value_distribution_ks: CDF-at-each-value step convention via
         # sum() OVER (ORDER BY value); identical divisions both sides —
@@ -4798,7 +4806,7 @@ def oracle_sql() -> dict[str, str]:
         # segment_drift_ks: per-group vs pooled CDF sup, one window
         # arm per group; identical divisions both sides — bit-exact
         "segment_drift_ks": (
-            "WITH u AS (SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL) SELECT 'click' AS event_type, (SELECT count_if(g = 'click') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='click') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'click')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'error' AS event_type, (SELECT count_if(g = 'error') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='error') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'error')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'purchase' AS event_type, (SELECT count_if(g = 'purchase') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='purchase') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'purchase')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'signup' AS event_type, (SELECT count_if(g = 'signup') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='signup') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'signup')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'view' AS event_type, (SELECT count_if(g = 'view') FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g='view') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'view')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s ORDER BY event_type"
+            "WITH u AS (SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL) SELECT 'click' AS event_type, CAST((SELECT count_if(g = 'click') FROM u) AS BIGINT) AS n, max(abs(cg/CAST((SELECT count_if(g='click') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'click')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'error' AS event_type, CAST((SELECT count_if(g = 'error') FROM u) AS BIGINT) AS n, max(abs(cg/CAST((SELECT count_if(g='error') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'error')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'purchase' AS event_type, CAST((SELECT count_if(g = 'purchase') FROM u) AS BIGINT) AS n, max(abs(cg/CAST((SELECT count_if(g='purchase') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'purchase')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'signup' AS event_type, CAST((SELECT count_if(g = 'signup') FROM u) AS BIGINT) AS n, max(abs(cg/CAST((SELECT count_if(g='signup') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'signup')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 'view' AS event_type, CAST((SELECT count_if(g = 'view') FROM u) AS BIGINT) AS n, max(abs(cg/CAST((SELECT count_if(g='view') FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 'view')) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s ORDER BY event_type"
         ),
         # vocab_zipf_slope: same df SQL as "vocabulary", rank-OLS
         "vocab_zipf_slope": (
@@ -4848,9 +4856,9 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(l_quantity, 0.50) AS q2, "
             "quantile_disc(l_quantity, 0.75) AS q3 FROM lineitem "
             "WHERE l_quantity IS NOT NULL), "
-            "b AS (SELECT 1 + CAST(l_quantity > q1 AS INT) + "
+            "b AS (SELECT CAST(1 + CAST(l_quantity > q1 AS INT) + "
             "CAST(l_quantity > q2 AS INT) + CAST(l_quantity > q3 AS INT) "
-            "AS bucket, l_extendedprice FROM lineitem, q "
+            "AS BIGINT) AS bucket, l_extendedprice FROM lineitem, q "
             "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), "
             "lq AS (SELECT bucket AS \"group\", "
             "quantile_disc(l_extendedprice, [0.25,0.5,0.75]) AS vs "
@@ -4860,7 +4868,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # weekly_drift_ks: per-week vs pooled CDF sup — bit-exact
         "weekly_drift_ks": (
-            'WITH u AS (SELECT value AS v, (day(ts)-1)//7 AS g FROM events WHERE value IS NOT NULL AND ts IS NOT NULL) SELECT 0 AS week, (SELECT count_if(g = 0) FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g=0) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 0)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 1 AS week, (SELECT count_if(g = 1) FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g=1) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 1)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 2 AS week, (SELECT count_if(g = 2) FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g=2) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 2)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 3 AS week, (SELECT count_if(g = 3) FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g=3) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 3)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT 4 AS week, (SELECT count_if(g = 4) FROM u) AS n, max(abs(cg/CAST((SELECT count_if(g=4) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 4)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s ORDER BY week'
+            'WITH u AS (SELECT value AS v, (day(ts)-1)//7 AS g FROM events WHERE value IS NOT NULL AND ts IS NOT NULL) SELECT CAST(0 AS BIGINT) AS week, CAST((SELECT count_if(g = 0) FROM u) AS BIGINT) AS n, max(abs(cg/CAST((SELECT count_if(g=0) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 0)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT CAST(1 AS BIGINT) AS week, CAST((SELECT count_if(g = 1) FROM u) AS BIGINT) AS n, max(abs(cg/CAST((SELECT count_if(g=1) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 1)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT CAST(2 AS BIGINT) AS week, CAST((SELECT count_if(g = 2) FROM u) AS BIGINT) AS n, max(abs(cg/CAST((SELECT count_if(g=2) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 2)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT CAST(3 AS BIGINT) AS week, CAST((SELECT count_if(g = 3) FROM u) AS BIGINT) AS n, max(abs(cg/CAST((SELECT count_if(g=3) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 3)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s UNION ALL SELECT CAST(4 AS BIGINT) AS week, CAST((SELECT count_if(g = 4) FROM u) AS BIGINT) AS n, max(abs(cg/CAST((SELECT count_if(g=4) FROM u) AS DOUBLE) - ca/CAST((SELECT count(*) FROM u) AS DOUBLE))) AS ks FROM (SELECT sum(count_if(g = 4)) OVER (ORDER BY v) AS cg, sum(count(*)) OVER (ORDER BY v) AS ca FROM u GROUP BY v) s ORDER BY week'
         ),
         # funnel_conversion: the funnel chain aggregated by level
         "funnel_conversion": (
@@ -4898,7 +4906,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
             "span AS (SELECT min(d) AS lo, max(d) AS hi FROM a), "
             "grid AS (SELECT unnest(generate_series(span.lo, "
-            "span.hi + INTERVAL 6 DAY, INTERVAL 1 DAY))::TIMESTAMP AS day "
+            "span.hi + INTERVAL 6 DAY, INTERVAL 1 DAY))::TIMESTAMP_S AS day "
             "FROM span) "
             "SELECT grid.day, (SELECT count(DISTINCT a.user_id) FROM a "
             "WHERE a.d BETWEEN grid.day - INTERVAL 6 DAY AND grid.day) "
@@ -4917,8 +4925,8 @@ def oracle_sql() -> dict[str, str]:
             "AS duration_us FROM s GROUP BY user_id, sid "
             "HAVING count(*) > 1) "
             "SELECT unnest([0.25, 0.5, 0.75]) AS q, "
-            "unnest(quantile_disc(duration_us, [0.25, 0.5, 0.75])) "
-            "AS value FROM d"
+            "CAST(unnest(quantile_disc(duration_us, [0.25, 0.5, 0.75])) "
+            "AS DOUBLE) AS value FROM d"
         ),
         # source_pareto: exact integer mass; ordered cumulative share
         # rounded 9 dp both sides
@@ -4959,7 +4967,8 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT user_id, event_id, ts, C, min(C) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS mn FROM c) "
-            "SELECT user_id, event_id, ts, C - least(0, mn) AS cusum_cents "
+            "SELECT user_id, event_id, ts, "
+            "CAST(C - least(0, mn) AS BIGINT) AS cusum_cents "
             "FROM m WHERE C - least(0, mn) > 20000"
         ),
         # grouped_value_mad: per-group median + MAD, quantile_disc
@@ -4982,7 +4991,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
             "AND event_id IS NOT NULL) "
             "SELECT unnest([0.25, 0.5, 0.75]) AS q, "
-            "unnest(quantile_disc(gap_us, [0.25, 0.5, 0.75])) AS value "
-            "FROM g WHERE gap_us IS NOT NULL"
+            "CAST(unnest(quantile_disc(gap_us, [0.25, 0.5, 0.75])) AS DOUBLE) "
+            "AS value FROM g WHERE gap_us IS NOT NULL"
         ),
     }

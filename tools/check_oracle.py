@@ -67,6 +67,17 @@ def main() -> int:
         status = []
         if list(got.columns) != list(exp.columns):
             status.append(f"SCHEMA got={list(got.columns)} exp={list(exp.columns)}")
+        else:
+            # dtype parity matters: a dtype-sensitive value hash (the
+            # driver's) diverges on e.g. int64-vs-float64 even when every
+            # value compares equal (round-3 quantized_embeddings red row)
+            dt = [
+                f"{c}: engine={got[c].dtype} oracle={exp[c].dtype}"
+                for c in got.columns
+                if str(got[c].dtype) != str(exp[c].dtype)
+            ]
+            if dt:
+                status.append("DTYPE " + "; ".join(dt))
         if len(got) != len(exp):
             status.append(f"ROWS got={len(got)} exp={len(exp)}")
         if not status:
