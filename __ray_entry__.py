@@ -421,6 +421,100 @@ def _run_summary_sql(master: str) -> str:
     )
 
 
+def q_span_stats(sf_dir: str):
+    """Per-document span composition over the interleaved fixture
+    (north-rule data model): span/kind counts, text char mass, max
+    offset — one streaming pass, zero shuffle (np.add.reduceat over
+    the flat span stream)."""
+    from data_linter_ray import synth
+    from data_linter_ray.functions.interleaved import span_stats
+
+    paths = synth.ensure_span_fixture()
+    return span_stats(ray.data.read_parquet(paths["docs"]))
+
+
+def q_doc_texts(sf_dir: str):
+    """Render interleaved documents to training text: text-kind span
+    texts joined in span order (the flattening step feeding the
+    text-side curation ops). Oracle: string_agg ORDER BY subscript."""
+    from data_linter_ray import synth
+    from data_linter_ray.functions.interleaved import extract_text
+
+    paths = synth.ensure_span_fixture()
+    return extract_text(ray.data.read_parquet(paths["docs"]))
+
+
+def q_media_ref_counts(sf_dir: str):
+    """Corpus media-asset usage counts over the interleaved fixture:
+    per-batch distinct (ref, partial) combiner → ref-hash exchange —
+    hot assets cost one row per batch, never one per span."""
+    from data_linter_ray import synth
+    from data_linter_ray.functions.interleaved import media_ref_counts
+
+    paths = synth.ensure_span_fixture()
+    return media_ref_counts(ray.data.read_parquet(paths["docs"]), min_refs=2)
+
+
+def q_span_kind_mix(sf_dir: str):
+    """Corpus kind histogram (spans + documents per kind, malformed
+    kinds included) — zero-shuffle partial fold."""
+    from data_linter_ray import synth
+    from data_linter_ray.functions.interleaved import span_kind_mix
+
+    paths = synth.ensure_span_fixture()
+    return span_kind_mix(ray.data.read_parquet(paths["docs"]))
+
+
+def _interleaved_sql(docs_path: str) -> dict[str, str]:
+    """DuckDB mirrors of the interleaved analysis ops over the exact
+    span-fixture bytes (rid = stable row number, matching the engine's
+    per-row semantics under duplicate doc_ids)."""
+    flat = (
+        f"docs AS (SELECT row_number() OVER () AS rid, doc_id, spans "
+        f"FROM read_parquet('{docs_path}')), "
+        "f AS (SELECT rid, doc_id, generate_subscripts(spans, 1) AS pos, "
+        "unnest(spans, recursive := true) FROM docs)"
+    )
+    return {
+        "span_stats": (
+            f"WITH {flat} "
+            "SELECT d.doc_id, len(d.spans) AS n_spans, "
+            "CAST(coalesce(s.n_text, 0) AS BIGINT) AS n_text, "
+            "CAST(coalesce(s.n_image, 0) AS BIGINT) AS n_image, "
+            "CAST(coalesce(s.n_audio, 0) AS BIGINT) AS n_audio, "
+            "CAST(coalesce(s.n_video, 0) AS BIGINT) AS n_video, "
+            "CAST(coalesce(s.text_chars, 0) AS BIGINT) AS text_chars, "
+            "s.max_offset FROM docs d LEFT JOIN ("
+            "SELECT rid, count_if(kind = 'text') AS n_text, "
+            "count_if(kind = 'image') AS n_image, "
+            "count_if(kind = 'audio') AS n_audio, "
+            "count_if(kind = 'video') AS n_video, "
+            "CAST(sum(CASE WHEN kind = 'text' AND text IS NOT NULL "
+            "THEN length(text) ELSE 0 END) AS BIGINT) AS text_chars, "
+            "CAST(max(\"offset\") AS BIGINT) AS max_offset "
+            "FROM f GROUP BY rid) s USING (rid)"
+        ),
+        "doc_texts": (
+            f"WITH {flat} "
+            "SELECT doc_id, string_agg(text, ' ' ORDER BY pos) AS text "
+            "FROM f WHERE kind = 'text' AND text IS NOT NULL "
+            "GROUP BY rid, doc_id"
+        ),
+        "media_ref_counts": (
+            f"WITH {flat} "
+            "SELECT media_ref, count(*) AS n_refs FROM f "
+            "WHERE media_ref IS NOT NULL GROUP BY media_ref "
+            "HAVING count(*) >= 2"
+        ),
+        "span_kind_mix": (
+            f"WITH {flat} "
+            "SELECT kind, count(*) AS n_spans, "
+            "CAST(count(DISTINCT rid) AS BIGINT) AS n_docs FROM f "
+            "WHERE kind IS NOT NULL GROUP BY kind ORDER BY kind"
+        ),
+    }
+
+
 def _docs(sf_dir: str, cols=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
@@ -3207,6 +3301,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantized_embeddings": q_quantized_embeddings,
         # -- config-driven run lifecycle (reference §3.1) --
         "run_summary": q_run_summary,
+        # -- interleaved (north-rule) analysis operators --
+        "span_stats": q_span_stats,
+        "doc_texts": q_doc_texts,
+        "media_ref_counts": q_media_ref_counts,
+        "span_kind_mix": q_span_kind_mix,
         # -- flagship LLM-pipeline operators --
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -3477,6 +3576,7 @@ def oracle_sql() -> dict[str, str]:
     enum_list = ", ".join(f"'{v}'" for v in EVENT_ENUM)
     return {
         **_pii_sql(),
+        **_interleaved_sql(fixture["docs"]),
         "run_summary": _run_summary_sql(synth.ensure_run_fixture()),
         "pack_offsets": (
             "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "

@@ -103,6 +103,10 @@ def run_headline(n_docs: int) -> dict:
 
 QUERY_NAMES = [
     "run_summary",
+    "span_stats",
+    "doc_texts",
+    "media_ref_counts",
+    "span_kind_mix",
     "verdict_summary",
     "minmax_violations",
     "date_format_violations",
