@@ -515,6 +515,56 @@ def _interleaved_sql(docs_path: str) -> dict[str, str]:
     }
 
 
+def q_c4_clean_documents(sf_dir: str):
+    """C4-style line-level cleaning over the documents corpus. The
+    corpus has no newlines, so both sides deterministically construct
+    lines first (the _PII_INJECT_SQL pattern): every 8th word boundary
+    becomes '.\\n' via one RE2 global replace, docs with doc_id%7==0
+    get a boilerplate 'lorem ipsum' line and doc_id%11==0 a 2-word
+    line — then the identical keep rules run on both sides."""
+    import numpy as np
+
+    from data_linter_ray.functions.text import clean_lines
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        lined = pc.replace_substring_regex(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+            r"((\S+ ){7}\S+) ",
+            "\\1.\n",  # RE2 rewrite: escaped group ref + a REAL newline
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pre = np.where(ids % 7 == 0, "lorem ipsum dolor sit amet.\n", "")
+        pre = np.char.add(pre.astype("U40"), np.where(ids % 11 == 0, "ok go.\n", ""))
+        out = pc.binary_join_element_wise(
+            pa.array(pre.astype(object), pa.string()), lined, pa.scalar("")
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": out})
+
+    return clean_lines(docs.map_batches(inject, batch_format="pyarrow"))
+
+
+_C4_SQL = (
+    "WITH lined AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' || chr(10) "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN 'ok go.' || chr(10) ELSE '' END || "
+    r"regexp_replace(text, '((\S+ ){7}\S+) ', '\1.' || chr(10), 'g') AS t "
+    "FROM documents), "
+    "ls AS (SELECT doc_id, str_split(t, chr(10)) AS a FROM lined), "
+    "k AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_all, "
+    "list_filter(a, l -> regexp_matches(l, '[.!?\"]$') "
+    r"AND len(regexp_extract_all(l, '\S+')) >= 3 "
+    "AND NOT regexp_matches(lower(l), 'lorem ipsum|javascript')) AS kept "
+    "FROM ls) "
+    "SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean, "
+    "CAST(len(kept) AS BIGINT) AS n_kept, "
+    "n_all - CAST(len(kept) AS BIGINT) AS n_dropped "
+    "FROM k WHERE len(kept) >= 1"
+)
+
+
 def _docs(sf_dir: str, cols=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
@@ -3302,6 +3352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- config-driven run lifecycle (reference §3.1) --
         "run_summary": q_run_summary,
         # -- interleaved (north-rule) analysis operators --
+        "c4_clean_documents": q_c4_clean_documents,
         "span_stats": q_span_stats,
         "doc_texts": q_doc_texts,
         "media_ref_counts": q_media_ref_counts,
@@ -3577,6 +3628,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_pii_sql(),
         **_interleaved_sql(fixture["docs"]),
+        "c4_clean_documents": _C4_SQL,
         "run_summary": _run_summary_sql(synth.ensure_run_fixture()),
         "pack_offsets": (
             "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "

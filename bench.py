@@ -103,6 +103,7 @@ def run_headline(n_docs: int) -> dict:
 
 QUERY_NAMES = [
     "run_summary",
+    "c4_clean_documents",
     "span_stats",
     "doc_texts",
     "media_ref_counts",

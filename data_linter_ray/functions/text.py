@@ -1028,3 +1028,108 @@ def bigram_collocations(
         P,
         reduce_pmi,
     )
+
+
+def clean_lines(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple = ("lorem ipsum", "javascript"),
+    min_lines_kept: int = 1,
+) -> Dataset:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    recipe): split each document on ``sep`` and KEEP a line only if it
+
+    - ends in terminal punctuation (``. ! ? "``) when
+      ``require_terminal_punct``,
+    - has ≥ ``min_words`` whitespace words, and
+    - contains no blocklist phrase (case-insensitive substring regex).
+
+    → (doc_id, text_clean, n_kept, n_dropped); documents keeping fewer
+    than ``min_lines_kept`` lines are dropped entirely (the C4
+    doc-level rule). One streaming pass, zero shuffle: every rule is an
+    RE2 kernel over the flattened line stream, per-doc counts are
+    ``np.add.at`` folds, and the kept-line re-join runs in polars.
+
+    Reference provenance: extends the reference's regex/length column
+    predicates (pandas_validator.py pattern/length tests) to line
+    granularity inside a document."""
+    import numpy as np
+
+    rules_re = "|".join(blocklist)
+
+    def clean(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lines = pc.split_pattern(pc.cast(text, pa.string()), sep)
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        n_all = pc.fill_null(pc.list_value_length(lines), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+        words_ok = pc.greater_equal(
+            pc.count_substring_regex(flat, r"\S+"), min_words
+        )
+        keep = words_ok
+        if require_terminal_punct:
+            keep = pc.and_(keep, pc.match_substring_regex(flat, r'[.!?"]$'))
+        if blocklist:
+            keep = pc.and_(
+                keep,
+                pc.invert(
+                    pc.match_substring_regex(pc.utf8_lower(flat), rules_re)
+                ),
+            )
+        keep_np = pc.fill_null(keep, False).to_numpy(zero_copy_only=False)
+        keep_np = np.asarray(keep_np)
+
+        n_kept = np.zeros(n, dtype=np.int64)
+        if len(parents):
+            np.add.at(n_kept, parents, keep_np.astype(np.int64))
+
+        kept_lines = flat.filter(pa.array(keep_np))
+        kept_rows = parents[keep_np]
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(kept_rows):
+            try:
+                import polars as pl
+
+                joined = (
+                    pl.DataFrame(
+                        {"rid": kept_rows, "l": pl.from_arrow(kept_lines)}
+                    )
+                    .group_by("rid", maintain_order=True)
+                    .agg(pl.col("l").str.join(sep))
+                )
+                rid = joined["rid"].to_numpy()
+                txt = pa.array(joined["l"].to_list(), pa.string())
+            except ImportError:  # pragma: no cover
+                s = pd.DataFrame({"rid": kept_rows, "l": kept_lines.to_pandas()})
+                agg = s.groupby("rid", sort=True)["l"].agg(sep.join)
+                rid = agg.index.to_numpy()
+                txt = pa.array(agg.to_numpy(), pa.string())
+        else:
+            rid = np.empty(0, dtype=np.int64)
+            txt = pa.array([], pa.string())
+        surviving = rid[n_kept[rid] >= min_lines_kept]
+        txt = txt.filter(pa.array(n_kept[rid] >= min_lines_kept))
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(surviving)),
+                "text_clean": txt,
+                "n_kept": pa.array(n_kept[surviving]),
+                "n_dropped": pa.array((n_all - n_kept)[surviving]),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        clean, batch_format="pyarrow"
+    )

@@ -1058,3 +1058,53 @@ def test_winnow_fast_mode_runs_and_dedupes(docs):
     for did, n in zip(sub["doc_id"], n_tokens):
         if n >= 5:
             assert did in covered
+
+
+def test_clean_lines_c4_rules(ray_session):
+    """Line-keep rules: terminal punctuation required, ≥3 words,
+    blocklist phrases dropped (case-insensitive), doc dropped when no
+    line survives; counts account for every input line."""
+    import ray.data as rd
+
+    from data_linter_ray.functions import text as T
+
+    ds = rd.from_items(
+        [
+            {"doc_id": "a", "text": "good line one here.\nok go.\n"
+                                     "LOREM IPSUM dolor sit amet.\n"
+                                     "ends without punct words"},
+            {"doc_id": "b", "text": "only bad.\nx y"},
+            {"doc_id": "c", "text": 'keep this line fine!\nand "this quoted one"'},
+            {"doc_id": "d", "text": "enable javascript to continue here."},
+        ]
+    )
+    out = T.clean_lines(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == ["a", "c"]  # b, d fully dropped
+    assert out.loc[0, "text_clean"] == "good line one here."
+    assert (out.loc[0, "n_kept"], out.loc[0, "n_dropped"]) == (1, 3)
+    assert out.loc[1, "text_clean"] == 'keep this line fine!\nand "this quoted one"'
+    assert (out.loc[1, "n_kept"], out.loc[1, "n_dropped"]) == (2, 0)
+    # punctuation rule can be relaxed
+    relaxed = T.clean_lines(ds, require_terminal_punct=False).to_pandas()
+    a = relaxed[relaxed["doc_id"] == "a"].iloc[0]
+    assert a["n_kept"] == 2  # the unpunctuated 4-word line now survives
+
+
+def test_c4_clean_documents_vs_duckdb(ray_session, sf_dir):
+    """The corpus query (deterministic line construction + C4 rules)
+    matches its DuckDB oracle byte-for-byte."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = entrymod.queries()["c4_clean_documents"](sf_dir).to_pandas()
+    exp = con.execute(entrymod.oracle_sql()["c4_clean_documents"]).df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
