@@ -63,13 +63,25 @@ class _FusedChecker:
 
         from data_linter_ray.stages.checker import _stringify
 
+        from data_linter_ray.stages.spans import SpanContext
+
         parts: list[pa.Table] = []
         count_cols: list[str] = [ROWS_KEY]
         count_tests: list[str] = [ROWS_KEY]
         count_ns: list[int] = [batch.num_rows]
 
+        # one flatten + one media dictionary-encode per span column,
+        # shared by every span-family checker in this pass
+        span_ctx = (
+            SpanContext(batch)
+            if any(getattr(c, "accepts_span_ctx", False) for c in self.checkers)
+            else None
+        )
         for checker in self.checkers:
-            viol = checker(batch)
+            if span_ctx is not None and getattr(checker, "accepts_span_ctx", False):
+                viol = checker(batch, span_ctx)
+            else:
+                viol = checker(batch)
             if viol.num_rows:
                 parts.append(
                     pa.Table.from_arrays(
@@ -108,29 +120,32 @@ class _FusedChecker:
 
         for col in self.unique_cols:
             import numpy as np
+            import pandas as pd
 
             from data_linter_ray.state.sketches import hash_array
 
             arr = batch[col].combine_chunks()
-            # hash once over ALL rows, then int-unique — cheaper than a
+            # hash once over ALL rows, then hash-dedupe — cheaper than a
             # string-keyed value_counts hash table plus a re-hash of the
-            # uniques (measured ~3× on 100k-row string batches)
+            # uniques; factorize+bincount beats sort-based np.unique ~1.5×
+            # and pa.repeat beats python-list constant columns ~8×
             h_all = hash_array(arr)
-            uniq_h, first_idx, cnts = np.unique(
-                h_all, return_index=True, return_counts=True
-            )
+            first_mask = (~pd.Series(h_all).duplicated()).to_numpy()
+            codes, uniq_h = pd.factorize(h_all, sort=False)
+            cnts = np.bincount(codes).astype(np.int64)
             k = len(uniq_h)
-            values = _stringify(arr.take(pa.array(first_idx)))
+            # first-occurrence filter yields values in factorize order
+            values = _stringify(arr.filter(pa.array(first_mask)))
             parts.append(
                 pa.Table.from_arrays(
                     [
                         pa.nulls(k, pa.string()),
-                        pa.array([col] * k, pa.string()),
-                        pa.array(["__preagg__"] * k, pa.string()),
+                        pa.repeat(pa.scalar(col, pa.string()), k),
+                        pa.repeat(pa.scalar("__preagg__", pa.string()), k),
                         values,
-                        pa.array(cnts.astype(np.int64)),
+                        pa.array(cnts),
                         pa.array(uniq_h.astype(np.int64)),
-                        pa.array([2] * k, pa.int8()),
+                        pa.repeat(pa.scalar(2, pa.int8()), k),
                     ],
                     schema=INTERNAL_SCHEMA,
                 )
