@@ -45,6 +45,11 @@ INTERNAL_SCHEMA = pa.schema(
         ("n", pa.int64()),
         ("h", pa.int64()),  # 64-bit key hash (uniqueness pre-agg rows only)
         ("kind", pa.int8()),
+        # unique-column index for kind-2 pre-agg rows (their column/test
+        # strings stay NULL: the pre-agg stream is ~input-sized for a
+        # unique id column, and two repeated-constant string columns cost
+        # ~17 bytes/row through the object store vs one int8 + bitmaps)
+        ("cc", pa.int8()),
     ]
 )
 ROWS_KEY = "__rows__"
@@ -92,7 +97,8 @@ class _FusedChecker:
                             viol["value"],
                             pa.nulls(viol.num_rows, pa.int64()),
                             pa.nulls(viol.num_rows, pa.int64()),
-                            pa.array([0] * viol.num_rows, pa.int8()),
+                            pa.repeat(pa.scalar(0, pa.int8()), viol.num_rows),
+                            pa.nulls(viol.num_rows, pa.int8()),
                         ],
                         schema=INTERNAL_SCHEMA,
                     )
@@ -113,6 +119,7 @@ class _FusedChecker:
                     pa.array(count_ns, pa.int64()),
                     pa.nulls(n, pa.int64()),
                     pa.array([1] * n, pa.int8()),
+                    pa.nulls(n, pa.int8()),
                 ],
                 schema=INTERNAL_SCHEMA,
             )
@@ -140,12 +147,15 @@ class _FusedChecker:
                 pa.Table.from_arrays(
                     [
                         pa.nulls(k, pa.string()),
-                        pa.repeat(pa.scalar(col, pa.string()), k),
-                        pa.repeat(pa.scalar("__preagg__", pa.string()), k),
+                        pa.nulls(k, pa.string()),  # column → cc int8
+                        pa.nulls(k, pa.string()),  # test implied by kind
                         values,
                         pa.array(cnts),
                         pa.array(uniq_h.astype(np.int64)),
                         pa.repeat(pa.scalar(2, pa.int8()), k),
+                        pa.repeat(
+                            pa.scalar(self.unique_cols.index(col), pa.int8()), k
+                        ),
                     ],
                     schema=INTERNAL_SCHEMA,
                 )
@@ -202,11 +212,11 @@ def _split_preagg_block(num_parts: int, unique_cols: list[str], *blocks):
     sub = block.filter(pc.equal(block["kind"], 2))
     h = sub["h"].to_numpy(zero_copy_only=False)
     n = sub["n"].to_numpy(zero_copy_only=False)
-    col_code = np.zeros(len(h), dtype=np.int64)
-    if len(unique_cols) > 1:
-        cols = sub["column"].to_pandas()
-        for i, c in enumerate(unique_cols):
-            col_code[(cols == c).to_numpy()] = i
+    col_code = (
+        sub["cc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(h)
+        else np.zeros(0, dtype=np.int64)
+    )
     bucket = (h.astype(np.uint64) % np.uint64(num_parts)).astype(np.int64)
     order = np.argsort(bucket, kind="stable")
     hb, nb, cb, bb = h[order], n[order], col_code[order], bucket[order]
@@ -259,22 +269,23 @@ def _report_block(block: pa.Table, dup_h):
             pc.fill_null(pc.is_in(block["h"], value_set=dup_h), False),
         )
     )
-    return sub.select(["column", "value", "h"])
+    return sub.select(["cc", "value", "h"])
 
 
-def _finalize_unique_violations(dup_n: dict, *hit_tables):
+def _finalize_unique_violations(dup_n: dict, unique_cols: list[str], *hit_tables):
     """Ray task: dedupe hits per (column, h) → violation rows table."""
     import pyarrow as pa
 
     tbl = pa.concat_tables([t for t in hit_tables if t.num_rows])
     if tbl.num_rows == 0:
         return VIOLATION_SCHEMA.empty_table()
-    df = tbl.to_pandas().drop_duplicates(subset=["column", "h"])
-    ns = [dup_n.get((c, h), 0) for c, h in zip(df["column"], df["h"])]
+    df = tbl.to_pandas().drop_duplicates(subset=["cc", "h"])
+    names = [unique_cols[int(c)] for c in df["cc"]]
+    ns = [dup_n.get((c, h), 0) for c, h in zip(names, df["h"])]
     return pa.table(
         {
             "row_ref": pa.array(df["value"], pa.string()),
-            "column": pa.array(df["column"], pa.string()),
+            "column": pa.array(names, pa.string()),
             "test": pa.array([checks.UNIQUE_TEST] * len(df), pa.string()),
             "value": pa.array([str(x) for x in ns], pa.string()),
         }
@@ -377,7 +388,7 @@ def _uniqueness_from_preagg(
 
     dup_h = pa.array(np.array([h for (_, h) in dup_n], dtype=np.int64))
     hit_refs = [report_task.remote(b, dup_h) for b in block_refs]
-    final_ref = finalize_task.remote(dup_n, *hit_refs)
+    final_ref = finalize_task.remote(dup_n, unique_cols, *hit_refs)
     return rd.from_arrow_refs([final_ref]), counts, fold_counts, row_count, truncated
 
 
