@@ -468,3 +468,41 @@ def test_log_explorer(ray_session, tmp_path):
     errs = log_explorer.get_all_errors_for_file(cfg, str(land / "table1_bad.csv"))
     assert len(errs) == 1
     assert errs["response"].iloc[0]["valid"] is False
+
+
+def test_write_jsonl_shards_roundtrip(ray_session, tmp_path):
+    """JSONL shard sink: size-bounded shards, every row exactly once,
+    valid NDJSON, deterministic gzip variant, shard naming idempotent."""
+    import glob
+    import gzip
+    import json
+
+    import ray
+    from data_linter_ray.sinks import write_jsonl_shards
+
+    ds = ray.data.range(1000).map_batches(
+        lambda b: {"doc_id": b["id"], "text": [f"t{i}" for i in b["id"]]},
+        batch_format="numpy",
+    ).repartition(4)
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(ds, out, rows_per_shard=100)
+    files = sorted(glob.glob(out + "/shard-*.jsonl"))
+    assert files, "no shards written"
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            lines = [json.loads(l) for l in fh if l.strip()]
+        assert len(lines) <= 100  # size bound
+        rows.extend(lines)
+    assert sorted(r["doc_id"] for r in rows) == list(range(1000))
+    assert all(r["text"] == f"t{r['doc_id']}" for r in rows)
+
+    # gzip variant round-trips and is deterministic (mtime pinned)
+    out2 = str(tmp_path / "gz")
+    write_jsonl_shards(ds, out2, rows_per_shard=400, compress=True)
+    gz = sorted(glob.glob(out2 + "/shard-*.jsonl.gz"))
+    total = 0
+    for f in gz:
+        with gzip.open(f, "rt") as fh:
+            total += sum(1 for l in fh if l.strip())
+    assert total == 1000

@@ -368,3 +368,31 @@ def test_s3_orc_source_reads(ray_session, moto_s3, tmp_path):
     assert ds.count() == 200
     got = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
     assert got["event_id"].tolist() == list(range(200))
+
+
+def test_s3_jsonl_shard_sink(ray_session, moto_s3, tmp_path):
+    """JSONL shard export to an S3 URI: every row lands exactly once,
+    shards are valid NDJSON under the captured endpoint."""
+    import json
+
+    import ray
+    from data_linter_ray.sinks import write_jsonl_shards
+
+    ds = ray.data.range(500).map_batches(
+        lambda b: {"doc_id": b["id"]}, batch_format="numpy"
+    ).repartition(3)
+    write_jsonl_shards(ds, "s3://log-bkt/export/", rows_per_shard=100)
+    keys = [
+        o["Key"]
+        for o in moto_s3.list_objects_v2(Bucket="log-bkt", Prefix="export/")[
+            "Contents"
+        ]
+    ]
+    assert keys and all(k.endswith(".jsonl") for k in keys)
+    rows = []
+    for k in keys:
+        body = moto_s3.get_object(Bucket="log-bkt", Key=k)["Body"].read()
+        lines = [json.loads(l) for l in body.decode().splitlines() if l.strip()]
+        assert len(lines) <= 100
+        rows.extend(lines)
+    assert sorted(r["doc_id"] for r in rows) == list(range(500))
