@@ -20,7 +20,16 @@ import sys
 
 
 def main(argv=None) -> int:
+    import data_linter_ray as dlr
+
     p = argparse.ArgumentParser(prog="data_linter_ray")
+    # reference parity: -v/--version (command_line.py:8-13)
+    p.add_argument(
+        "-v",
+        "--version",
+        action="version",
+        version=f"%(prog)s {dlr.__version__}",
+    )
     p.add_argument("--config", "-c", required=True, help="YAML run config")
     p.add_argument("--resume", action="store_true", help="skip committed units")
     p.add_argument("--num-cpus", type=int, default=None)

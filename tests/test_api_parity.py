@@ -152,3 +152,17 @@ def test_accepted_but_unimplemented_engine_names(tmp_path):
             get_validator[name]  # dispatch fails, reference shape
     with pytest.raises(ConfigError, match="validator-engine"):
         RunConfig.from_dict({**base, "validator-engine": "sqlmesh"})
+
+
+def test_cli_version_flag(capsys):
+    """Reference CLI parity: -v/--version prints prog + version and
+    exits 0 (command_line.py:8-13)."""
+    import pytest
+
+    import data_linter_ray as dlr
+    from data_linter_ray.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert dlr.__version__ in capsys.readouterr().out
