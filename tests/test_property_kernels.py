@@ -450,3 +450,123 @@ def test_tie_pair_sums_matches_counter(vals):
     got = _tie_pair_sums(v)
     want = sum(m * (m - 1) // 2 for m in Counter(vals).values())
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet="ab .!?\"x", min_size=0, max_size=12
+            ).filter(lambda s: "\n" not in s),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_clean_lines_matches_naive(docs_lines):
+    """clean_lines' RE2 keep rules equal the obvious per-line Python
+    reference on arbitrary line soup (punct / word-count / blocklist /
+    doc-drop semantics)."""
+    import re
+
+    import ray
+    import ray.data as rd
+    from data_linter_ray.functions.text import clean_lines
+
+    rows = [
+        {"doc_id": str(i), "text": "\n".join(lines)}
+        for i, lines in enumerate(docs_lines)
+    ]
+    got = clean_lines(rd.from_items(rows), min_words=2, blocklist=("xx",)).to_pandas()
+    if len(got) == 0:  # Ray to_pandas drops columns on all-empty output
+        got = pd.DataFrame(columns=["doc_id", "text_clean", "n_kept", "n_dropped"])
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    def keep(l):
+        return (
+            re.search(r'[.!?"]$', l) is not None
+            and len(re.findall(r"\S+", l)) >= 2
+            and re.search("xx", l.lower()) is None
+        )
+
+    want = []
+    for i, lines in enumerate(docs_lines):
+        kept = [l for l in lines if keep(l)]
+        if kept:
+            want.append(
+                {
+                    "doc_id": str(i),
+                    "text_clean": "\n".join(kept),
+                    "n_kept": len(kept),
+                    "n_dropped": len(lines) - len(kept),
+                }
+            )
+    want.sort(key=lambda r: r["doc_id"])
+    assert got.to_dict("records") == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["text", "image", "audio", None]),
+                    st.one_of(st.none(), st.text(alphabet="ab", max_size=4)),
+                    st.integers(min_value=-3, max_value=50),
+                ),
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_span_stats_matches_naive(rows_spec):
+    """span_stats row aggregates equal the per-row Python reference on
+    arbitrary span lists (null lists, null kinds, null texts)."""
+    import ray
+    import ray.data as rd
+    from data_linter_ray.functions.interleaved import span_stats
+
+    rows = []
+    for i, spans in enumerate(rows_spec):
+        rows.append(
+            {
+                "doc_id": f"d{i}",
+                "spans": None
+                if spans is None
+                else [
+                    {
+                        "kind": k,
+                        "text": t if k == "text" else None,
+                        "media_ref": None if k == "text" else "m",
+                        "offset": o,
+                    }
+                    for (k, t, o) in spans
+                ],
+            }
+        )
+    got = (
+        span_stats(rd.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, spans in enumerate(rows_spec):
+        r = got[got["doc_id"] == f"d{i}"].iloc[0]
+        sp = spans or []
+        assert r["n_spans"] == len(sp)
+        assert r["n_text"] == sum(1 for (k, _, _) in sp if k == "text")
+        assert r["n_audio"] == sum(1 for (k, _, _) in sp if k == "audio")
+        assert r["text_chars"] == sum(
+            len(t) for (k, t, _) in sp if k == "text" and t is not None
+        )
+        if sp:
+            assert r["max_offset"] == max(o for (_, _, o) in sp)
+        else:
+            assert pd.isna(r["max_offset"])
