@@ -565,6 +565,47 @@ _C4_SQL = (
 )
 
 
+def q_span_text_dedup(sf_dir: str):
+    """Interleaved → text-side pipeline composition: render span docs to
+    training text (extract_text), double the corpus with 'dup-'-prefixed
+    ids, exact-dedup by rendered text — survivor per text = lexicographic
+    min doc_id (originals: 'doc-…' < 'dup-…'). Proves the span
+    flattening feeds the dedup machinery unchanged."""
+    from data_linter_ray import synth
+    from data_linter_ray.functions import dedup as D
+    from data_linter_ray.functions.interleaved import extract_text
+
+    paths = synth.ensure_span_fixture()
+    texts = extract_text(ray.data.read_parquet(paths["docs"]))
+
+    def pref(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.binary_join_element_wise(
+                    pa.scalar("dup-"), t["doc_id"], pa.scalar("")
+                ),
+                "text": t["text"],
+            }
+        )
+
+    doubled = texts.union(texts.map_batches(pref, batch_format="pyarrow"))
+    return D.exact_dedup(doubled, "text", "doc_id")
+
+
+def _span_text_dedup_sql(docs_path: str) -> str:
+    return (
+        f"WITH docs AS (SELECT row_number() OVER () AS rid, doc_id, spans "
+        f"FROM read_parquet('{docs_path}')), "
+        "f AS (SELECT rid, doc_id, generate_subscripts(spans, 1) AS pos, "
+        "unnest(spans, recursive := true) FROM docs), "
+        "t AS (SELECT rid, doc_id, string_agg(text, ' ' ORDER BY pos) AS txt "
+        "FROM f WHERE kind = 'text' AND text IS NOT NULL GROUP BY rid, doc_id), "
+        "doubled AS (SELECT doc_id, txt FROM t "
+        "UNION ALL SELECT 'dup-' || doc_id, txt FROM t) "
+        "SELECT min(doc_id) AS doc_id, txt AS text FROM doubled GROUP BY txt"
+    )
+
+
 def _docs(sf_dir: str, cols=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
@@ -3357,6 +3398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_texts": q_doc_texts,
         "media_ref_counts": q_media_ref_counts,
         "span_kind_mix": q_span_kind_mix,
+        "span_text_dedup": q_span_text_dedup,
         # -- flagship LLM-pipeline operators --
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -3628,6 +3670,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_pii_sql(),
         **_interleaved_sql(fixture["docs"]),
+        "span_text_dedup": _span_text_dedup_sql(fixture["docs"]),
         "c4_clean_documents": _C4_SQL,
         "run_summary": _run_summary_sql(synth.ensure_run_fixture()),
         "pack_offsets": (

@@ -325,11 +325,12 @@ def single_run(args) -> dict:
         "num_cpus": args.cpus,
         # last recorded `bench.py --scaling` result (see BASELINE.md for
         # the full run log and the N-vs-4N methodology): round-4 median
-        # of four 64M-doc interleaved campaign medians (0.811 / 0.798 /
-        # 0.732 / 0.782 — the last two during a disclosed box-slow
-        # stretch; best-conditions pooled 6-round median 0.805)
-        "scaling_efficiency_recorded": 0.790,
-        "scaling_pair_recorded": "median of 4 campaign medians (r4): 2cpu peak 659867 docs/s vs 8cpu peak 2156112 docs/s, 64M docs, all 12 rounds disclosed",
+        # of five 64M-doc interleaved campaign medians (0.811 / 0.798 /
+        # 0.732 / 0.782 / 0.712 — the later campaigns during a disclosed
+        # box-slow afternoon where every absolute level fell ~45%;
+        # best-conditions pooled 6-round median 0.805)
+        "scaling_efficiency_recorded": 0.782,
+        "scaling_pair_recorded": "median of 5 campaign medians (r4): 2cpu peak 659867 docs/s vs 8cpu peak 2156112 docs/s, 64M docs, all 15 rounds disclosed",
     }
 
 
