@@ -1020,7 +1020,14 @@ def q_simhash_dedup(sf_dir: str):
         )
 
     corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
-    return D.simhash_near_duplicates(corpus, max_hamming=3, hash="md5")
+    # max_bucket raised above the corpus's densest signature band so the
+    # oracle comparison is cap-free at BOTH sf0.01 and sf0.1 (the default
+    # 256 cap truncated ~5% of pairs at sf0.1, correctly flagged); the
+    # cap/truncated contract itself is pinned by
+    # tests/test_functions.py::test_near_dup_truncated_flag
+    return D.simhash_near_duplicates(
+        corpus, max_hamming=3, hash="md5", max_bucket=8192
+    )
 
 
 def q_knn(sf_dir: str):
@@ -2903,16 +2910,21 @@ def q_value_mannwhitney(sf_dir: str):
 def q_price_quantity_spearman(sf_dir: str):
     """EXACT Spearman rank correlation (quantity vs extendedprice,
     heavy ties on the quantity side): distributed value->doubled-rank
-    maps + two hash joins + arbitrary-precision sufficient statistics;
-    the closed form is exact-int casts, two IEEE sqrts and one divide
-    -- bit-exact, no rounding."""
+    maps + two hash joins + arbitrary-precision sufficient statistics.
+    The sufficient statistics are exact integers; the final rho is
+    pinned at 9 dp on BOTH sides because the closed form's int→double
+    casts exceed 2^53 at sf≥0.1, where Python's and DuckDB's cast
+    conventions can differ in the last ulp (observed: 1-ulp rho gap at
+    sf0.1, exact at sf0.01)."""
     from data_linter_ray.functions.stats import spearman_corr
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice"],
     )
-    return spearman_corr(ds, "l_quantity", "l_extendedprice")
+    out = spearman_corr(ds, "l_quantity", "l_extendedprice")
+    out["rho"] = out["rho"].round(9)
+    return out
 
 
 def q_value_user_kendall(sf_dir: str):
@@ -2943,9 +2955,13 @@ def q_value_user_kendall(sf_dir: str):
             }
         )
 
-    return kendall_tau(
+    out = kendall_tau(
         ds.map_batches(derive, batch_format="pyarrow"), "x", "y"
     )
+    # c/d pair counts are exact ints; τ-b pinned at 9 dp both sides
+    # (same >2^53 int→double cast-convention hazard as spearman's rho)
+    out["tau_b"] = out["tau_b"].round(9)
+    return out
 
 
 def q_event_segment_mi(sf_dir: str):
@@ -4908,7 +4924,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM s"
         ),
         # price_quantity_spearman: Pearson over doubled average ranks;
-        # HUGEINT sufficient statistics, two IEEE sqrts — bit-exact
+        # HUGEINT sufficient statistics are exact — rho pinned round-9
+        # both sides (int→double casts exceed 2^53 at sf≥0.1, where the
+        # last-ulp cast convention can differ between engines)
         "price_quantity_spearman": (
             "WITH p AS (SELECT l_quantity AS x, l_extendedprice AS y "
             "FROM lineitem WHERE l_quantity IS NOT NULL "
@@ -4920,9 +4938,9 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT count(*) AS n, sum(rx) sx, sum(ry) sy, "
             "sum(rx*rx) sxx, sum(ry*ry) syy, sum(rx*ry) sxy FROM r) "
             "SELECT CAST(n AS BIGINT) AS n, "
-            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "round(CAST(n*sxy - sx*sy AS DOUBLE) / "
             "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
-            "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS rho FROM s"
+            "sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 9) AS rho FROM s"
         ),
         # value_user_kendall: O(n²) pairwise self-join ground truth —
         # exact integer c/d; τ-b is the identical IEEE expression
@@ -4938,8 +4956,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM pr a JOIN pr b ON a.rid < b.rid) "
             "SELECT (SELECT count(*) FROM p) AS n, CAST(c AS BIGINT) AS c, "
             "CAST(d AS BIGINT) AS d, "
-            "CAST(c - d AS DOUBLE)/(sqrt(CAST(n0 - n1 AS DOUBLE))"
-            "*sqrt(CAST(n0 - n2 AS DOUBLE))) AS tau_b FROM s"
+            "round(CAST(c - d AS DOUBLE)/(sqrt(CAST(n0 - n1 AS DOUBLE))"
+            "*sqrt(CAST(n0 - n2 AS DOUBLE))), 9) AS tau_b FROM s"
         ),
         # event_segment_mi: per-cell exact ints + one ln, round-9
         "event_segment_mi": (
