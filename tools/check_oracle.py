@@ -25,7 +25,14 @@ def to_pandas(obj) -> pd.DataFrame:
     if isinstance(obj, pd.DataFrame):
         return obj
     if hasattr(obj, "to_pandas"):
-        return obj.to_pandas()
+        df = obj.to_pandas()
+        if len(df) == 0 and len(df.columns) == 0 and hasattr(obj, "schema"):
+            # Ray's to_pandas drops columns on an all-empty Dataset;
+            # rebuild the empty frame from the Dataset schema
+            sch = obj.schema()
+            names = getattr(sch, "names", None) or []
+            df = pd.DataFrame(columns=list(names))
+        return df
     raise TypeError(type(obj))
 
 
@@ -67,10 +74,12 @@ def main() -> int:
         status = []
         if list(got.columns) != list(exp.columns):
             status.append(f"SCHEMA got={list(got.columns)} exp={list(exp.columns)}")
-        else:
+        elif len(got) and len(exp):
             # dtype parity matters: a dtype-sensitive value hash (the
             # driver's) diverges on e.g. int64-vs-float64 even when every
-            # value compares equal (round-3 quantized_embeddings red row)
+            # value compares equal (round-3 quantized_embeddings red row).
+            # Zero-row results carry no values to hash — skip there (the
+            # schema-rebuilt empty frame is untyped by construction).
             dt = [
                 f"{c}: engine={got[c].dtype} oracle={exp[c].dtype}"
                 for c in got.columns
