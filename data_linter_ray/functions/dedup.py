@@ -596,6 +596,10 @@ def drop_near_duplicates(
         batch_format="pyarrow",
     ).materialize()
     n_losers = losers_ds.count()
+    if n_losers == 0:
+        # nothing to drop — and concat_tables over zero loser blocks
+        # would raise inside the broadcast task
+        return ds
 
     if n_losers <= BROADCAST_DROP_THRESHOLD:
         # build the broadcast value set in the object store: a remote

@@ -85,8 +85,9 @@ def span_stats(
     text_chars, max_offset)``.
 
     ``text_chars`` sums utf8 lengths of non-null texts on text-kind
-    spans; ``max_offset`` is null for span-less rows (SQL ``max`` of
-    an empty set). One streaming pass, zero shuffle: every aggregate
+    spans; ``max_offset`` is null when a row has no non-null offset
+    (span-less rows and all-null-offset rows alike — SQL ``max`` of
+    an empty/all-NULL set). One streaming pass, zero shuffle: every aggregate
     is an ``np.add.reduceat`` / segmented max over the row-major flat
     span stream."""
 
@@ -113,12 +114,20 @@ def span_stats(
         if len(parents):
             np.add.at(chars, parents, tlen)
         out["text_chars"] = pa.array(chars)
-        off = pc.fill_null(_field(flat, "offset", pa.int32()).cast(pa.int64()), np.iinfo(np.int64).min).to_numpy(zero_copy_only=False)
+        off_arr = _field(flat, "offset", pa.int32()).cast(pa.int64())
+        off = pc.fill_null(off_arr, np.iinfo(np.int64).min).to_numpy(
+            zero_copy_only=False
+        )
+        off_valid = pc.is_valid(off_arr).to_numpy(zero_copy_only=False)
         mx = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        n_off = np.zeros(n, dtype=np.int64)
         if len(parents):
             np.maximum.at(mx, parents, off)
+            np.add.at(n_off, parents, off_valid.astype(np.int64))
+        # SQL MAX semantics: NULL when the row has no non-null offset —
+        # including rows whose spans exist but carry only null offsets
         out["max_offset"] = pa.array(
-            pd.Series(mx).astype("Int64").mask(lengths == 0)
+            pd.Series(mx).astype("Int64").mask(n_off == 0)
         )
         return pa.table(out)
 

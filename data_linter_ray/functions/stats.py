@@ -741,6 +741,31 @@ def benford_profile(ds: Dataset, value_col: str) -> pd.DataFrame:
     )
 
 
+def _fold_vector_partials(ds, partial_fn, shape):
+    """Distributed integer-partial fold: ``partial_fn(block) ->
+    int64 ndarray of ``shape`` runs INSIDE ``map_batches`` so each
+    block reduces to one flat binary payload (``shape``·8 bytes); the
+    driver sums only those KB-size vectors. This is the scale-safe
+    replacement for streaming a partials DATASET through the driver —
+    for continuous value columns distinct≈rows, so folding the
+    partials table driver-side would pull the whole column through
+    one node (round-4 verdict finding #1)."""
+    size = int(np.prod(shape))
+
+    def stage(t: pa.Table) -> pa.Table:
+        v = np.asarray(partial_fn(t), dtype=np.int64).reshape(-1)
+        assert v.size == size
+        return pa.table({"_v": pa.array([v.tobytes()], pa.binary())})
+
+    tot = np.zeros(size, np.int64)
+    for b in ds.map_batches(stage, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for payload in b["_v"].to_pylist():
+            tot += np.frombuffer(payload, dtype=np.int64)
+    return tot.reshape(shape)
+
+
 def _two_group_value_parts(
     ds: Dataset,
     value_col: str,
@@ -811,11 +836,14 @@ def _two_group_value_parts(
 
     parts = picked.map_batches(partial, batch_format="pyarrow").materialize()
 
-    tot = np.zeros((P, 2), np.int64)
-    for blk in parts.iter_batches(batch_format="pyarrow"):
-        pdf = blk.select(["_part", "a", "b"]).to_pandas()
-        s = pdf.groupby("_part")[["a", "b"]].sum()
-        tot[s.index.to_numpy()] += s.to_numpy(np.int64)
+    def tot_partial(t: pa.Table) -> np.ndarray:
+        p = t["_part"].to_numpy(zero_copy_only=False)
+        out = np.zeros((P, 2), np.int64)
+        np.add.at(out[:, 0], p, t["a"].to_numpy(zero_copy_only=False))
+        np.add.at(out[:, 1], p, t["b"].to_numpy(zero_copy_only=False))
+        return out
+
+    tot = _fold_vector_partials(parts, tot_partial, (P, 2))
     n_a, n_b = int(tot[:, 0].sum()), int(tot[:, 1].sum())
     offs = np.zeros((P, 2), np.int64)
     offs[1:] = np.cumsum(tot, axis=0)[:-1]
@@ -1210,11 +1238,16 @@ def gini(
 
     parts = cents.map_batches(partial, batch_format="pyarrow").materialize()
 
-    tot = np.zeros(P, np.int64)
-    for blk in parts.iter_batches(batch_format="pyarrow"):
-        pdf = blk.select(["_part", "m"]).to_pandas()
-        s = pdf.groupby("_part")["m"].sum()
-        tot[s.index.to_numpy()] += s.to_numpy(np.int64)
+    def tot_partial(t: pa.Table) -> np.ndarray:
+        out = np.zeros(P, np.int64)
+        np.add.at(
+            out,
+            t["_part"].to_numpy(zero_copy_only=False),
+            t["m"].to_numpy(zero_copy_only=False),
+        )
+        return out
+
+    tot = _fold_vector_partials(parts, tot_partial, (P,))
     n = int(tot.sum())
     offs = np.zeros(P, np.int64)
     offs[1:] = np.cumsum(tot)[:-1]
@@ -1243,55 +1276,82 @@ def gini(
     return pd.DataFrame({"n": [n], "gini": [g]})
 
 
-def _attach_rank(rows_ds, col: str, out_col: str, P: int, bounds=None):
+def _attach_rank(
+    rows_ds,
+    col: str,
+    out_col: str,
+    P: int,
+    bounds=None,
+    *,
+    part_col: str | None = None,
+    offs=None,
+):
     """Attach the DOUBLED average rank of ``col`` to every row via one
     range exchange — the join-free form of :func:`_value_rank_map`:
     rows are range-partitioned by the column (t-digest-balanced), so a
     bucket holds ALL rows of each of its values; per-bucket tie-run
     lengths are the exact global tie counts and the cross-bucket offset
-    is the prefix of bucket row counts (bincount partials, P ints).
+    is the prefix of bucket row counts (bincount partials, P ints,
+    folded via :func:`_fold_vector_partials` — never a driver stream).
+
+    Callers that already partitioned the rows (e.g. spearman's fused
+    two-column pass) pass ``part_col`` (existing dense-int partition
+    column, consumed and dropped) and optionally ``offs`` (precomputed
+    prefix offsets) to skip the digest/part/fold stages entirely.
 
     → Dataset(rows + <out_col> int64)."""
     from data_linter_ray.exchange import exchange_map_groups
     from data_linter_ray.state.sketches import TDigest
 
-    if bounds is None:
-        if P > 1:
-            def digest_partial(t: pa.Table) -> pa.Table:
-                td = TDigest()
-                td.add(t[col].to_numpy(zero_copy_only=False))
-                return pa.table({"_d": pa.array([td.to_bytes()], pa.binary())})
+    if part_col is None:
+        if bounds is None:
+            if P > 1:
+                def digest_partial(t: pa.Table) -> pa.Table:
+                    td = TDigest()
+                    td.add(t[col].to_numpy(zero_copy_only=False))
+                    return pa.table(
+                        {"_d": pa.array([td.to_bytes()], pa.binary())}
+                    )
 
-            digest = TDigest()
-            for b in rows_ds.map_batches(
-                digest_partial, batch_format="pyarrow"
-            ).iter_batches(batch_format="pyarrow"):
-                for payload in b["_d"].to_pylist():
-                    digest.merge(TDigest.from_bytes(payload))
-            bounds = np.unique(digest.quantiles([i / P for i in range(1, P)]))
-            bounds = bounds[np.isfinite(bounds)]
-        else:
-            bounds = np.empty(0, np.float64)
+                digest = TDigest()
+                for b in rows_ds.map_batches(
+                    digest_partial, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow"):
+                    for payload in b["_d"].to_pylist():
+                        digest.merge(TDigest.from_bytes(payload))
+                bounds = np.unique(
+                    digest.quantiles([i / P for i in range(1, P)])
+                )
+                bounds = bounds[np.isfinite(bounds)]
+            else:
+                bounds = np.empty(0, np.float64)
 
-    def part(t: pa.Table) -> pa.Table:
-        h = np.searchsorted(
-            bounds, t[col].to_numpy(zero_copy_only=False), side="left"
-        ).astype(np.int64)
-        return t.append_column("_part", pa.array(h))
+        def part(t: pa.Table) -> pa.Table:
+            h = np.searchsorted(
+                bounds, t[col].to_numpy(zero_copy_only=False), side="left"
+            ).astype(np.int64)
+            return t.append_column("_part", pa.array(h))
 
-    parts = rows_ds.map_batches(part, batch_format="pyarrow").materialize()
+        parts = rows_ds.map_batches(part, batch_format="pyarrow").materialize()
+        part_col = "_part"
+    else:
+        parts = rows_ds
 
-    tot = np.zeros(P, np.int64)
-    for blk in parts.iter_batches(batch_format="pyarrow"):
-        c = np.bincount(
-            blk["_part"].to_numpy(zero_copy_only=False), minlength=P
+    if offs is None:
+        tot = _fold_vector_partials(
+            parts,
+            lambda t: np.bincount(
+                t[part_col].to_numpy(zero_copy_only=False), minlength=P
+            ),
+            (P,),
         )
-        tot += c.astype(np.int64)
-    offs = np.zeros(P, np.int64)
-    offs[1:] = np.cumsum(tot)[:-1]
+        offs = np.zeros(P, np.int64)
+        offs[1:] = np.cumsum(tot)[:-1]
+
+    pcol = part_col
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(df["_part"].iloc[0])
+        bucket = int(df[pcol].iloc[0])
         df = df.sort_values(col, kind="mergesort").reset_index(drop=True)
         v = df[col].to_numpy(np.float64)
         nloc = len(v)
@@ -1304,9 +1364,9 @@ def _attach_rank(rows_ds, col: str, out_col: str, P: int, bounds=None):
         o = offs[bucket] + starts.astype(np.int64)
         r2 = 2 * o + m + 1
         df[out_col] = np.repeat(r2, m)
-        return df.drop(columns=["_part"])
+        return df.drop(columns=[pcol])
 
-    out = exchange_map_groups(parts, "_part", P, attach)
+    out = exchange_map_groups(parts, pcol, P, attach)
     return out
 
 
@@ -1394,8 +1454,39 @@ def spearman_corr(
         by = np.unique(dy.quantiles(qs_)); by = by[np.isfinite(by)]
     else:
         bx = by = np.empty(0, np.float64)
-    j1 = _attach_rank(rows, "x", "r2x", P, bounds=bx).materialize()
-    joined = _attach_rank(j1, "y", "r2y", P, bounds=by)
+    # ONE pass attaches both columns' partition ids, ONE materialization
+    # feeds both exchanges, and ONE bincount-partial fold yields both
+    # prefix-offset vectors (2·P ints to the driver)
+    def part2(t: pa.Table) -> pa.Table:
+        px = np.searchsorted(
+            bx, t["x"].to_numpy(zero_copy_only=False), side="left"
+        ).astype(np.int64)
+        py = np.searchsorted(
+            by, t["y"].to_numpy(zero_copy_only=False), side="left"
+        ).astype(np.int64)
+        return t.append_column("_px", pa.array(px)).append_column(
+            "_py", pa.array(py)
+        )
+
+    parts = rows.map_batches(part2, batch_format="pyarrow").materialize()
+
+    def both_counts(t: pa.Table) -> np.ndarray:
+        out = np.zeros((2, P), np.int64)
+        out[0] = np.bincount(
+            t["_px"].to_numpy(zero_copy_only=False), minlength=P
+        )
+        out[1] = np.bincount(
+            t["_py"].to_numpy(zero_copy_only=False), minlength=P
+        )
+        return out
+
+    cnt = _fold_vector_partials(parts, both_counts, (2, P))
+    offs_x = np.zeros(P, np.int64)
+    offs_x[1:] = np.cumsum(cnt[0])[:-1]
+    offs_y = np.zeros(P, np.int64)
+    offs_y[1:] = np.cumsum(cnt[1])[:-1]
+    j1 = _attach_rank(parts, "x", "r2x", P, part_col="_px", offs=offs_x)
+    joined = _attach_rank(j1, "y", "r2y", P, part_col="_py", offs=offs_y)
 
     def stats_partial(t: pa.Table) -> pa.Table:
         rx = t["r2x"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1854,12 +1945,19 @@ def ks_per_group(
 
     parts = rows.map_batches(partial, batch_format="pyarrow").materialize()
 
-    tot = np.zeros((P, G), np.int64)
-    for blk in parts.iter_batches(batch_format="pyarrow"):
-        pdf = blk.select(["_part", "gi", "n"]).to_pandas()
-        s = pdf.groupby(["_part", "gi"])["n"].sum()
-        for (b, gi), v in s.items():
-            tot[int(b), int(gi)] += int(v)
+    def tot_partial(t: pa.Table) -> np.ndarray:
+        out = np.zeros((P, G), np.int64)
+        np.add.at(
+            out,
+            (
+                t["_part"].to_numpy(zero_copy_only=False),
+                t["gi"].to_numpy(zero_copy_only=False),
+            ),
+            t["n"].to_numpy(zero_copy_only=False),
+        )
+        return out
+
+    tot = _fold_vector_partials(parts, tot_partial, (P, G))
     n_g = tot.sum(axis=0)
     N = int(n_g.sum())
     offs = np.zeros((P, G), np.int64)

@@ -1059,7 +1059,11 @@ def clean_lines(
     granularity inside a document."""
     import numpy as np
 
-    rules_re = "|".join(blocklist)
+    import re as _re
+
+    # docstring contract is "substring": escape each phrase so regex
+    # metacharacters in a blocklist entry (e.g. "c++") match literally
+    rules_re = "|".join(_re.escape(p) for p in blocklist)
 
     def clean(t: pa.Table) -> pa.Table:
         text = t[text_col]

@@ -48,8 +48,8 @@ INTERNAL_SCHEMA = pa.schema(
         # unique-column index for kind-2 pre-agg rows (their column/test
         # strings stay NULL: the pre-agg stream is ~input-sized for a
         # unique id column, and two repeated-constant string columns cost
-        # ~17 bytes/row through the object store vs one int8 + bitmaps)
-        ("cc", pa.int8()),
+        # ~17 bytes/row through the object store vs one int16 + bitmaps)
+        ("cc", pa.int16()),
     ]
 )
 ROWS_KEY = "__rows__"
@@ -98,7 +98,7 @@ class _FusedChecker:
                             pa.nulls(viol.num_rows, pa.int64()),
                             pa.nulls(viol.num_rows, pa.int64()),
                             pa.repeat(pa.scalar(0, pa.int8()), viol.num_rows),
-                            pa.nulls(viol.num_rows, pa.int8()),
+                            pa.nulls(viol.num_rows, pa.int16()),
                         ],
                         schema=INTERNAL_SCHEMA,
                     )
@@ -119,7 +119,7 @@ class _FusedChecker:
                     pa.array(count_ns, pa.int64()),
                     pa.nulls(n, pa.int64()),
                     pa.array([1] * n, pa.int8()),
-                    pa.nulls(n, pa.int8()),
+                    pa.nulls(n, pa.int16()),
                 ],
                 schema=INTERNAL_SCHEMA,
             )
@@ -147,14 +147,14 @@ class _FusedChecker:
                 pa.Table.from_arrays(
                     [
                         pa.nulls(k, pa.string()),
-                        pa.nulls(k, pa.string()),  # column → cc int8
+                        pa.nulls(k, pa.string()),  # column → cc int16
                         pa.nulls(k, pa.string()),  # test implied by kind
                         values,
                         pa.array(cnts),
                         pa.array(uniq_h.astype(np.int64)),
                         pa.repeat(pa.scalar(2, pa.int8()), k),
                         pa.repeat(
-                            pa.scalar(self.unique_cols.index(col), pa.int8()), k
+                            pa.scalar(self.unique_cols.index(col), pa.int16()), k
                         ),
                     ],
                     schema=INTERNAL_SCHEMA,
