@@ -421,6 +421,258 @@ def _run_summary_sql(master: str) -> str:
     )
 
 
+def q_run_summary_csv(sf_dir: str):
+    """Config-driven run lifecycle over the CSV ingest path — the
+    reference's PRIMARY input format (pandas_validator.py:417-425):
+    headered CSV with the default pandas NA set, a headerless file
+    (``expect-header`` false → names from the schema), a
+    ``pandas-kwargs`` NA-override table (``keep_default_na`` false +
+    ``na_values`` [""] → literal "NA" stays a string), and a
+    cast-failure file (non-numeric int column → parse_data table test,
+    routed to fail with zero row violations). One row per matched file
+    with verdict, violation count and the routing root derived from the
+    manifest's ARCHIVED path."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from data_linter_ray import synth
+    from data_linter_ray.pipelines.run import run_validation
+
+    master = synth.ensure_csv_run_fixture()
+    work = tempfile.mkdtemp(prefix="dlr_run_summary_csv_")
+    land = os.path.join(work, "land")
+    shutil.copytree(master, land)
+    os.remove(os.path.join(land, "csv_run_fixture.done.json"))
+    cfg = {
+        "land-base-path": land + "/",
+        "pass-base-path": os.path.join(work, "pass") + "/",
+        "fail-base-path": os.path.join(work, "fail") + "/",
+        "log-base-path": os.path.join(work, "log") + "/",
+        "tables": {
+            "table1": {
+                "pattern": "table1_",
+                "metadata": {
+                    "name": "table1",
+                    "columns": [
+                        {
+                            "name": "my_int",
+                            "type": "int64",
+                            "minimum": 10,
+                            "maximum": 20,
+                            "nullable": False,
+                        },
+                        {
+                            "name": "animal",
+                            "type": "string",
+                            "enum": ["cat", "dog", "fish", "chicken"],
+                            "nullable": False,
+                        },
+                        {"name": "my_email", "type": "string"},
+                    ],
+                },
+            },
+            "table2": {
+                "pattern": "table2_",
+                "expect-header": False,
+                "metadata": {
+                    "name": "table2",
+                    "columns": [
+                        {
+                            "name": "code",
+                            "type": "int64",
+                            "minimum": 0,
+                            "maximum": 50,
+                        },
+                        {"name": "name", "type": "string"},
+                    ],
+                },
+            },
+            "table3": {
+                "pattern": "table3_",
+                "pandas-kwargs": {
+                    "keep_default_na": False,
+                    "na_values": [""],
+                },
+                "metadata": {
+                    "name": "table3",
+                    "columns": [
+                        {
+                            "name": "animal",
+                            "type": "string",
+                            "enum": ["cat", "NA"],
+                            "nullable": False,
+                        },
+                        {"name": "note", "type": "string"},
+                    ],
+                },
+            },
+            "table4": {
+                "pattern": "table4_",
+                "metadata": {
+                    "name": "table4",
+                    "columns": [
+                        {
+                            "name": "my_int",
+                            "type": "int64",
+                            "minimum": 10,
+                            "maximum": 20,
+                            "nullable": False,
+                        },
+                        {"name": "animal", "type": "string"},
+                        {"name": "my_email", "type": "string"},
+                    ],
+                },
+            },
+        },
+    }
+    try:
+        res = run_validation(cfg)
+        rows = []
+        for m in res.manifests:
+            routed = "pass" if (m.archived_path or "").startswith(
+                cfg["pass-base-path"]
+            ) else "fail"
+            rows.append(
+                {
+                    "file_name": os.path.basename(m.source_path),
+                    "table_name": m.table,
+                    "valid": m.valid,
+                    "n_violations": sum((m.counts or {}).values()),
+                    "routed_to": routed,
+                }
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        pd.DataFrame(rows)
+        .sort_values("file_name")
+        .reset_index(drop=True)
+    )
+
+
+def _embedding_clusters_sql() -> str:
+    """Unrolled 2-round integer-exact Lloyd k-means (see
+    ``kmeans_cluster_quantized``): quantize → init on the 8 smallest
+    vec_ids → two assign/floor-mean-update rounds → final assignment.
+    Every quantity is integer (HUGEINT folds; floor division via the
+    mod identity so ``//`` truncation equals floor), argmin ties break
+    to the lowest cluster index — hash-exact vs the Ray pipeline."""
+    K = 8
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1]-p[2])*(p[1]-p[2])))"
+        )
+
+    def assign(tag: str, cents: str) -> str:
+        return (
+            f"{tag} AS (SELECT vec_id, e, cl FROM ("
+            f"SELECT q.vec_id, q.e, c.cl, "
+            f"row_number() OVER (PARTITION BY q.vec_id "
+            f"ORDER BY {d2('q.e', 'c.e')}, c.cl) AS rn "
+            f"FROM q CROSS JOIN {cents} c) WHERE rn = 1)"
+        )
+
+    def update(tag: str, asg: str, prev: str) -> str:
+        # floor mean: subtract the python-style mod so // (truncating)
+        # equals floor for negative sums too
+        s = f"sum({asg}.e[dim])"
+        c = "count(*)"
+        val = f"CAST(({s} - (({s} % {c}) + {c}) % {c}) // {c} AS BIGINT)"
+        return (
+            f"u{tag} AS (SELECT cl, list(val ORDER BY dim) AS e FROM ("
+            f"SELECT {asg}.cl, dims.dim, {val} AS val "
+            f"FROM {asg} CROSS JOIN dims GROUP BY {asg}.cl, dims.dim) "
+            f"GROUP BY cl), "
+            f"c{tag} AS (SELECT {prev}.cl, coalesce(u{tag}.e, {prev}.e) AS e "
+            f"FROM {prev} LEFT JOIN u{tag} USING (cl))"
+        )
+
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS e "
+        "FROM embeddings), "
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e "
+        f"FROM q ORDER BY vec_id LIMIT {K}), "
+        "dims AS (SELECT unnest(range(1, CAST((SELECT len(embedding) "
+        "FROM embeddings LIMIT 1) AS BIGINT) + 1)) AS dim), "
+        + assign("a1", "c0") + ", "
+        + update("1", "a1", "c0") + ", "
+        + assign("a2", "c1") + ", "
+        + update("2", "a2", "c1") + " "
+        "SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM ("
+        "SELECT q.vec_id, c.cl, " + d2("q.e", "c.e") + " AS d2, "
+        "row_number() OVER (PARTITION BY q.vec_id "
+        "ORDER BY " + d2("q.e", "c.e") + ", c.cl) AS rn "
+        "FROM q CROSS JOIN c2 c) WHERE rn = 1 ORDER BY vec_id"
+    )
+
+
+def _run_summary_csv_sql(master: str) -> str:
+    """DuckDB mirror of the CSV-ingest lifecycle over the same land
+    bytes: per-file violation counts recomputed from ``read_csv`` with
+    the engine's NA conventions spelled out (default pandas NA set →
+    'NA' is null; kwargs override → only '' is null), header handling
+    (headerless files read with schema column names), and the cast
+    failure reproduced via TRY_CAST existence."""
+    enum = "'cat','dog','fish','chicken'"
+
+    def t1(fname: str) -> str:
+        # default pandas NA set: of the strings present in the fixture,
+        # '' (DuckDB default nullstr) and 'NA' (explicit NULLIF) are null
+        src = (
+            f"SELECT TRY_CAST(NULLIF(my_int,'NA') AS BIGINT) AS mi, "
+            f"NULLIF(animal,'NA') AS an "
+            f"FROM read_csv('{master}/{fname}', header=true, all_varchar=true)"
+        )
+        return (
+            f"SELECT '{fname}' AS file_name, 'table1' AS table_name, "
+            f"(SELECT count(*) FROM ({src}) WHERE mi < 10 OR mi > 20) + "
+            f"(SELECT count(*) FROM ({src}) WHERE mi IS NULL) + "
+            f"(SELECT count(*) FROM ({src}) "
+            f"  WHERE an IS NULL OR an NOT IN ({enum})) + "
+            f"(SELECT count(*) FROM ({src}) WHERE an IS NULL) AS nv, "
+            f"false AS parse_fail"
+        )
+
+    t2 = (
+        f"SELECT 'table2_file1.csv' AS file_name, 'table2' AS table_name, "
+        f"(SELECT count(*) FROM read_csv('{master}/table2_file1.csv', "
+        f"header=false, columns={{'code':'BIGINT','name':'VARCHAR'}}) "
+        f"WHERE code < 0 OR code > 50) AS nv, false AS parse_fail"
+    )
+    t3 = (
+        f"SELECT 'table3_file1.csv' AS file_name, 'table3' AS table_name, "
+        f"(SELECT count(*) FROM read_csv('{master}/table3_file1.csv', "
+        f"header=true, all_varchar=true) "
+        f"WHERE animal IS NULL OR animal NOT IN ('cat','NA')) + "
+        f"(SELECT count(*) FROM read_csv('{master}/table3_file1.csv', "
+        f"header=true, all_varchar=true) WHERE animal IS NULL) AS nv, "
+        f"false AS parse_fail"
+    )
+    t4 = (
+        f"SELECT 'table4_file1.csv' AS file_name, 'table4' AS table_name, "
+        f"0 AS nv, "
+        f"EXISTS(SELECT 1 FROM read_csv('{master}/table4_file1.csv', "
+        f"header=true, all_varchar=true) "
+        f"WHERE TRY_CAST(my_int AS BIGINT) IS NULL AND my_int IS NOT NULL"
+        f") AS parse_fail"
+    )
+    return (
+        f"WITH per_file AS ({t1('table1_file1.csv')} "
+        f"UNION ALL {t1('table1_file2.csv')} "
+        f"UNION ALL {t2} UNION ALL {t3} UNION ALL {t4}) "
+        "SELECT file_name, table_name, (nv = 0 AND NOT parse_fail) AS valid, "
+        "CAST(nv AS BIGINT) AS n_violations, "
+        "CASE WHEN nv = 0 AND NOT parse_fail THEN 'pass' ELSE 'fail' END "
+        "AS routed_to FROM per_file ORDER BY file_name"
+    )
+
+
 def q_span_stats(sf_dir: str):
     """Per-document span composition over the interleaved fixture
     (north-rule data model): span/kind counts, text char mass, max
@@ -1998,20 +2250,22 @@ def q_apply_changes(sf_dir: str):
 
 
 def q_embedding_clusters(sf_dir: str):
-    """Spherical k-means over the embeddings table: sample-trained
-    centroids broadcast once, one streaming assignment matmul pass.
-    Iterative float training is not SQL-expressible — rows-only by
-    design (a SQL-mirrored float digest would hinge on BLAS-vs-DuckDB
-    summation order at argmax boundaries). Validity is pinned in
-    pytest instead: assignment optimality, determinism, and
-    partitioning-invariant cluster sizes
-    (test_analytics_ops.py::test_kmeans_cluster_size_stability)."""
-    from data_linter_ray.functions.similarity import kmeans_cluster
+    """INTEGER-EXACT Lloyd k-means over the embeddings table (8
+    clusters, 2 unrolled iterations): embeddings quantize to the
+    floor(x·1e4 + 0.5) integer grid, distances are exact integer
+    squared-Euclidean, centroid updates are element-wise floor means,
+    argmin ties go to the lowest cluster — every step reproduced by
+    the DuckDB oracle's unrolled CTE rounds, so (vec_id, cluster,
+    dist2) hash-matches. The float spherical variant
+    (``kmeans_cluster``) remains pytest-pinned for cosine semantics."""
+    from data_linter_ray.functions.similarity import kmeans_cluster_quantized
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return kmeans_cluster(ds, id_col="vec_id", n_clusters=8, iters=5)
+    return kmeans_cluster_quantized(
+        ds, id_col="vec_id", n_clusters=8, iters=2, scale=10_000
+    )
 
 
 def q_value_percent_rank(sf_dir: str):
@@ -2861,7 +3115,7 @@ def q_value_psi(sf_dir: str):
     ln last-ulp)."""
     import pyarrow.compute as pc_
 
-    from data_linter_ray.functions.stats import psi_bins
+    from data_linter_ray.functions.stats import psi_bins_tagged
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "value"]
@@ -2870,16 +3124,15 @@ def q_value_psi(sf_dir: str):
 
     cut = pa.scalar(_dt.datetime(2024, 1, 16))
 
-    def half(op):
-        def f(t: pa.Table) -> pa.Table:
-            m = op(t["ts"], cut)
-            return t.filter(m)
+    def tag(t: pa.Table) -> pa.Table:
+        # null ts belongs to NEITHER side (oracle drops it from both)
+        t = t.filter(pc_.is_valid(t["ts"]))
+        return pa.table(
+            {"value": t["value"], "is_ref": pc_.less(t["ts"], cut)}
+        )
 
-        return f
-
-    ref = ev.map_batches(half(pc_.less), batch_format="pyarrow")
-    cur = ev.map_batches(half(pc_.greater_equal), batch_format="pyarrow")
-    return psi_bins(ref, cur, "value", n_bins=10, round_to=9)
+    tagged = ev.map_batches(tag, batch_format="pyarrow")
+    return psi_bins_tagged(tagged, "value", "is_ref", n_bins=10, round_to=9)
 
 
 def q_value_gini(sf_dir: str):
@@ -3408,6 +3661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantized_embeddings": q_quantized_embeddings,
         # -- config-driven run lifecycle (reference §3.1) --
         "run_summary": q_run_summary,
+        # -- CSV ingest lifecycle (reference's primary input path) --
+        "run_summary_csv": q_run_summary_csv,
         # -- interleaved (north-rule) analysis operators --
         "c4_clean_documents": q_c4_clean_documents,
         "span_stats": q_span_stats,
@@ -3449,9 +3704,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": q_grouped_quantiles,
         "asof_purchases": q_asof_purchases,
         "range_events": q_range_events,
-        "lm_scores": q_lm_scores,
         # ---- end of the driver's 50-query window ----
-        "embedding_clusters": q_embedding_clusters,  # rows-only by design
+        "lm_scores": q_lm_scores,
+        "embedding_clusters": q_embedding_clusters,
         "bm25_topk": q_bm25_topk,
         "session_stats": q_session_stats,
         "clean_documents": q_clean_documents,
@@ -3689,6 +3944,8 @@ def oracle_sql() -> dict[str, str]:
         "span_text_dedup": _span_text_dedup_sql(fixture["docs"]),
         "c4_clean_documents": _C4_SQL,
         "run_summary": _run_summary_sql(synth.ensure_run_fixture()),
+        "run_summary_csv": _run_summary_csv_sql(synth.ensure_csv_run_fixture()),
+        "embedding_clusters": _embedding_clusters_sql(),
         "pack_offsets": (
             "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
             r"len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) "

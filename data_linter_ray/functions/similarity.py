@@ -757,3 +757,127 @@ def group_centroids(
             "centroid": pd.Series(rows["centroid"], dtype=np.float64),
         }
     )
+
+
+def kmeans_cluster_quantized(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+) -> Dataset:
+    """INTEGER-EXACT Lloyd k-means → Dataset (id, cluster, dist2) — the
+    oracle-checkable clustering variant. Embeddings quantize to the
+    integer grid ``floor(x·scale + 0.5)`` (identical float64 expression
+    both engines, immune to round-half conventions); distances are
+    EXACT integer squared-Euclidean; centroid updates are element-wise
+    FLOOR means (pure integer arithmetic); ties at argmin resolve to
+    the lowest cluster index. Every step is bit-reproducible in SQL
+    (unrolled CTE rounds), so the full (id, cluster, dist2) output
+    hash-matches a DuckDB oracle — unlike the float spherical path
+    (:func:`kmeans_cluster`), whose BLAS summation order is not
+    SQL-expressible.
+
+    Init: the ``n_clusters`` smallest ids' vectors, cluster index in
+    id order (deterministic, no sampling). Scale shape: quantized rows
+    materialize once; each iteration is ONE streaming pass emitting
+    (K·d sums + K counts) int64 partials per block (KB to the driver —
+    the :func:`~data_linter_ray.functions.stats._fold_vector_partials`
+    pattern); assignment is one final matmul pass. No shuffle anywhere.
+
+    Exactness bound: quantized values |q| ≤ scale·max|x|; products ≤
+    (2·scale·max|x|)², per-row sums ≤ d· that — keep d·(2·scale·max|x|)²
+    < 2^53 (float64-exact matmul domain; d=64, scale=1e4, |x|≤1 →
+    2.6e10, far inside)."""
+    import ray
+
+    def quantize(t: pa.Table) -> pa.Table:
+        M = _stack(t[emb_col])
+        Q = np.floor(M * float(scale) + 0.5)
+        n, d = Q.shape
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "_q": pa.FixedSizeListArray.from_arrays(
+                    pa.array(Q.reshape(-1).astype(np.int64)), d
+                ),
+            }
+        )
+
+    quant = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(quantize, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # init: the n_clusters smallest ids — per-block k-smallest partials,
+    # then one bounded driver pick (≤ k rows per block)
+    def k_smallest(t: pa.Table) -> pa.Table:
+        idx = np.argsort(
+            t[id_col].to_numpy(zero_copy_only=False), kind="mergesort"
+        )[:n_clusters]
+        return t.take(pa.array(idx))
+
+    cand = (
+        quant.map_batches(k_smallest, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+        .head(n_clusters)
+    )
+    C = np.stack(
+        [np.asarray(v, dtype=np.int64) for v in cand["_q"].to_numpy()]
+    ).astype(np.float64)  # exact: |values| << 2^53
+    k, d = C.shape
+
+    def _dist2(M: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        # |v|^2 - 2 v.c + |c|^2 — float64 matmul over exact integers
+        return (
+            (M * M).sum(axis=1, keepdims=True)
+            - 2.0 * (M @ C_.T)
+            + (C_ * C_).sum(axis=1)
+        )
+
+    for _ in range(iters):
+        C_ref = ray.put(C)
+
+        def partial(t: pa.Table, C_ref=C_ref) -> pa.Table:
+            C_ = ray.get(C_ref) if isinstance(C_ref, ray.ObjectRef) else C_ref
+            M = _stack(t["_q"])  # float64, exact integers
+            best = _dist2(M, C_).argmin(axis=1)  # first occurrence = lowest
+            sums = np.zeros((k, d), np.int64)
+            np.add.at(sums, best, M.astype(np.int64))
+            cnt = np.bincount(best, minlength=k).astype(np.int64)
+            payload = np.concatenate([sums.reshape(-1), cnt])
+            return pa.table({"_v": pa.array([payload.tobytes()], pa.binary())})
+
+        tot = np.zeros(k * d + k, np.int64)
+        for b in quant.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for payload in b["_v"].to_pylist():
+                tot += np.frombuffer(payload, np.int64)
+        sums, cnt = tot[: k * d].reshape(k, d), tot[k * d :]
+        newC = C.copy()
+        nz = cnt > 0  # empty cluster keeps its previous centroid
+        newC[nz] = np.floor_divide(sums[nz], cnt[nz, None]).astype(np.float64)
+        C = newC
+
+    C_ref = ray.put(C)
+
+    def assign(t: pa.Table, C_ref=C_ref) -> pa.Table:
+        C_ = ray.get(C_ref) if isinstance(C_ref, ray.ObjectRef) else C_ref
+        M = _stack(t["_q"])
+        D = _dist2(M, C_)
+        best = D.argmin(axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(best.astype(np.int64)),
+                "dist2": pa.array(
+                    D[np.arange(len(best)), best].astype(np.int64)
+                ),
+            }
+        )
+
+    return quant.map_batches(assign, batch_format="pyarrow")

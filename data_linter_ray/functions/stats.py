@@ -1142,6 +1142,10 @@ def psi_bins(
         return total
 
     n_ref, n_cur = counts(ds_ref), counts(ds_cur)
+    return _psi_table(n_ref, n_cur, n_bins, round_to)
+
+
+def _psi_table(n_ref, n_cur, n_bins: int, round_to: int | None) -> pd.DataFrame:
     N_ref, N_cur = np.float64(n_ref.sum()), np.float64(n_cur.sum())
     p_ref = n_ref / N_ref if N_ref else np.full(n_bins, np.nan)
     p_cur = n_cur / N_cur if N_cur else np.full(n_bins, np.nan)
@@ -1160,6 +1164,53 @@ def psi_bins(
             "psi_term": pd.Series(term).where(pd.Series(ok)),
         }
     )
+
+
+def psi_bins_tagged(
+    ds: Dataset,
+    value_col: str,
+    ref_col: str,
+    *,
+    n_bins: int = 10,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """:func:`psi_bins` over ONE input carrying a boolean ref/cur tag
+    column — the fused form for the common "first half vs second half
+    of the same table" monitor. One source read + ONE materialization
+    (vs two in the two-dataset form), boundaries from the ref side via
+    the same exact ``quantile_disc`` refinement, then ONE fused
+    binned-count pass emitting both sides' ``(2, n_bins)`` partials
+    (:func:`_fold_vector_partials`). Identical output to
+    :func:`psi_bins` on the equivalent split inputs."""
+    from data_linter_ray.functions.quantiles import exact_quantiles
+
+    tagged = ds.select_columns([value_col, ref_col]).materialize()
+
+    def only_ref(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.fill_null(t[ref_col], False)).select([value_col])
+
+    ref_view = tagged.map_batches(only_ref, batch_format="pyarrow")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = np.sort(
+        exact_quantiles(ref_view, value_col, qs)["value"].to_numpy(np.float64)
+    )
+
+    def both_counts(t: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        is_ref = pc.fill_null(t[ref_col], False).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(v)
+        out = np.zeros((2, n_bins), np.int64)
+        for side, m in ((0, valid & is_ref), (1, valid & ~is_ref)):
+            b = np.searchsorted(bounds, v[m], side="right")
+            out[side] = np.bincount(b, minlength=n_bins)[:n_bins] if len(b) else 0
+        return out
+
+    tot = _fold_vector_partials(tagged, both_counts, (2, n_bins))
+    return _psi_table(tot[0], tot[1], n_bins, round_to)
 
 
 def gini(
@@ -1729,7 +1780,10 @@ def kendall_tau(
         rows.map_batches(part_y, batch_format="pyarrow"), "_part", P, reduce_y
     ).to_pandas()
 
-    # driver: the cross-bucket matrix term over M[bx, by] (Python ints)
+    # driver: the cross-bucket matrix term over M[bx, by] (Python ints).
+    # BOUND: xres has ≤ P rows (one per non-empty x-bucket), each
+    # carrying exactly Q counts — the driver fold holds ≤ P·Q ints
+    # REGARDLESS of n (tests/test_analytics_ops.py guard test).
     M = [[0] * Q for _ in range(P)]
     for _, r in xres.iterrows():
         vals = [int(v) for v in r["_m"].split()]

@@ -464,7 +464,16 @@ def validate_dataset(
             # equivalent: per-row Bernoulli at an oversampled fraction,
             # capped to exactly row_limit — no driver materialization,
             # no shuffle. Deterministic under sample_seed.
-            total = ds.count()
+            # Row count from PLAN METADATA when the input is a pure
+            # file read (parquet footer counts — free); only unknown
+            # sources pay the counting execution.
+            total = None
+            try:
+                total = ds._meta_count()
+            except Exception:
+                total = None
+            if total is None:
+                total = ds.count()
             if total > row_limit:
                 frac = min(1.0, (row_limit / total) * 1.25)
                 ds = ds.random_sample(frac, seed=sample_seed).limit(row_limit)

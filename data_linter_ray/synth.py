@@ -450,3 +450,91 @@ def ensure_run_fixture(root: str = "/tmp/dlr_fixtures/run_land") -> str:
     with open(marker, "w") as f:
         json.dump(want, f)
     return root
+
+
+CSV_RUN_FIXTURE_VERSION = 1
+
+
+def ensure_csv_run_fixture(root: str = "/tmp/dlr_fixtures/csv_run_land") -> str:
+    """Materialize the deterministic CSV LAND fixture for the
+    CSV-ingest run-lifecycle query (``run_summary_csv``): five CSV land
+    files over four tables exercising the reference's primary input
+    path (pandas_validator.py:417-425) — headered CSV with the default
+    pandas NA set, a headerless file (``expect-header`` false), a
+    ``pandas-kwargs`` NA-override table (``keep_default_na`` false,
+    ``na_values`` [""]), and a cast-failure file — so the DuckDB oracle
+    can recompute each file's verdict from the same bytes.
+
+    Like :func:`ensure_run_fixture`, the run executes over a COPY of
+    this directory; this master stays untouched.
+    """
+    import json
+    import os
+
+    marker = os.path.join(root, "csv_run_fixture.done.json")
+    want = {"version": CSV_RUN_FIXTURE_VERSION}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == want:
+                    return root
+        except (json.JSONDecodeError, OSError):
+            pass
+    os.makedirs(root, exist_ok=True)
+
+    def w(name: str, text: str) -> None:
+        with open(os.path.join(root, name), "w") as f:
+            f.write(text)
+
+    # table1_file1.csv: 30 fully valid headered rows
+    rows = [
+        f"{10 + i % 11},{['cat', 'dog', 'fish', 'chicken'][i % 4]},u{i}@example.org"
+        for i in range(30)
+    ]
+    w("table1_file1.csv", "my_int,animal,my_email\n" + "\n".join(rows) + "\n")
+
+    # table1_file2.csv: 20 rows — 2 min/max (5, 25), one EMPTY my_int
+    # (default pandas NA set -> null -> nullable), one 'robot' (enum),
+    # one literal 'NA' animal (default NA set -> null -> counts under
+    # enum AND nullable with nullable=False)
+    bad = [
+        "5,cat,v0@example.org",
+        "25,dog,v1@example.org",
+        ",fish,v2@example.org",
+        "12,robot,v3@example.org",
+        "12,NA,v4@example.org",
+    ]
+    good = [f"15,cat,w{i}@example.org" for i in range(15)]
+    w("table1_file2.csv", "my_int,animal,my_email\n" + "\n".join(bad + good) + "\n")
+
+    # table2_file1.csv: HEADERLESS (expect-header false — column names
+    # come from the schema); 12 rows, one out-of-range code (75)
+    codes = [3, 14, 27, 41, 8, 75, 19, 33, 5, 48, 22, 11]
+    w(
+        "table2_file1.csv",
+        "\n".join(f"{c},name{i}" for i, c in enumerate(codes)) + "\n",
+    )
+
+    # table3_file1.csv: pandas-kwargs NA override (keep_default_na
+    # false, na_values [""]) — literal 'NA' stays a STRING and passes
+    # the enum that contains it; the empty field is null (nullable +
+    # enum-null violations)
+    # (two columns: a single-column CSV can't encode a null — pyarrow
+    # skips fully blank lines and quoted "" stays a string under
+    # quoted_strings_can_be_null=False)
+    w(
+        "table3_file1.csv",
+        "animal,note\ncat,n0\nNA,n1\n,n2\ncat,n3\nNA,n4\n",
+    )
+
+    # table4_file1.csv: cast failure — non-numeric my_int makes the
+    # schema cast fail; the file FAILS with a parse_data table test
+    # (zero row violations), mirroring the reference's caught-cast path
+    w(
+        "table4_file1.csv",
+        "my_int,animal,my_email\nnot_a_number,cat,x@y.z\n10,dog,a@b.c\n",
+    )
+
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return root

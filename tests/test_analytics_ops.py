@@ -1031,6 +1031,32 @@ def test_psi_bins_crafted(ray_session):
     assert (shift["psi_term"].dropna() != 0).all()
 
 
+def test_psi_bins_tagged_matches_two_dataset_form(ray_session):
+    """The fused single-input form (one materialization, one fused
+    both-sides count fold) is value-identical to psi_bins on the
+    equivalent split inputs — including null values and null tags."""
+    from data_linter_ray.functions.stats import psi_bins, psi_bins_tagged
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    v = np.round(rng.gamma(2.0, 10.0, n), 3)
+    v[rng.choice(n, 50, replace=False)] = np.nan
+    is_ref = rng.rand(n) < 0.6
+    df = pd.DataFrame({"v": v, "is_ref": is_ref})
+
+    two = psi_bins(
+        ray.data.from_pandas(df[df["is_ref"]][["v"]]),
+        ray.data.from_pandas(df[~df["is_ref"]][["v"]]),
+        "v",
+        n_bins=10,
+        round_to=9,
+    )
+    one = psi_bins_tagged(
+        ray.data.from_pandas(df), "v", "is_ref", n_bins=10, round_to=9
+    )
+    pd.testing.assert_frame_equal(one, two)
+
+
 def test_gini_oracle(ray_session, sf_dir):
     _oracle_check("value_gini", sf_dir, tables=("events",))
 
@@ -1139,6 +1165,57 @@ def test_kendall_crafted_and_random(ray_session):
     for p in (2, 5):
         out = kendall_tau(ray.data.from_pandas(df), "x", "y", num_partitions=p)
         assert (out["c"][0], out["d"][0]) == (c, d), (p, out)
+
+
+def test_kendall_driver_matrix_bounded(ray_session, monkeypatch):
+    """Fleet-scale guard for kendall's driver fold: the ONLY per-bucket
+    partials that reach the driver are one row per non-empty x-bucket
+    carrying a Q-length count vector (≤ P·Q ints total) plus one scalar
+    row per y-bucket — bounded by the exchange width, NEVER by n.
+    Verified by spying on the exchanged partial frames at a forced
+    width on 60k heavily-tied rows, and by partition-invariance of the
+    exact statistic (wide result == width-1 result)."""
+    import data_linter_ray.exchange as ex
+    from data_linter_ray.functions.stats import kendall_tau
+
+    n = 60_000
+    i = np.arange(n)
+    df = pd.DataFrame(
+        {
+            # heavy ties + skew: 97 x-levels, 89 y-levels, hot x=0 band
+            "x": np.where(i % 5 == 0, 0, i % 97).astype(float),
+            "y": ((i * 7) % 89).astype(float),
+        }
+    )
+
+    captured = []
+    orig = ex.exchange_map_groups
+
+    def spy(ds, part_col, num_partitions, fn, **kw):
+        out = orig(ds, part_col, num_partitions, fn, **kw).materialize()
+        captured.append((num_partitions, out.to_pandas()))
+        return out
+
+    monkeypatch.setattr(ex, "exchange_map_groups", spy)
+
+    P = 16
+    wide = kendall_tau(ray.data.from_pandas(df), "x", "y", num_partitions=P)
+
+    assert len(captured) == 2  # x pass, y pass
+    (px, xres), (py, yres) = captured
+    # x pass: ≤ P rows, each _m exactly Q ints (Q ≤ P) — the driver
+    # matrix is ≤ P·Q ints whatever n is
+    assert px == P and len(xres) <= P
+    q_lens = {len(r.split()) for r in xres["_m"]}
+    assert len(q_lens) == 1 and q_lens.pop() <= P
+    # y pass: ≤ Q scalar rows
+    assert py == P and len(yres) <= P
+    # partition-invariance: the wide exchange computes the identical
+    # exact statistic as the single-bucket path
+    monkeypatch.setattr(ex, "exchange_map_groups", orig)
+    one = kendall_tau(ray.data.from_pandas(df), "x", "y", num_partitions=1)
+    assert (wide["c"][0], wide["d"][0]) == (one["c"][0], one["d"][0])
+    assert wide["n"][0] == n
 
 
 @pytest.mark.parametrize(

@@ -1090,6 +1090,46 @@ def test_clean_lines_c4_rules(ray_session):
     assert a["n_kept"] == 2  # the unpunctuated 4-word line now survives
 
 
+def test_clean_lines_blocklist_regex_metachars(ray_session):
+    """Blocklist phrases are LITERAL substrings: regex metacharacters
+    ('c++', '(ad)') must not change matching semantics or error."""
+    import ray.data as rd
+
+    from data_linter_ray.functions import text as T
+
+    ds = rd.from_items(
+        [
+            {"doc_id": "a", "text": "we write c++ code every day."},
+            {"doc_id": "b", "text": "plain happy line stays here."},
+            {"doc_id": "c", "text": "this has (ad) inside it ok."},
+            # 'cxx' must NOT match blocklist entry 'c++' (regex would)
+            {"doc_id": "d", "text": "we write cxx code every day."},
+        ]
+    )
+    out = (
+        T.clean_lines(ds, blocklist=("c++", "(ad)"))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == ["b", "d"]
+
+
+def test_drop_near_duplicates_zero_losers(ray_session):
+    """Components with no non-minimal members (every doc is its own
+    survivor) leave the corpus untouched — no empty-concat crash in the
+    broadcast path."""
+    import ray.data as rd
+
+    corpus = rd.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(5)]
+    )
+    comps = rd.from_items(
+        [{"doc_id": i, "component_id": i} for i in range(5)]
+    )
+    kept = dedup.drop_near_duplicates(corpus, comps).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 3, 4]
+
+
 def test_c4_clean_documents_vs_duckdb(ray_session, sf_dir):
     """The corpus query (deterministic line construction + C4 rules)
     matches its DuckDB oracle byte-for-byte."""

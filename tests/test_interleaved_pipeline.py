@@ -81,6 +81,9 @@ def test_interleaved_analysis_crafted(ray_session):
         {"doc_id": "d", "spans": [sp(None, off=3),                  # null kind
                                   sp("text", None, off=7),          # null text
                                   sp("audio", ref="m2", off=11)]},
+        # spans exist but EVERY offset is null → SQL max of all-NULL set
+        {"doc_id": "e", "spans": [sp("text", "x", off=None),
+                                  sp("image", ref="m3", off=None)]},
     ]
     ds = ray.data.from_items(rows)
 
@@ -96,20 +99,26 @@ def test_interleaved_analysis_crafted(ray_session):
     d = by[("d", 3)]
     # null kind and null-text text-span contribute no kind counts/chars
     assert (d.n_text, d.n_audio, d.text_chars, d.max_offset) == (1, 1, 0, 11)
+    e = by[("e", 2)]
+    # a row with spans but only null offsets: max_offset is NULL, not a
+    # sentinel (SQL MAX over an all-NULL set)
+    assert e.n_text == 1 and pd.isna(e.max_offset)
 
     tx = extract_text(ds).to_pandas()
     # only rows with ≥1 non-null text survive; span-order join
-    assert sorted(tx["text"]) == ["hello world"]
-    assert tx["doc_id"].tolist() == ["a"]
+    assert sorted(tx["text"]) == ["hello world", "x"]
+    assert sorted(tx["doc_id"].tolist()) == ["a", "e"]
 
     mc = media_ref_counts(ds, min_refs=1).to_pandas()
-    assert dict(zip(mc["media_ref"], mc["n_refs"])) == {"m1": 2, "m2": 1}
+    assert dict(zip(mc["media_ref"], mc["n_refs"])) == {
+        "m1": 2, "m2": 1, "m3": 1,
+    }
     mc2 = media_ref_counts(ds, min_refs=2).to_pandas()
     assert dict(zip(mc2["media_ref"], mc2["n_refs"])) == {"m1": 2}
 
     mix = span_kind_mix(ds)
     got = {r.kind: (r.n_spans, r.n_docs) for r in mix.itertuples()}
-    assert got == {"text": (3, 2), "image": (2, 2), "audio": (1, 1)}
+    assert got == {"text": (4, 3), "image": (3, 3), "audio": (1, 1)}
 
 
 def test_interleaved_analysis_vs_duckdb(ray_session, sf_dir):
