@@ -634,6 +634,68 @@ def test_kmeans_cluster_size_stability(ray_session, sf_dir):
     assert (sizes > 0).all() and sizes.max() < len(a)
 
 
+def test_kmeans_quantized_edge_cases_vs_oracle(ray_session, tmp_path):
+    """Integer-exact Lloyd k-means on crafted data that forces the
+    edges the sf fixtures never hit: an EMPTY cluster (duplicate init
+    vectors — argmin ties to the lowest index starve the higher one,
+    coalesce keeps its centroid), negative values (floor-mean and
+    floor-division sign semantics), and exact distance ties. The
+    engine must hash-match the same unrolled-CTE oracle the driver
+    runs, re-bound to the crafted table."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from data_linter_ray.functions.similarity import kmeans_cluster_quantized
+
+    rng = np.random.RandomState(7)
+    n, d, k = 40, 4, 3
+    emb = rng.uniform(-0.5, 0.5, (n, d)).astype(np.float32)
+    # ids 0 and 1 get IDENTICAL vectors -> init centroids 0 and 1 are
+    # equal, every point ties between them, all resolve to cluster 0:
+    # cluster 1 is empty after round 1 and must keep its centroid
+    emb[1] = emb[0]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1)), d
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(t, path)
+
+    got = (
+        kmeans_cluster_quantized(
+            ray.data.read_parquet(path), id_col="vec_id",
+            n_clusters=k, iters=2, scale=10_000,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    sql = entrymod._embedding_clusters_sql().replace(
+        "LIMIT 8", f"LIMIT {k}"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+    )
+    exp = con.execute(sql).df()
+    assert got["cluster"].tolist() == exp["cluster"].tolist()
+    assert got["dist2"].tolist() == exp["dist2"].tolist()
+    # round 1 starves cluster 1 (every point ties to the equal centroid
+    # 0, lowest index wins) — the empty-cluster keep-old path ran on
+    # BOTH sides, or the hash match above could not hold; centroid 1
+    # then re-captures points near the original location after centroid
+    # 0 moves to its members' mean, so all three clusters end non-empty
+    assert set(got["cluster"]) == {0, 1, 2}
+    # rows 0/1 are identical -> identical assignment at dist2 == min
+    assert got.loc[0, "cluster"] == got.loc[1, "cluster"]
+    assert got.loc[0, "dist2"] == got.loc[1, "dist2"]
+
+
 def test_value_percent_rank_vs_duckdb(ray_session, sf_dir):
     _oracle_check("value_percent_rank", sf_dir)
 
