@@ -323,19 +323,27 @@ def single_run(args) -> dict:
         "queries": queries,
         "sf": sf,
         "num_cpus": args.cpus,
-        # last recorded `bench.py --scaling` result. Round-4 ran SIX
-        # 64M-doc interleaved campaigns (medians 0.811 / 0.798 / 0.732 /
-        # 0.782 / 0.712 / 0.656, every round disclosed in BASELINE.md);
-        # the box's absolute throughput decayed monotonically ~50%
-        # through the day under external load (8cpu 2.16M -> 0.99M on
-        # identical binaries), dragging the later ratios. Recorded value
-        # = the pooled median of the two campaigns whose ABSOLUTE levels
-        # matched the box's unloaded capability (selection by level
-        # stability, not by ratio); the all-campaigns median is reported
-        # alongside, nothing hidden.
-        "scaling_efficiency_recorded": 0.805,
-        "scaling_efficiency_all_campaigns_median": 0.757,
-        "scaling_pair_recorded": "best-conditions pooled 6-round median (r4): 2cpu peak 659867 docs/s vs 8cpu peak 2156112 docs/s, 64M docs; 18 rounds across 6 campaigns all disclosed",
+        # Round-5 recorded value = the PRE-REGISTERED campaign: the
+        # protocol (one GRAFT_SCALING_REPEATS=9 run, plain median of the
+        # nine per-round ratios, recorded whatever it lands at) was
+        # committed to BASELINE.md (commit 226d453) BEFORE the campaign
+        # finished. It landed at 0.68 — no selection of any kind, and
+        # per the pre-registration the shortfall is attributed by
+        # isolation probes run the same hour (BASELINE.md round-5
+        # ledger): a bare `read_parquet -> count` scan with ZERO repo
+        # code scaled 0.834/0.741/0.738 (median 0.741) and an in-memory
+        # no-disk synth+validate run scaled 0.821/0.836/0.739 (median
+        # 0.821) in the same window, while the full pipeline's quiet
+        # rounds hit 0.873/0.928 — the shortfall is box-level external
+        # load hitting the 8-cpu level asymmetrically (2 of 32 cpus
+        # rarely contend; 8 do), not any pipeline stage. All 7 round-5
+        # campaigns (medians 0.685/0.786/0.751/0.818/0.843/0.768/0.680,
+        # 27 rounds) are disclosed in BASELINE.md.
+        "scaling_efficiency_recorded": 0.68,
+        "scaling_efficiency_all_campaigns_median": 0.768,
+        "scaling_probe_scan_only_median": 0.741,
+        "scaling_probe_compute_only_median": 0.821,
+        "scaling_pair_recorded": "pre-registered unconditioned 9-round campaign (r5): 2cpu peak 680306 docs/s vs 8cpu peak 2252059 docs/s, 64M docs; plain median 0.68; null-job scan probe scaled 0.741 the same hour",
     }
 
 
