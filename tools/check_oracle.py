@@ -63,14 +63,20 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     only = {n for n in os.environ.get("CHECK_ONLY", "").split(",") if n}
     failures = 0
+    import time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         got = normalize(to_pandas(fn(sf)))
+        t_engine = time.monotonic() - t0
         if name not in oracles:
-            print(f"  {name}: rows={len(got)} (no oracle — rows-only)")
+            print(f"  {name}: rows={len(got)} (no oracle — rows-only) [{t_engine:.1f}s]")
             continue
+        t0 = time.monotonic()
         exp = normalize(con.execute(oracles[name]).df())
+        t_oracle = time.monotonic() - t0
         status = []
         if list(got.columns) != list(exp.columns):
             status.append(f"SCHEMA got={list(got.columns)} exp={list(exp.columns)}")
@@ -100,7 +106,10 @@ def main() -> int:
             failures += 1
             print(f"FAIL {name}: {'; '.join(status)}")
         else:
-            print(f"  ok {name}: {len(got)} rows")
+            print(
+                f"  ok {name}: {len(got)} rows "
+                f"[engine {t_engine:.1f}s, oracle {t_oracle:.1f}s]"
+            )
     print("entry():", len(to_pandas(entrymod.entry())), "rows")
     return 1 if failures else 0
 
