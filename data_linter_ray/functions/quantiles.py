@@ -67,7 +67,11 @@ def exact_quantiles(
     qs: list[float],
     *,
     n_buckets: int = 1024,
-    max_collect: int = 65536,
+    # member-collect cap: ≤ 8 MB of float64 per target reaches the
+    # driver, and the target count here is len(qs) (small), unlike the
+    # grouped engine whose targets = groups × qs (it keeps 65536).
+    # Inputs under the cap resolve in TWO executions (stats + collect).
+    max_collect: int = 1_048_576,
     max_rounds: int = 8,
 ):
     """→ pandas DataFrame (q, value): the exact ``quantile_disc`` of
@@ -99,6 +103,16 @@ def exact_quantiles(
     if hi0 == lo0:
         for t in targets:
             t["value"] = lo0
+
+    if n > max_collect and hi0 != lo0:
+        # refinement will re-scan this projection ≥2 more times (≥1
+        # histogram round + the member collect) — materialize once so
+        # those rounds read object-store blocks (spillable) instead of
+        # re-executing the upstream plan; at fleet scale that's several
+        # repeated source scans saved per call. Below the cap a single
+        # member-collect scan remains, so materializing would only add
+        # an execution.
+        pruned = pruned.materialize()
 
     for _ in range(max_rounds):
         active = [t for t in targets if t["value"] is None and t["count"] > max_collect]
@@ -293,6 +307,13 @@ def _grouped_ranks(
             if hi0 == lo0:
                 t["value"] = lo0
             targets.append(t)
+
+    if any(t["value"] is None and t["count"] > max_collect for t in targets):
+        # refinement will re-scan the projection ≥2 more times (≥1
+        # histogram round + the member collect) — materialize once so
+        # those rounds read object-store blocks instead of re-executing
+        # the upstream plan (see exact_quantiles for the trade).
+        pruned = pruned.materialize()
 
     for _ in range(max_rounds):
         active = [t for t in targets if t["value"] is None and t["count"] > max_collect]
