@@ -103,6 +103,8 @@ def run_headline(n_docs: int) -> dict:
 
 QUERY_NAMES = [
     "run_summary",
+    "run_summary_csv",
+    "span_text_dedup",
     "c4_clean_documents",
     "span_stats",
     "doc_texts",
