@@ -196,15 +196,22 @@ def exact_quantiles(
         (i, t) for i, t in enumerate(targets) if t["value"] is None
     ]
     if open_targets:
-        plans = [(i, list(t["chain"])) for i, t in open_targets]
+        # collect once per DISTINCT interval, not per target: multiple
+        # quantiles routinely share a chain (all of them, when no
+        # refinement ran), and a per-target collect would ship one copy
+        # of the interval's members per quantile to the driver.
+        plan_of: dict = {}
+        for i, t in open_targets:
+            plan_of.setdefault(tuple(t["chain"]), len(plan_of))
+        plans = [(j, list(chain)) for chain, j in plan_of.items()]
 
         def members(tb: pa.Table, plans=plans) -> pa.Table:
             col = tb[value_col].drop_null()
             v = col.to_numpy(zero_copy_only=False).astype(np.float64)
             tgt_out, val_out = [], []
-            for i, chain in plans:
+            for j, chain in plans:
                 mv = v[_chain_mask(v, chain, K)]
-                tgt_out.append(np.full(len(mv), i, dtype=np.int64))
+                tgt_out.append(np.full(len(mv), j, dtype=np.int64))
                 val_out.append(mv)
             return pa.table(
                 {
@@ -222,7 +229,7 @@ def exact_quantiles(
         all_tgt = np.concatenate(tgt_parts or [np.empty(0, np.int64)])
         all_val = np.concatenate(val_parts or [np.empty(0)])
         for i, t in open_targets:
-            vals = all_val[all_tgt == i]
+            vals = all_val[all_tgt == plan_of[tuple(t["chain"])]]
             t["value"] = np.partition(vals, t["rank"] - 1)[t["rank"] - 1]
 
     return pd.DataFrame(
@@ -394,7 +401,13 @@ def _grouped_ranks(
         if t["value"] is None and t["count"] > 0
     ]
     if open_targets:
-        plans = [(i, t["g"], list(t["chain"])) for i, t in open_targets]
+        # one collect per DISTINCT (group, chain) interval — a group's
+        # quantiles usually share their chain, and a per-target collect
+        # would ship one copy of the interval's members per quantile
+        plan_of: dict = {}
+        for i, t in open_targets:
+            plan_of.setdefault((t["g"], tuple(t["chain"])), len(plan_of))
+        plans = [(j, g, list(chain)) for (g, chain), j in plan_of.items()]
 
         def members(tb: pa.Table, plans=plans) -> pa.Table:
             tb = tb.filter(
@@ -403,10 +416,10 @@ def _grouped_ranks(
             gcol = tb[group_col].to_numpy(zero_copy_only=False)
             v = tb[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
             tgt_out, val_out = [], []
-            for i, g, chain in plans:
+            for j, g, chain in plans:
                 vm = v[gcol == g]
                 mv = vm[_chain_mask(vm, chain, K)]
-                tgt_out.append(np.full(len(mv), i, dtype=np.int64))
+                tgt_out.append(np.full(len(mv), j, dtype=np.int64))
                 val_out.append(mv)
             return pa.table(
                 {
@@ -424,7 +437,7 @@ def _grouped_ranks(
         all_tgt = np.concatenate(tgt_parts or [np.empty(0, np.int64)])
         all_val = np.concatenate(val_parts or [np.empty(0)])
         for i, t in open_targets:
-            vals = all_val[all_tgt == i]
+            vals = all_val[all_tgt == plan_of[(t["g"], tuple(t["chain"]))]]
             t["value"] = np.partition(vals, t["rank"] - 1)[t["rank"] - 1]
 
     return acc, {(t["g"], t["k"]): t["value"] for t in targets}
