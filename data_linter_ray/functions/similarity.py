@@ -838,25 +838,21 @@ def kmeans_cluster_quantized(
             + (C_ * C_).sum(axis=1)
         )
 
+    from data_linter_ray.functions.stats import _fold_vector_partials
+
     for _ in range(iters):
         C_ref = ray.put(C)
 
-        def partial(t: pa.Table, C_ref=C_ref) -> pa.Table:
+        def partial(t: pa.Table, C_ref=C_ref) -> np.ndarray:
             C_ = ray.get(C_ref) if isinstance(C_ref, ray.ObjectRef) else C_ref
             M = _stack(t["_q"])  # float64, exact integers
             best = _dist2(M, C_).argmin(axis=1)  # first occurrence = lowest
             sums = np.zeros((k, d), np.int64)
             np.add.at(sums, best, M.astype(np.int64))
             cnt = np.bincount(best, minlength=k).astype(np.int64)
-            payload = np.concatenate([sums.reshape(-1), cnt])
-            return pa.table({"_v": pa.array([payload.tobytes()], pa.binary())})
+            return np.concatenate([sums.reshape(-1), cnt])
 
-        tot = np.zeros(k * d + k, np.int64)
-        for b in quant.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            for payload in b["_v"].to_pylist():
-                tot += np.frombuffer(payload, np.int64)
+        tot = _fold_vector_partials(quant, partial, (k * d + k,))
         sums, cnt = tot[: k * d].reshape(k, d), tot[k * d :]
         newC = C.copy()
         nz = cnt > 0  # empty cluster keeps its previous centroid

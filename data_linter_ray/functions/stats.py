@@ -1109,37 +1109,28 @@ def psi_bins(
     """
     from data_linter_ray.functions.quantiles import exact_quantiles
 
-    # pin both inputs once: the exact-quantile refinement runs several
-    # scans, and an unmaterialized input would re-execute its whole
-    # upstream plan (read + filter) per round
-    ds_ref = ds_ref.select_columns([value_col]).materialize()
-    ds_cur = ds_cur.select_columns([value_col]).materialize()
+    # no outer materialize: exact_quantiles pins its own pruned
+    # projection when refinement will re-scan it, and counts() is a
+    # single pass per side — pinning here would just double the
+    # object-store footprint of the value column
+    ds_ref = ds_ref.select_columns([value_col])
+    ds_cur = ds_cur.select_columns([value_col])
     qs = [i / n_bins for i in range(1, n_bins)]
     bounds = np.sort(
         exact_quantiles(ds_ref, value_col, qs)["value"].to_numpy(np.float64)
     )
 
     def counts(ds: Dataset) -> np.ndarray:
-        def partial(t: pa.Table) -> pa.Table:
+        def partial(t: pa.Table) -> np.ndarray:
             v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = v[~np.isnan(v)]
             # searchsorted(side="right") == #{bounds ≤ v}: equal-to-
             # boundary values go UP a bin, matching the SQL v >= q count
-            b = np.searchsorted(bounds, v, side="right")
-            c = np.bincount(b, minlength=n_bins)
-            return pa.table(
-                {"_c": pa.array([c.astype(np.int64).tobytes()], pa.binary())}
+            return np.bincount(
+                np.searchsorted(bounds, v, side="right"), minlength=n_bins
             )
 
-        total = np.zeros(n_bins, np.int64)
-        for blk in (
-            ds.select_columns([value_col])
-            .map_batches(partial, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
-        ):
-            for payload in blk["_c"].to_pylist():
-                total += np.frombuffer(payload, np.int64)
-        return total
+        return _fold_vector_partials(ds, partial, (n_bins,))
 
     n_ref, n_cur = counts(ds_ref), counts(ds_cur)
     return _psi_table(n_ref, n_cur, n_bins, round_to)
@@ -1180,8 +1171,11 @@ def psi_bins_tagged(
     (vs two in the two-dataset form), boundaries from the ref side via
     the same exact ``quantile_disc`` refinement, then ONE fused
     binned-count pass emitting both sides' ``(2, n_bins)`` partials
-    (:func:`_fold_vector_partials`). Identical output to
-    :func:`psi_bins` on the equivalent split inputs."""
+    (:func:`_fold_vector_partials`). A NULL tag counts as CURRENT
+    (``fill_null(False)``): the untagged rows are the ones being
+    monitored against the established reference. Identical output to
+    :func:`psi_bins` on the equivalent split inputs (nulls routed to
+    the cur side)."""
     from data_linter_ray.functions.quantiles import exact_quantiles
 
     tagged = ds.select_columns([value_col, ref_col]).materialize()
@@ -1327,78 +1321,23 @@ def gini(
     return pd.DataFrame({"n": [n], "gini": [g]})
 
 
-def _attach_rank(
-    rows_ds,
-    col: str,
-    out_col: str,
-    P: int,
-    bounds=None,
-    *,
-    part_col: str | None = None,
-    offs=None,
-):
+def _attach_rank(rows_ds, col: str, out_col: str, P: int, *, part_col, offs):
     """Attach the DOUBLED average rank of ``col`` to every row via one
     range exchange — the join-free form of :func:`_value_rank_map`:
     rows are range-partitioned by the column (t-digest-balanced), so a
     bucket holds ALL rows of each of its values; per-bucket tie-run
     lengths are the exact global tie counts and the cross-bucket offset
-    is the prefix of bucket row counts (bincount partials, P ints,
-    folded via :func:`_fold_vector_partials` — never a driver stream).
+    is the prefix of bucket row counts.
 
-    Callers that already partitioned the rows (e.g. spearman's fused
-    two-column pass) pass ``part_col`` (existing dense-int partition
-    column, consumed and dropped) and optionally ``offs`` (precomputed
-    prefix offsets) to skip the digest/part/fold stages entirely.
+    The caller (spearman's fused two-column pass) has already
+    partitioned the rows: ``part_col`` is the dense-int partition
+    column (consumed and dropped) and ``offs`` the precomputed prefix
+    offsets, so no digest/part/fold stages run here.
 
     → Dataset(rows + <out_col> int64)."""
     from data_linter_ray.exchange import exchange_map_groups
-    from data_linter_ray.state.sketches import TDigest
 
-    if part_col is None:
-        if bounds is None:
-            if P > 1:
-                def digest_partial(t: pa.Table) -> pa.Table:
-                    td = TDigest()
-                    td.add(t[col].to_numpy(zero_copy_only=False))
-                    return pa.table(
-                        {"_d": pa.array([td.to_bytes()], pa.binary())}
-                    )
-
-                digest = TDigest()
-                for b in rows_ds.map_batches(
-                    digest_partial, batch_format="pyarrow"
-                ).iter_batches(batch_format="pyarrow"):
-                    for payload in b["_d"].to_pylist():
-                        digest.merge(TDigest.from_bytes(payload))
-                bounds = np.unique(
-                    digest.quantiles([i / P for i in range(1, P)])
-                )
-                bounds = bounds[np.isfinite(bounds)]
-            else:
-                bounds = np.empty(0, np.float64)
-
-        def part(t: pa.Table) -> pa.Table:
-            h = np.searchsorted(
-                bounds, t[col].to_numpy(zero_copy_only=False), side="left"
-            ).astype(np.int64)
-            return t.append_column("_part", pa.array(h))
-
-        parts = rows_ds.map_batches(part, batch_format="pyarrow").materialize()
-        part_col = "_part"
-    else:
-        parts = rows_ds
-
-    if offs is None:
-        tot = _fold_vector_partials(
-            parts,
-            lambda t: np.bincount(
-                t[part_col].to_numpy(zero_copy_only=False), minlength=P
-            ),
-            (P,),
-        )
-        offs = np.zeros(P, np.int64)
-        offs[1:] = np.cumsum(tot)[:-1]
-
+    parts = rows_ds
     pcol = part_col
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:

@@ -1119,6 +1119,39 @@ def test_psi_bins_tagged_matches_two_dataset_form(ray_session):
     pd.testing.assert_frame_equal(one, two)
 
 
+def test_psi_bins_tagged_null_tag_counts_as_current(ray_session):
+    """A NULL ref tag routes the row to the CURRENT side
+    (fill_null(False)) — pinned against psi_bins on the split where
+    null-tagged rows join the cur input, and shown to differ from the
+    drop-null-tags split so a regression that silently drops them
+    cannot pass."""
+    from data_linter_ray.functions.stats import psi_bins, psi_bins_tagged
+
+    rng = np.random.RandomState(7)
+    n = 1500
+    v = np.round(rng.gamma(2.0, 10.0, n), 3)
+    tag = pd.Series(rng.rand(n) < 0.5, dtype="boolean")
+    tag[rng.choice(n, 200, replace=False)] = pd.NA
+    df = pd.DataFrame({"v": v, "is_ref": tag})
+
+    is_ref = tag.fillna(False).to_numpy(bool)
+    two = psi_bins(
+        ray.data.from_pandas(df.loc[is_ref, ["v"]]),
+        ray.data.from_pandas(df.loc[~is_ref, ["v"]]),
+        "v",
+        n_bins=8,
+        round_to=9,
+    )
+    one = psi_bins_tagged(
+        ray.data.from_pandas(df), "v", "is_ref", n_bins=8, round_to=9
+    )
+    pd.testing.assert_frame_equal(one, two)
+    # guard distinguishes from the drop-null-tags interpretation
+    assert int(one["n_cur"].sum()) == int((~is_ref).sum()) > int(
+        (tag == False).sum()  # noqa: E712 — masked-bool compare drops NA
+    )
+
+
 def test_gini_oracle(ray_session, sf_dir):
     _oracle_check("value_gini", sf_dir, tables=("events",))
 
