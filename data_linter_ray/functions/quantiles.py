@@ -67,44 +67,74 @@ def exact_quantiles(
     qs: list[float],
     *,
     n_buckets: int = 1024,
-    # member-collect cap: ≤ 8 MB of float64 per target reaches the
-    # driver, and the target count here is len(qs) (small), unlike the
-    # grouped engine whose targets = groups × qs (it keeps 65536).
-    # Inputs under the cap resolve in TWO executions (stats + collect).
     max_collect: int = 1_048_576,
     max_rounds: int = 8,
 ):
     """→ pandas DataFrame (q, value): the exact ``quantile_disc`` of
     ``value_col`` at each q in ``qs`` (kth smallest, k = max(ceil(n·q), 1);
-    nulls excluded). See module docstring for the scan-based algorithm."""
+    nulls excluded). Thin wrapper over :func:`exact_quantiles_cols`
+    (the shared multi-column engine), so the full single-column test
+    battery exercises the shared code paths."""
+    return exact_quantiles_cols(
+        ds,
+        {value_col: qs},
+        n_buckets=n_buckets,
+        max_collect=max_collect,
+        max_rounds=max_rounds,
+    )[value_col]
+
+
+def exact_quantiles_cols(
+    ds: Dataset,
+    specs: dict[str, list[float]],
+    *,
+    n_buckets: int = 1024,
+    # member-collect cap: ≤ 8 MB of float64 per target reaches the
+    # driver, and the target count here is Σ len(qs) (small), unlike
+    # the grouped engine whose targets = groups × qs (it keeps 65536).
+    # Inputs under the cap resolve in TWO executions (stats + collect).
+    max_collect: int = 1_048_576,
+    max_rounds: int = 8,
+):
+    """Multi-column ``quantile_disc``: resolve every column's targets
+    with SHARED scans — ONE fused count/min/max aggregate, ONE fused
+    histogram pass per refinement round (intervals from all columns in
+    the same J×K partial), ONE fused member collect. A 2D equi-depth
+    histogram (two boundary sets over the same rows) thus costs one
+    scan family instead of two. → {col: DataFrame(q, value)}."""
     import pandas as pd
 
     K = n_buckets
-    pruned = ds.select_columns([value_col])
-    agg = pruned.aggregate(
-        ray.data.aggregate.Count(value_col, ignore_nulls=True),
-        ray.data.aggregate.Min(value_col),
-        ray.data.aggregate.Max(value_col),
-    )
-    n = int(agg[f"count({value_col})"])
-    if n == 0:
-        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64), "value": np.nan})
-    lo0, hi0 = float(agg[f"min({value_col})"]), float(agg[f"max({value_col})"])
+    cols = list(specs)
+    pruned = ds.select_columns(cols)
+    aggs = []
+    for c in cols:
+        aggs += [
+            ray.data.aggregate.Count(c, ignore_nulls=True),
+            ray.data.aggregate.Min(c),
+            ray.data.aggregate.Max(c),
+        ]
+    agg = pruned.aggregate(*aggs)
 
     # one state per target: remaining rank within the chain-defined
     # interval, the chain itself, and the interval's (lo, width/K)
-    targets = []
-    for q in qs:
-        r = max(math.ceil(n * float(q)), 1)
-        targets.append(
-            {"q": float(q), "rank": r, "chain": [], "lo": lo0,
-             "w": (hi0 - lo0) / K or 1.0, "count": n, "value": None}
-        )
-    if hi0 == lo0:
-        for t in targets:
-            t["value"] = lo0
+    targets: list[dict] = []
+    n_of: dict[str, int] = {}
+    for c in cols:
+        n = int(agg[f"count({c})"])
+        n_of[c] = n
+        if n == 0:
+            continue
+        lo0, hi0 = float(agg[f"min({c})"]), float(agg[f"max({c})"])
+        for q in specs[c]:
+            r = max(math.ceil(n * float(q)), 1)
+            targets.append(
+                {"col": c, "q": float(q), "rank": r, "chain": [], "lo": lo0,
+                 "w": (hi0 - lo0) / K or 1.0, "count": n,
+                 "value": lo0 if hi0 == lo0 else None}
+            )
 
-    if n > max_collect and hi0 != lo0:
+    if any(t["value"] is None and t["count"] > max_collect for t in targets):
         # refinement will re-scan this projection ≥2 more times (≥1
         # histogram round + the member collect) — materialize once so
         # those rounds read object-store blocks (spillable) instead of
@@ -118,25 +148,30 @@ def exact_quantiles(
         active = [t for t in targets if t["value"] is None and t["count"] > max_collect]
         if not active:
             break
-        # distinct intervals this round (targets often share early ones)
+        # distinct (col, interval)s this round (targets often share)
         intervals: list[tuple] = []
         key_of = {}
         for t in active:
-            key = (t["lo"], t["w"], tuple(t["chain"]))
+            key = (t["col"], t["lo"], t["w"], tuple(t["chain"]))
             if key not in key_of:
                 key_of[key] = len(intervals)
-                intervals.append((t["lo"], t["w"], list(t["chain"])))
+                intervals.append((t["col"], t["lo"], t["w"], list(t["chain"])))
         J = len(intervals)
 
         def hist(tb: pa.Table, intervals=intervals, J=J) -> pa.Table:
-            col = tb[value_col]
-            v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+            vs: dict[str, np.ndarray] = {}
             out = np.zeros((J, K), dtype=np.int64)
             vmin = np.full(J, np.inf)
             vmax = np.full(J, -np.inf)
-            for j, (lo, w, chain) in enumerate(intervals):
-                m = _chain_mask(v, chain, K)
-                mv = v[m]
+            for j, (c, lo, w, chain) in enumerate(intervals):
+                if c not in vs:
+                    vs[c] = (
+                        tb[c].drop_null()
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                    )
+                v = vs[c]
+                mv = v[_chain_mask(v, chain, K)]
                 out[j] = np.bincount(_bucket_idx(mv, lo, w, K), minlength=K)
                 if len(mv):
                     vmin[j] = mv.min()
@@ -163,7 +198,7 @@ def exact_quantiles(
                 gmax = np.maximum(gmax, mmv[J:])
 
         for t in active:
-            j = key_of[(t["lo"], t["w"], tuple(t["chain"]))]
+            j = key_of[(t["col"], t["lo"], t["w"], tuple(t["chain"]))]
             cum = np.cumsum(total[j])
             b = int(np.searchsorted(cum, t["rank"], side="left"))
             below = int(cum[b - 1]) if b else 0
@@ -192,25 +227,28 @@ def exact_quantiles(
     # a scan per target. Targets still over max_collect after
     # max_rounds (adversarial duplicate/dynamic-range mixes) collect
     # their full member set — correct, with the memory note documented.
-    open_targets = [
-        (i, t) for i, t in enumerate(targets) if t["value"] is None
-    ]
+    open_targets = [t for t in targets if t["value"] is None]
     if open_targets:
-        # collect once per DISTINCT interval, not per target: multiple
-        # quantiles routinely share a chain (all of them, when no
-        # refinement ran), and a per-target collect would ship one copy
-        # of the interval's members per quantile to the driver.
+        # collect once per DISTINCT (col, interval), not per target:
+        # multiple quantiles routinely share a chain (all of them, when
+        # no refinement ran), and a per-target collect would ship one
+        # copy of the interval's members per quantile to the driver.
         plan_of: dict = {}
-        for i, t in open_targets:
-            plan_of.setdefault(tuple(t["chain"]), len(plan_of))
-        plans = [(j, list(chain)) for chain, j in plan_of.items()]
+        for t in open_targets:
+            plan_of.setdefault((t["col"], tuple(t["chain"])), len(plan_of))
+        plans = [(j, c, list(chain)) for (c, chain), j in plan_of.items()]
 
         def members(tb: pa.Table, plans=plans) -> pa.Table:
-            col = tb[value_col].drop_null()
-            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            vs: dict[str, np.ndarray] = {}
             tgt_out, val_out = [], []
-            for j, chain in plans:
-                mv = v[_chain_mask(v, chain, K)]
+            for j, c, chain in plans:
+                if c not in vs:
+                    vs[c] = (
+                        tb[c].drop_null()
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                    )
+                mv = vs[c][_chain_mask(vs[c], chain, K)]
                 tgt_out.append(np.full(len(mv), j, dtype=np.int64))
                 val_out.append(mv)
             return pa.table(
@@ -228,16 +266,25 @@ def exact_quantiles(
             val_parts.append(b["value"].to_numpy(zero_copy_only=False))
         all_tgt = np.concatenate(tgt_parts or [np.empty(0, np.int64)])
         all_val = np.concatenate(val_parts or [np.empty(0)])
-        for i, t in open_targets:
-            vals = all_val[all_tgt == plan_of[tuple(t["chain"])]]
+        for t in open_targets:
+            vals = all_val[all_tgt == plan_of[(t["col"], tuple(t["chain"]))]]
             t["value"] = np.partition(vals, t["rank"] - 1)[t["rank"] - 1]
 
-    return pd.DataFrame(
-        {
-            "q": pd.Series([t["q"] for t in targets], dtype=np.float64),
-            "value": [t["value"] for t in targets],
-        }
-    )
+    out: dict = {}
+    for c in cols:
+        if n_of[c] == 0:
+            out[c] = pd.DataFrame(
+                {"q": pd.Series(specs[c], dtype=np.float64), "value": np.nan}
+            )
+        else:
+            ts = [t for t in targets if t["col"] == c]
+            out[c] = pd.DataFrame(
+                {
+                    "q": pd.Series([t["q"] for t in ts], dtype=np.float64),
+                    "value": [t["value"] for t in ts],
+                }
+            )
+    return out
 
 
 def _grouped_ranks(

@@ -1784,14 +1784,17 @@ def joint_histogram(
     Counts are exact int64; only non-empty cells are emitted (SQL
     GROUP BY parity).
 
-    Scale shape: rows materialize once; two exact-quantile refinement
-    scans for boundaries; ONE counting pass with a vectorized
-    searchsorted × 2 + flat bincount partial (n_bins_x·n_bins_y int
-    lanes per batch), driver fold. No shuffle.
+    Scale shape: ONE fused exact-quantile scan family resolves both
+    columns' boundaries (:func:`exact_quantiles_cols` — shared stats
+    aggregate, shared refinement rounds, shared member collect; the
+    engine pins its own pruned projection when refinement will
+    re-scan); ONE counting pass with a vectorized searchsorted × 2 +
+    flat bincount partial (n_bins_x·n_bins_y int lanes per batch),
+    driver fold. No shuffle.
 
     → DataFrame(bin_x, bin_y, n), sorted by (bin_x, bin_y).
     """
-    from data_linter_ray.functions.quantiles import exact_quantiles
+    from data_linter_ray.functions.quantiles import exact_quantiles_cols
 
     def pick(t: pa.Table) -> pa.Table:
         t = t.select([x_col, y_col]).drop_null()
@@ -1804,18 +1807,17 @@ def joint_histogram(
 
     rows = ds.select_columns([x_col, y_col]).map_batches(
         pick, batch_format="pyarrow"
-    ).materialize()
+    )
 
-    bx = np.sort(
-        exact_quantiles(
-            rows, "x", [i / n_bins_x for i in range(1, n_bins_x)]
-        )["value"].to_numpy(np.float64)
+    bounds = exact_quantiles_cols(
+        rows,
+        {
+            "x": [i / n_bins_x for i in range(1, n_bins_x)],
+            "y": [i / n_bins_y for i in range(1, n_bins_y)],
+        },
     )
-    by = np.sort(
-        exact_quantiles(
-            rows, "y", [i / n_bins_y for i in range(1, n_bins_y)]
-        )["value"].to_numpy(np.float64)
-    )
+    bx = np.sort(bounds["x"]["value"].to_numpy(np.float64))
+    by = np.sort(bounds["y"]["value"].to_numpy(np.float64))
 
     def partial(t: pa.Table) -> pa.Table:
         x = t["x"].to_numpy(zero_copy_only=False)

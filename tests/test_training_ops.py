@@ -529,6 +529,47 @@ def test_exact_quantiles_duplicate_heavy_and_small(ray_session):
     assert set(got2["value"]) == {3.25}
 
 
+def test_exact_quantiles_cols_fused_matches_per_column(ray_session):
+    """The multi-column engine (one shared scan family) returns the
+    same quantile_disc values as per-column calls — across a mixed
+    batch: one column under the collect cap, one forced through
+    multi-round refinement, one constant, one all-null."""
+    import pandas as pd
+
+    from data_linter_ray.functions.quantiles import (
+        exact_quantiles,
+        exact_quantiles_cols,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "a": np.round(rng.gamma(2.0, 10.0, n), 3),
+            "b": rng.randint(0, 50, n).astype(np.float64),
+            "c": np.full(n, 1.5),
+            "d": np.full(n, np.nan),
+        }
+    )
+    df.loc[rng.choice(n, 100, replace=False), "a"] = np.nan
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    specs = {
+        "a": [0.1, 0.5, 0.9],
+        "b": [0.25, 0.75, 1.0],
+        "c": [0.5],
+        "d": [0.5, 0.9],
+    }
+    # max_collect=64 forces refinement for a and b; c resolves at the
+    # stats pass (hi == lo); d has no non-null values
+    fused = exact_quantiles_cols(ds, specs, max_collect=64)
+    for col, qs in specs.items():
+        solo = exact_quantiles(ds, col, qs, max_collect=64)
+        pd.testing.assert_frame_equal(fused[col], solo)
+    assert fused["d"]["value"].isna().all()
+    assert (fused["c"]["value"] == 1.5).all()
+
+
 # ---------------------------------------------------------------------------
 # Misra-Gries heavy hitters + weighted sampling
 # ---------------------------------------------------------------------------
