@@ -157,6 +157,37 @@ def test_uniqueness_report_cap_heavy_skew(ray_session, monkeypatch):
     assert top["k0"] == "4"  # most-duplicated key survives the cap
 
 
+def test_uniqueness_more_than_128_columns(ray_session):
+    """A schema with >128 unique-constrained columns: the int16 ``cc``
+    pre-agg index must not overflow (the int8 encoding capped at 128),
+    and the violation is attributed to the right column name."""
+    n_cols = 130
+    names = [f"c{i:03d}" for i in range(n_cols)]
+    schema = TableSchema(
+        name="t",
+        columns=[
+            ColumnSpec(name=c, type="string", unique=True) for c in names
+        ],
+    )
+    # every column unique except the LAST one (index 129 > int8 max 127)
+    data = {
+        c: [f"{c}-{r}" for r in range(4)] for c in names[:-1]
+    }
+    data[names[-1]] = ["dup", "dup", "x", "y"]
+    t = pa.table(data)
+    res = validate_dataset(make_ds(t), schema, id_column=names[0])
+    assert not res.valid
+    r = res.response.get_result()
+    assert r[names[-1]]["unique_test"]["valid"] is False
+    assert all(
+        r[c]["unique_test"]["valid"] is True for c in names[:-1]
+    )
+    viol = res.violations.to_pandas()
+    dup = dict(zip(viol["row_ref"], viol["value"]))
+    assert dup == {"dup": "2"}
+    assert set(viol["column"]) == {names[-1]}
+
+
 def test_referential(ray_session):
     schema = TableSchema(
         name="orders",
