@@ -613,24 +613,6 @@ def test_drop_near_duplicates_threshold_boundary_heavy_dup(ray_session, monkeypa
     assert sorted(broad.columns) == sorted(shuffled.columns)
 
 
-def test_drop_near_duplicates_zero_losers(ray_session):
-    """Components where every doc is its own root (no losers at all):
-    the corpus must pass through unchanged — pins the n_losers == 0
-    short-circuit (concat_tables over zero loser blocks would raise
-    inside the broadcast task otherwise)."""
-    import ray.data as rd
-
-    corpus = rd.from_items(
-        [{"doc_id": i, "text": f"t{i}"} for i in range(8)]
-    )
-    comps = rd.from_items(
-        [{"doc_id": i, "component_id": i} for i in range(8)]
-    )
-    kept = dedup.drop_near_duplicates(corpus, comps).to_pandas()
-    assert sorted(kept["doc_id"]) == list(range(8))
-    assert sorted(kept.columns) == ["doc_id", "text"]
-
-
 def test_near_dup_truncated_flag(ray_session):
     """Oversized IVF clusters / LSH buckets must NOT cap silently: every
     emitted pair carries the ``truncated`` flag (True when its bucket
