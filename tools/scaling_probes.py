@@ -27,6 +27,11 @@ import subprocess
 import sys
 import time
 
+# direct execution puts tools/ (not the repo root) on sys.path[0]
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 PAIR = tuple(int(x) for x in os.environ.get("GRAFT_SCALING_PAIR", "2,8").split(","))
 REPS = int(os.environ.get("GRAFT_PROBE_REPS", "3"))
 COMPUTE_DOCS = int(os.environ.get("GRAFT_PROBE_COMPUTE_DOCS", "16000000"))
