@@ -780,6 +780,13 @@ def _two_group_value_parts(
     per-batch (value, n_a, n_b) count combiner keyed by range bucket,
     per-bucket totals folded into prefix OFFSETS on the driver.
 
+    Float NaN payloads (non-null NaN, distinct from SQL NULL) are
+    EXCLUDED like nulls — explicitly, in this pick stage (the same
+    policy :func:`gini` applies). Leaving them in would be worse than
+    a semantic choice: pandas ``groupby`` silently drops NaN keys, so
+    NaN rows would vanish from the combiner while still inflating the
+    t-digest — an accidental, internally inconsistent exclusion.
+
     → (materialized parts with columns v/a/b/_part, offs[P,2], n_a,
     n_b). Equal values always share a bucket (searchsorted is a pure
     function of the value), so per-bucket sorted scans are globally
@@ -795,12 +802,14 @@ def _two_group_value_parts(
             pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)),
         )
         t = t.filter(keep)
-        return pa.table(
+        v = t[value_col].cast(pa.float64())
+        out = pa.table(
             {
-                "v": t[value_col].cast(pa.float64()),
+                "v": v,
                 "is_a": pc.equal(t[group_col], group_a),
             }
         )
+        return out.filter(pc.invert(pc.is_nan(out["v"])))
 
     picked = ds.select_columns([value_col, group_col]).map_batches(
         pick, batch_format="pyarrow"
@@ -948,7 +957,9 @@ def ks_two_sample(
        exchange; each bucket sorts ITS OWN distinct values, adds its
        offsets to local cumsums, and emits one local-sup row.
 
-    Null values and rows in neither group are excluded.
+    Null values, float NaN payloads (excluded like nulls — see
+    :func:`_two_group_value_parts`) and rows in neither group are
+    excluded.
 
     → 1-row DataFrame(n_a, n_b, ks).
     """
@@ -1398,11 +1409,20 @@ def spearman_corr(
 
     def pick(t: pa.Table) -> pa.Table:
         t = t.select([x_col, y_col]).drop_null()
-        return pa.table(
+        out = pa.table(
             {
                 "x": t[x_col].cast(pa.float64()),
                 "y": t[y_col].cast(pa.float64()),
             }
+        )
+        # pairwise deletion extends to float NaN payloads (non-null
+        # NaN): excluded like nulls, EXPLICITLY — downstream pandas
+        # groupby folds silently drop NaN keys and tie detection
+        # splits NaN runs (NaN != NaN), so keeping NaN rows would be
+        # an accidental, internally inconsistent semantics. Same
+        # policy as gini / _two_group_value_parts.
+        return out.filter(
+            pc.invert(pc.or_(pc.is_nan(out["x"]), pc.is_nan(out["y"])))
         )
 
     rows = ds.select_columns([x_col, y_col]).map_batches(
@@ -1609,11 +1629,20 @@ def kendall_tau(
 
     def pick(t: pa.Table) -> pa.Table:
         t = t.select([x_col, y_col]).drop_null()
-        return pa.table(
+        out = pa.table(
             {
                 "x": t[x_col].cast(pa.float64()),
                 "y": t[y_col].cast(pa.float64()),
             }
+        )
+        # pairwise deletion extends to float NaN payloads (non-null
+        # NaN): excluded like nulls, EXPLICITLY — downstream pandas
+        # groupby folds silently drop NaN keys and tie detection
+        # splits NaN runs (NaN != NaN), so keeping NaN rows would be
+        # an accidental, internally inconsistent semantics. Same
+        # policy as gini / _two_group_value_parts.
+        return out.filter(
+            pc.invert(pc.or_(pc.is_nan(out["x"]), pc.is_nan(out["y"])))
         )
 
     rows = ds.select_columns([x_col, y_col]).map_batches(
@@ -1794,15 +1823,26 @@ def joint_histogram(
 
     → DataFrame(bin_x, bin_y, n), sorted by (bin_x, bin_y).
     """
+    import pyarrow.compute as pc
+
     from data_linter_ray.functions.quantiles import exact_quantiles_cols
 
     def pick(t: pa.Table) -> pa.Table:
         t = t.select([x_col, y_col]).drop_null()
-        return pa.table(
+        out = pa.table(
             {
                 "x": t[x_col].cast(pa.float64()),
                 "y": t[y_col].cast(pa.float64()),
             }
+        )
+        # pairwise deletion extends to float NaN payloads (non-null
+        # NaN): excluded like nulls, EXPLICITLY — downstream pandas
+        # groupby folds silently drop NaN keys and tie detection
+        # splits NaN runs (NaN != NaN), so keeping NaN rows would be
+        # an accidental, internally inconsistent semantics. Same
+        # policy as gini / _two_group_value_parts.
+        return out.filter(
+            pc.invert(pc.or_(pc.is_nan(out["x"]), pc.is_nan(out["y"])))
         )
 
     rows = ds.select_columns([x_col, y_col]).map_batches(
@@ -1887,12 +1927,16 @@ def ks_per_group(
 
     def pick(t: pa.Table) -> pa.Table:
         t = t.select([value_col, group_col]).drop_null()
-        return pa.table(
+        out = pa.table(
             {
                 "v": t[value_col].cast(pa.float64()),
                 "g": t[group_col],
             }
         )
+        # float NaN payloads excluded like nulls, explicitly (the
+        # groupby combiner would silently drop NaN keys anyway while
+        # the digest counted them — see _two_group_value_parts)
+        return out.filter(pc.invert(pc.is_nan(out["v"])))
 
     rows = ds.select_columns([value_col, group_col]).map_batches(
         pick, batch_format="pyarrow"

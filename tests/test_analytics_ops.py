@@ -1546,3 +1546,95 @@ def test_grouped_value_mad_oracle(ray_session, sf_dir):
 
 def test_gap_quartiles_oracle(ray_session, sf_dir):
     _oracle_check("gap_quartiles", sf_dir, tables=("events",))
+
+
+def test_nan_payloads_excluded_like_nulls(ray_session):
+    """Float NaN payloads (non-null NaN, which survive Arrow drop_null)
+    are excluded explicitly by the rank/two-sample/heatmap family —
+    the documented policy (same as gini). Before the explicit filter,
+    NaN rows were dropped ACCIDENTALLY (pandas groupby discards NaN
+    keys) in some folds but counted in others (t-digest, searchsorted
+    → last bucket), so this pins: result over NaN-injected input ==
+    result over the NaN-free subset, at multiple partition counts."""
+    import numpy as np
+
+    from data_linter_ray.functions.stats import (
+        joint_histogram,
+        kendall_tau,
+        ks_per_group,
+        ks_two_sample,
+        mannwhitney_u,
+        spearman_corr,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 400
+    clean = pd.DataFrame(
+        {
+            "g": np.where(rng.rand(n) < 0.5, "a", "b"),
+            "x": rng.randint(0, 20, n).astype(np.float64),
+            "y": rng.randint(0, 20, n).astype(np.float64),
+        }
+    )
+    dirty = clean.copy()
+    # sprinkle NaN into both columns on disjoint extra rows
+    extra = pd.DataFrame(
+        {
+            "g": ["a", "b", "a", "b"],
+            "x": [np.nan, 1.0, np.nan, 5.0],
+            "y": [2.0, np.nan, np.nan, 7.0],
+        }
+    )
+    dirty = pd.concat([dirty, extra], ignore_index=True)
+
+    for P in (1, 3):
+        ds_clean = ray.data.from_pandas(clean)
+        ds_dirty = ray.data.from_pandas(dirty)
+
+        # two-group family: value column NaN rows excluded
+        want = ks_two_sample(ds_clean, "x", "g", "a", "b", num_partitions=P)
+        got = ks_two_sample(ds_dirty, "x", "g", "a", "b", num_partitions=P)
+        # dirty input has 2 extra non-NaN x rows (1.0 in b, 5.0 in b)
+        assert got["n_a"][0] == want["n_a"][0]
+        assert got["n_b"][0] == want["n_b"][0] + 2
+
+        # pairwise family: any-NaN pairs excluded entirely — the last
+        # extra row (5.0, 7.0) is the only fully-clean addition
+        sp_want = spearman_corr(
+            ray.data.from_pandas(
+                pd.concat([clean, extra.iloc[[3]]], ignore_index=True)
+            ),
+            "x",
+            "y",
+            num_partitions=P,
+        )
+        sp_got = spearman_corr(ds_dirty, "x", "y", num_partitions=P)
+        assert sp_got["n"][0] == len(clean) + 1
+        assert sp_got["rho"][0] == sp_want["rho"][0]
+
+        kt_want = kendall_tau(
+            ray.data.from_pandas(
+                pd.concat([clean, extra.iloc[[3]]], ignore_index=True)
+            ),
+            "x",
+            "y",
+            num_partitions=P,
+        )
+        kt_got = kendall_tau(ds_dirty, "x", "y", num_partitions=P)
+        pd.testing.assert_frame_equal(kt_got, kt_want)
+
+        jh_want = joint_histogram(
+            ray.data.from_pandas(
+                pd.concat([clean, extra.iloc[[3]]], ignore_index=True)
+            ),
+            "x",
+            "y",
+        )
+        jh_got = joint_histogram(ds_dirty, "x", "y")
+        pd.testing.assert_frame_equal(jh_got, jh_want)
+
+        kpg_got = ks_per_group(ds_dirty, "x", "g", num_partitions=P)
+        assert int(kpg_got["n"].sum()) == len(clean) + 2  # 2 non-NaN x extras
+
+        mw_got = mannwhitney_u(ds_dirty, "x", "g", "a", "b", num_partitions=P)
+        assert mw_got["n_a"][0] + mw_got["n_b"][0] == len(clean) + 2
