@@ -15,7 +15,7 @@ Public surface:
     - :mod:`data_linter_ray.functions`   dedup / text / similarity operators
 """
 
-__version__ = "0.4.1"
+__version__ = "0.5.3"
 
 from data_linter_ray.metadata import ColumnSpec, TableSchema  # noqa: F401
 from data_linter_ray.result import ValidatorResult  # noqa: F401
